@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Each query executes fully via the noop sink (no driver collect — measures
+the distributed plan, not result transfer). One warm-up run of the flagship
+amortizes JVM/codegen start-up, matching BASELINE.md's protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from presto_weather_spark.registry import all_queries
+from presto_weather_spark.session import build_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = build_session("pws-bench")
+
+    queries = all_queries()
+
+    # Warm-up: flagship once (JVM + codegen + parquet footer caches).
+    queries["r14_conditions_board"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(queries.items()):
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "spark_version": spark.version,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

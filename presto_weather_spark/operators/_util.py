@@ -1,0 +1,39 @@
+"""Shared determinism helpers for oracle-comparable queries.
+
+Floating-point sums are order-dependent; Spark's partial aggregation order
+varies run to run, while the DuckDB oracle sums sequentially.  Any double
+SUM whose value lands near a rounding boundary can therefore hash-mismatch.
+Fix: do the arithmetic in DECIMAL (exact, associative) and cast the final
+result back to double.  Base money columns in the test data carry 2-decimal
+values, so DECIMAL(18,2) casts are value-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec(col: Column) -> Column:
+    """Cast a money-style double to exact DECIMAL(18,2)."""
+    return col.cast(DEC)
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent SUM of a money column, returned as double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def sql_dec(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,2))"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def sql_bigint_sum(expr: str) -> str:
+    """DuckDB widens integer SUM to HUGEINT; Spark keeps BIGINT."""
+    return f"CAST(SUM({expr}) AS BIGINT)"

@@ -1,0 +1,272 @@
+"""Deduplication operators (X1 exact, X2 MinHash/LSH, SimHash, n-gram
+Jaccard) — the training-data-pipeline dedup suite.
+
+Scale design:
+- Exact dedup is a single shuffle on the dedup key (window row_number keeps
+  a deterministic survivor; ``dropDuplicates`` would keep an arbitrary one).
+- MinHash/LSH: per-doc signatures are computed scan-side (no shuffle), then
+  candidate generation shuffles once on (band_id, band_hash) — each bucket
+  is tiny, so the self-join never materializes the full O(n^2) pair space.
+  This is the standard web-scale near-dup pipeline shape.
+- SimHash: 64-bit signature from per-token hash bit votes; candidates pair
+  on 16-bit chunks (Hamming-distance blocking), same bucketed-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+N_HASHES = 16  # MinHash signature length
+N_BANDS = 4  # LSH bands (4 rows per band)
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3  # tokens per shingle
+
+
+def _tokens() -> F.Column:
+    return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+
+
+@register(
+    "x01_exact_dedup",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       round(value, 6) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM ranked WHERE rn = 1
+""",
+    doc="X1: exact dedup keeping a deterministic survivor (latest ts, then "
+    "highest id) per (user_id, event_type) — row_number window, one "
+    "shuffle; the auditable form of dropDuplicates.",
+)
+def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "x01b_distinct_rows",
+    oracle="""
+SELECT DISTINCT lang, source FROM documents
+""",
+    doc="X1: plain DISTINCT (hash-aggregate form of exact dedup).",
+)
+def x01b_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> MinHash signature (array of N_HASHES min-hashes).
+
+    Shingle (SHINGLE_K-token windows) -> per-shingle xxhash64 under
+    N_HASHES salts -> column-wise min.  All higher-order array expressions:
+    computed in the scan stage, no shuffle, no Python.
+    """
+    toks = _tokens()
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda salt: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, salt))
+        ),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+@register(
+    "x02_minhash_near_dup",
+    oracle=None,  # xxhash64-based signatures are engine-specific -> rows-only
+    doc="X2: MinHash+LSH near-duplicate candidate pairs. Signatures "
+    "scan-side; one shuffle on (band, band_hash); per-bucket self-join; "
+    "exact signature-overlap estimate on candidates only. Rows-only check "
+    "(no shared hash fn with DuckDB); pytest verifies planted duplicates.",
+)
+def x02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                lambda h: h.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "sig", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    overlap = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / N_HASHES
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(overlap, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+@register(
+    "x02b_ngram_jaccard",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INT) - 2, 1) + 1),
+           i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), i, i + 2), ' ')))) AS gram
+  FROM documents
+  WHERE doc_id < 60
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS inter_size
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(DISTINCT gram) AS n_grams FROM grams GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size) >= 0.2
+""",
+    doc="X2: exact n-gram (3-token shingle) Jaccard similarity on a doc "
+    "subset — the exact counterpart MinHash approximates; inverted-index "
+    "join on shared grams instead of a cross join (the scalable exact "
+    "form). Subset keeps the oracle cheap; the operator itself is "
+    "unbounded.",
+)
+def x02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = _tokens()
+    n = F.size(toks)
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.countDistinct("gram").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter_size").cast("double") / (
+        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("inter_size")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@register(
+    "x02c_simhash",
+    oracle=None,  # hash-dependent -> rows-only; pytest covers goldens.
+    doc="X2: 64-bit SimHash signatures — per-token xxhash64 bit votes "
+    "(+1/-1 per bit, weighted by term frequency), sign-packed into a "
+    "bigint; near-dup candidates block on 16-bit chunks. Scan-side only "
+    "here (signatures + chunk keys); rows-only check.",
+)
+def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bits = 32  # 32-bit simhash: plenty for blocking, halves the expr tree
+    d = load_table(spark, sf_dir, "documents")
+    # Hash each token once, scan-side; then one vote-aggregate per bit
+    # (static Python loop — shift amounts must be literals in Catalyst).
+    hashed = d.select(
+        "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("th")
+    )
+    def vote(bit: int):
+        return F.aggregate(
+            F.col("th"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    votes = [vote(bit) for bit in range(n_bits)]
+    simhash = None
+    for bit, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(1 << bit).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    out = hashed.select("doc_id", simhash.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"chunk_{i}")
+            for i in range(2)
+        ],
+    )

@@ -1,0 +1,176 @@
+"""Multimodal column operators (X5, X6) — typed opaque-binary handling plus
+corpus profiling.
+
+The multimodal design (SURVEY.md §1.3): media lives as an opaque ``binary``
+column with typed metadata alongside; decode/resize/frame-sample are
+Pandas-UDF stages over ``mapInPandas`` so each Arrow batch is processed
+vectorized. The image/audio codecs are not in this container, so the decode
+kernel is a deterministic stub (clearly marked), while the Spark-side
+plumbing — schema, batch iteration, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+
+@register(
+    "x05_multimodal_assembly",
+    oracle="""
+SELECT d.doc_id,
+       d.lang,
+       d.n_chars,
+       e.label,
+       CAST(len(e.embedding) AS INT) AS dim,
+       round(CAST(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 6) AS emb_sq_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    doc="X5: multimodal record assembly — text docs zipped with their "
+    "embedding vectors (documents.doc_id = embeddings.vec_id); at scale "
+    "both sides bucket on the id so the zip is shuffle-free.",
+)
+def x05_multimodal_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda s, v: s + v * v), 6
+        ).alias("emb_sq_norm"),
+    )
+
+
+@register(
+    "x06_corpus_profile",
+    oracle="""
+SELECT lang,
+       source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+    doc="X6: corpus profiling by language x source with CUBE subtotals — "
+    "the dataset-card summary query.",
+)
+def x06_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-column plumbing (decode stubbed — codecs not in this container)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "n_bytes int, payload_hash bigint"
+)
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    "feat_mean double, feat_dim int, decoder string"
+)
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table: each document's text bytes stand in
+    for an encoded image/audio payload (opaque binary + typed metadata)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("n_bytes"),
+        F.xxhash64(payload).alias("payload_hash"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> list[float]:
+    """STUB decoder — real codecs (PIL/librosa/ffmpeg) are not installed.
+
+    Produces a deterministic 8-dim "feature" from the payload bytes so the
+    pipeline shape (binary in -> fixed-dim float vector out) is exercised
+    end-to-end. Swap this body for the real decode when codecs exist;
+    raise NotImplementedError for formats a real deployment can't handle.
+    """
+    if not payload:
+        raise NotImplementedError(f"no decoder for empty {media_type} payload")
+    step = max(len(payload) // 8, 1)
+    return [payload[min(i * step, len(payload) - 1)] / 255.0 for i in range(8)]
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction — Arrow-batched, partition-local (no
+    shuffle); this is the hot-path shape for 100 TB media processing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_stub(bytes(p), mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_mean": [round(sum(f) / len(f), 6) for f in feats],
+                    "feat_dim": [len(f) for f in feats],
+                    "decoder": ["stub-v1"] * len(feats),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+@register(
+    "x05b_media_feature_extract",
+    oracle="""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         encode(text) AS payload
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(octet_length(payload) AS INT) AS n_bytes,
+       8 AS feat_dim,
+       'stub-v1' AS decoder
+FROM media
+""",
+    doc="X5: binary media column -> mapInPandas feature extraction (decode "
+    "stubbed, plumbing real). Oracle checks the metadata columns; the "
+    "stub feature values are pytest-verified for determinism.",
+)
+def x05b_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir)
+    feats = extract_media_features(media)
+    return feats.select("doc_id", "media_type", "n_bytes", "feat_dim", "decoder")

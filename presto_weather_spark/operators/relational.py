@@ -1,0 +1,599 @@
+"""Relational core — S-series operators (SURVEY.md §2.2 S3-S8, plus R18).
+
+Every query here is declarative DataFrame API: Catalyst handles predicate
+pushdown into the parquet scan, column pruning, join strategy selection
+(broadcast for the small dims), and partial aggregation.  Scale notes are
+given per query; the recurring ones:
+
+- Dim tables (region/nation/supplier, weather_codes) are broadcast — no
+  shuffle regardless of fact-table size.
+- Fact-fact joins (lineitem x orders) shuffle on the join key; at 100 TB the
+  right fix is bucketing both tables on orderkey at write time, which Spark
+  then exploits to skip the exchange — noted where relevant.
+- Aggregations rely on Catalyst's partial (map-side) aggregation; no
+  explicit combiner code is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_weather_spark.operators._util import dec, dsum, sql_dsum
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# S3 — projection / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s03_filter_predicates",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE (l_returnflag IN ('A', 'R') OR l_linestatus = 'O')
+  AND l_quantity BETWEEN 10 AND 40
+  AND l_discount IS NOT NULL
+  AND NOT (l_tax > 0.07)
+""",
+    doc="S3: compound predicate (AND/OR/NOT/IN/BETWEEN/IS NULL) pushed into "
+    "the parquet scan (the reference's only predicates are control-flow "
+    "guards, /root/reference/weather.py:50,80-82).",
+)
+def s03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag").isin("A", "R") | (F.col("l_linestatus") == "O"))
+        & F.col("l_quantity").between(10, 40)
+        & F.col("l_discount").isNotNull()
+        & ~(F.col("l_tax") > 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# S5 — aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s05_agg_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="S5: TPC-H-Q1-shaped hash aggregation — multi-agg groupBy with "
+    "map-side partial aggregation (Catalyst-internal). Money sums in exact "
+    "DECIMAL for run-order independence.",
+)
+def s05_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "s05b_rollup_region_nation",
+    oracle="""
+SELECT r.r_name AS region_name,
+       n.n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       CAST(GROUPING(r.r_name) AS INT) + CAST(GROUPING(n.n_name) AS INT) AS grouping_level
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    doc="S5: ROLLUP grouping sets over the region/nation hierarchy with "
+    "GROUPING() disambiguation of the NULL subtotal rows.",
+)
+def s05b_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+        )
+    )
+    return (
+        joined.rollup("region_name", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            (
+                F.grouping(F.col("region_name")).cast("int")
+                + F.grouping(F.col("nation_name")).cast("int")
+            ).alias("grouping_level"),
+        )
+    )
+
+
+@register(
+    "s05c_cube_order_status",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="S5: CUBE over two low-cardinality dimensions.",
+)
+def s05c_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "s05d_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="S5: exact COUNT(DISTINCT) — expands to a two-phase aggregate in "
+    "Catalyst (distinct shuffle then count).",
+)
+def s05d_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "s05e_approx_count_distinct",
+    oracle=None,  # HLL sketch result is engine-specific -> rows-only check
+    doc="S5: approx_count_distinct (HyperLogLog++) — the 100 TB-scale "
+    "substitute for exact distinct; sketch values are engine-specific so "
+    "this is a rows-only check (exact counterpart: s05d).",
+)
+def s05e_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s04_star_join_revenue",
+    oracle="""
+SELECT r.r_name AS region_name,
+       n.n_name AS nation_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY r.r_name, n.n_name
+""",
+    doc="S4: 5-way star join (TPC-H-Q5-shaped). lineitem-orders is the only "
+    "fact-fact shuffle; customer/nation/region are broadcast. At 100 TB, "
+    "bucket lineitem+orders on orderkey to eliminate the exchange.",
+)
+def s04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "s04b_outer_join_order_counts",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_name,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    doc="S4: LEFT OUTER join preserving customers with zero orders "
+    "(COUNT(col) null-skipping semantics).",
+)
+def s04b_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec(F.col("o_totalprice"))), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "s04c_semi_anti_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       TRUE AS has_urgent_order
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       FALSE AS has_urgent_order
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+    doc="S4: LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) joins — no "
+    "right-side duplication, early-out probe; the scalable form of "
+    "IN-subquery at 100 TB.",
+)
+def s04c_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    with_u = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select(*cols)
+        .withColumn("has_urgent_order", F.lit(True))
+    )
+    without_u = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select(*cols)
+        .withColumn("has_urgent_order", F.lit(False))
+    )
+    return with_u.unionByName(without_u)
+
+
+@register(
+    "s04d_range_join_ship_window",
+    oracle="""
+SELECT o.o_orderkey,
+       COUNT(l.l_linenumber) AS n_shipped_in_window,
+       CAST(COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS qty_in_window
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey
+""",
+    doc="S4: range (theta) join — equi key plus a date-interval band "
+    "predicate. The equi component keeps it a hash join (band applied as a "
+    "post-join filter), which is the scalable plan; a pure band join would "
+    "need bucketized range keys.",
+)
+def s04d_range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        o.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_linenumber").alias("n_shipped_in_window"),
+            F.coalesce(F.sum(dec(F.col("l_quantity"))), F.lit(0))
+            .cast("double")
+            .alias("qty_in_window"),
+        )
+    )
+
+
+@register(
+    "s04e_asof_join_latest_order",
+    oracle="""
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey, o.o_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       o_orderkey AS asof_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate
+FROM ranked WHERE rn = 1
+""",
+    doc="S4: as-of join — each event matched to the latest order at or "
+    "before its timestamp (reference analogue: latest-value display, "
+    "weather.py:324-333). Composed as equi-join on user + window top-1; at "
+    "100 TB prefer per-key applyInPandas merge_asof or a bucketized range "
+    "join to avoid the join fan-out.",
+)
+def s04e_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    joined = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+        )
+    )
+
+
+@register(
+    "s04f_cross_join_region_pairs",
+    oracle="""
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+""",
+    doc="S4: explicit cross join (tiny dims only — cartesian products are "
+    "banned on fact tables at scale).",
+)
+def s04f_cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_regionkey").alias("ak"), F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_regionkey").alias("bk"), F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("ak") != F.col("bk")).select("from_region", "to_region")
+
+
+# ---------------------------------------------------------------------------
+# S6 — window functions (plus R18 running offset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s06_window_rank_lag",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       row_number() OVER w AS rn,
+       rank() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS price_rank,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense_rank,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="S6: ranking + offset window functions over per-customer order "
+    "history. One shuffle on the partition key; rank ties broken on an "
+    "exact DECIMAL view of the price so both engines sort identically.",
+)
+def s06_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(dec(F.col("o_totalprice")).desc())
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(wd).alias("prio_dense_rank"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "s06b_window_frames_running",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_qty,
+       ROUND(AVG(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_qty,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+            (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS offset_before
+FROM lineitem
+WINDOW
+  w AS (PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice),
+  w_run AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="S6+R18: running/moving frame aggregates; offset_before reproduces "
+    "the reference's running text-offset shape (weather.py:233-238 — each "
+    "char drawn at the cumulative width of its predecessors). l_linenumber "
+    "is NOT unique per order in the synthetic data, so the window orders by "
+    "the full composite key for determinism.",
+)
+def s06b_window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec(F.col("l_quantity")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_qty"),
+        F.round(
+            F.avg("l_quantity").over(w.rowsBetween(-2, Window.currentRow)), 4
+        ).alias("moving_avg_qty"),
+        F.coalesce(
+            F.sum(dec(F.col("l_quantity"))).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("offset_before"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s07_global_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
+LIMIT 25
+""",
+    doc="S7: global top-k with deterministic tiebreak — Spark plans "
+    "TakeOrderedAndProject (per-partition heap + driver merge), no full "
+    "sort; the scalable top-k.",
+)
+def s07_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(dec(F.col("o_totalprice")).desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "s07b_topk_per_group",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal, rn AS segment_rank
+FROM ranked WHERE rn <= 5
+""",
+    doc="S7: top-k per group via window row_number — the partitioned form "
+    "that scales (no global sort).",
+)
+def s07b_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        dec(F.col("c_acctbal")).desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("segment_rank", F.row_number().over(w))
+        .filter(F.col("segment_rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "segment_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s08_set_operations",
+    oracle="""
+WITH big_spenders AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+),
+urgent AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'union' AS op, custkey FROM (SELECT custkey FROM big_spenders UNION SELECT custkey FROM urgent)
+UNION ALL
+SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent)
+UNION ALL
+SELECT 'except' AS op, custkey FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent)
+""",
+    doc="S8: UNION (distinct), INTERSECT, EXCEPT over two derived key sets, "
+    "tagged and unioned into one result.",
+)
+def s08_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "custkey")  # noqa: E731
+    return (
+        tag(big.union(urgent).distinct(), "union")
+        .unionByName(tag(big.intersect(urgent), "intersect"))
+        .unionByName(tag(big.subtract(urgent), "except"))
+    )

@@ -1,0 +1,433 @@
+"""Scalar-function surface — S9-S13, S15 and the R-series function parity
+queries (SURVEY.md §2.1 R5/R6/R9-R11/R16/R17/R20).
+
+Everything here is a pure Catalyst expression pipeline over one scan — the
+whole query stays inside a single WholeStageCodegen span with zero shuffles
+(except the explicitly-aggregating ones, which shuffle once on the group
+key). That property is scale-invariant: these queries are embarrassingly
+parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from presto_weather_spark.functions.weather import (
+    code_expr,
+    code_sql,
+    text_case_sql,
+    weather_code_to_text_py,
+)
+from presto_weather_spark.operators._util import dec
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# S9 — string functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s09_string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       trim(p_type) AS type_trimmed,
+       substring(p_name, 1, 8) AS name_prefix,
+       p_brand || ':' || p_type AS brand_type,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS name_snake,
+       regexp_extract(p_type, '^([A-Za-z]+)', 1) AS type_head,
+       CASE WHEN p_name LIKE '%green%' THEN TRUE ELSE FALSE END AS is_green,
+       split_part(p_type, ' ', 1) AS type_first_word
+FROM part
+""",
+    doc="S9: upper/lower/trim/substring/concat/length/replace/regexp_extract"
+    "/LIKE/split — the engine's string layer (reference precedent: "
+    "formatting+encode, weather.py:46,268,301,306).",
+)
+def s09_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trimmed"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_type", r"^([A-Za-z]+)", 1).alias("type_head"),
+        F.col("p_name").like("%green%").alias("is_green"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10 — date/time functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s10_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+FROM orders
+""",
+    doc="S10: year/month/dayofweek/date_trunc/date_format/unix_timestamp/"
+    "interval arithmetic/datediff. Spark dayofweek is 1=Sunday; DuckDB dow "
+    "is 0=Sunday, reconciled with +1. (Reference only slices ISO strings, "
+    "weather.py:306 — the engine uses typed timestamps.)",
+)
+def s10_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts_str"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — math functions (+ R16 trig, R20 unit conversion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s11_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_round1,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       round(power(l_quantity, 2), 4) AS qty_sq,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+       CAST(sign(l_tax - 0.04) AS DOUBLE) AS tax_sign
+FROM lineitem
+""",
+    doc="S11: round/floor/ceil/abs/pow/sqrt/ln/mod/sign (reference "
+    "precedent: math.radians/cos/sin + int truncation, weather.py:143-149).",
+)
+def s11_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_tax") - 0.04).alias("tax_sign"),
+    )
+
+
+@register(
+    "r16_trig_icon_geometry",
+    oracle="""
+SELECT deg,
+       round(radians(deg), 9) AS rad,
+       round(cos(radians(deg)), 9) AS cos_v,
+       round(sin(radians(deg)), 9) AS sin_v
+FROM (SELECT unnest(range(0, 360, 45)) AS deg)
+""",
+    doc="R16: the sun-ray geometry loop (weather.py:143-149) — "
+    "radians/cos/sin over a generated 0..315 step-45 sequence, via "
+    "sequence+explode instead of a Python loop.",
+)
+def r16_trig_icon_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    degs = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(315), F.lit(45))).alias("deg")
+    )
+    return degs.select(
+        F.col("deg").cast("bigint").alias("deg"),
+        F.round(F.radians("deg"), 9).alias("rad"),
+        F.round(F.cos(F.radians("deg")), 9).alias("cos_v"),
+        F.round(F.sin(F.radians("deg")), 9).alias("sin_v"),
+    )
+
+
+@register(
+    "r20_unit_conversion",
+    oracle="""
+SELECT event_id,
+       round(value, 2) AS celsius,
+       round(value * 9 / 5 + 32, 2) AS fahrenheit,
+       round((value * 9 / 5 + 32 - 32) * 5 / 9, 2) AS roundtrip_celsius
+FROM events
+""",
+    doc="R20: client-side C<->F conversion — the computation the reference "
+    "pushes to its source via temperature_unit= (weather.py:23,69-70); both "
+    "paths must agree, checked by the roundtrip column.",
+)
+def r20_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    f_expr = F.col("value") * 9 / 5 + 32
+    return e.select(
+        "event_id",
+        F.round("value", 2).alias("celsius"),
+        F.round(f_expr, 2).alias("fahrenheit"),
+        F.round((f_expr - 32) * 5 / 9, 2).alias("roundtrip_celsius"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12 — array functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s12_array_functions",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+       round(CAST(embedding[64] AS DOUBLE), 6) AS last_component,
+       round(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 6) AS sq_norm,
+       round(CAST(list_aggregate(list_transform(list_slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 6) AS head_sum,
+       CAST(list_aggregate(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_positive
+FROM embeddings
+""",
+    doc="S12: size/element_at/slice/transform/aggregate over the 64-dim "
+    "embedding vectors — all JVM-side higher-order functions, no UDF "
+    "(reference precedent: guarded array head, weather.py:79-83).",
+)
+def s12_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(dbl, 1), 6).alias("first_component"),
+        F.round(F.element_at(dbl, 64), 6).alias("last_component"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.when(x > 0, 1).otherwise(0),
+        ).alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13 — JSON / map functions (+ R5/R6 nested extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s13_json_extraction",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS prop_missing
+FROM events
+""",
+    doc="S13: schema-on-read JSON extraction from the events.props payload "
+    "column with NULL propagation for absent paths (reference: .get() "
+    "defaults, weather.py:73-77).",
+)
+def s13_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("int").alias("prop_missing"),
+    )
+
+
+@register(
+    "r05_forecast_json_roundtrip",
+    oracle="""
+WITH payload AS (
+  SELECT event_id,
+         printf('{"current": {"temperature_2m": %.1f, "weather_code": %d, "time": "%s"}, "daily": {"precipitation_probability_max": [%d]}}',
+                round(value, 1),
+                """
+    + code_sql("event_id")
+    + """,
+                strftime(ts, '%Y-%m-%dT%H:%M'),
+                CAST(json_extract_string(props, '$.k') AS INT) % 101) AS body
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract_string(body, '$.current.temperature_2m') AS DOUBLE) AS temperature,
+       CAST(json_extract_string(body, '$.current.weather_code') AS INT) AS weather_code,
+       json_extract_string(body, '$.current.time') AS obs_time,
+       CAST(json_extract(body, '$.daily.precipitation_probability_max[0]') AS INT) AS rain_prob
+FROM payload
+""",
+    doc="R5+R6: build an Open-Meteo-shaped JSON document per event, then "
+    "extract nested fields (current.temperature_2m, current.weather_code, "
+    "current.time) and the guarded array head "
+    "daily.precipitation_probability_max[0] — the reference's exact "
+    "response shape (weather.py:72-85).",
+)
+def r05_forecast_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    body = F.format_string(
+        '{"current": {"temperature_2m": %.1f, "weather_code": %d, "time": "%s"}, '
+        '"daily": {"precipitation_probability_max": [%d]}}',
+        F.round("value", 1),
+        code_expr(F.col("event_id")),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm"),
+        F.get_json_object("props", "$.k").cast("int") % 101,
+    )
+    payload = e.select("event_id", body.alias("body"))
+    return payload.select(
+        "event_id",
+        F.get_json_object("body", "$.current.temperature_2m")
+        .cast("double")
+        .alias("temperature"),
+        F.get_json_object("body", "$.current.weather_code").cast("int").alias("weather_code"),
+        F.get_json_object("body", "$.current.time").alias("obs_time"),
+        F.get_json_object("body", "$.daily.precipitation_probability_max[0]")
+        .cast("int")
+        .alias("rain_prob"),
+    )
+
+
+@register(
+    "s13b_map_functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS from_map,
+       2 AS n_keys
+FROM events
+""",
+    doc="S13: map construction + element_at + map_keys (create_map over "
+    "parsed JSON; the oracle checks the extracted value and key count).",
+)
+def s13b_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("int"),
+        F.lit("uid"),
+        F.col("user_id").cast("int"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R17 — fold over exploded elements (the reference's only aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r17_token_width_fold",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(SUM(length(tok) + 1) - 1 AS BIGINT) AS spaced_width,
+       COUNT(*) AS n_tokens
+FROM toks
+WHERE tok <> ''
+GROUP BY doc_id
+""",
+    doc="R17: measure_text_spaced (weather.py:226-231) generalized — "
+    "explode text into tokens, fold sum(width + spacing) with "
+    "trailing-spacing correction, as a distributed explode+groupBy.",
+)
+def r17_token_width_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("doc_id").agg(
+        (F.sum(F.length("tok") + 1) - 1).alias("spaced_width"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15 — UDF / pandas UDF parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s15_udf_parity_classification",
+    oracle=f"""
+WITH coded AS (
+  SELECT event_id, {code_sql('event_id')} AS code FROM events
+)
+SELECT event_id, code, {text_case_sql('code')} AS description
+FROM coded
+""",
+    doc="S15: row-at-a-time Python UDF running the reference's "
+    "weather_code_to_text verbatim semantics (weather.py:92-114); the "
+    "oracle is the pure-SQL CASE — proving UDF and relational forms agree. "
+    "(Kept off hot paths: UDFs are the slow path; see r07/r07b for the "
+    "codegen-friendly forms.)",
+)
+def s15_udf_parity_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    to_text = F.udf(weather_code_to_text_py, T.StringType())
+    coded = e.select("event_id", code_expr(F.col("event_id")).alias("code"))
+    return coded.select("event_id", "code", to_text(F.col("code")).alias("description"))
+
+
+@register(
+    "s15b_pandas_udf_vector_norm",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS DOUBLE)), 6) AS l2_norm
+FROM embeddings
+""",
+    doc="S15: vectorized (Arrow-batched) pandas UDF computing the L2 norm "
+    "of each embedding — the sanctioned fast path for numeric Python; "
+    "matches the pure-SQL higher-order-function form.",
+)
+def s15b_pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        return vecs.map(
+            lambda v: float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2)))
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))

@@ -1,0 +1,222 @@
+"""Similarity search over embedding vectors (X3) — brute-force cosine top-k
+as the exact baseline, plus an LSH-bucketed approximate variant as the
+scale path.
+
+Scale design:
+- Brute force is O(queries x corpus): correct, and fine when the query set
+  is small (broadcast the queries, stream the corpus — no shuffle of the
+  big side). That is exactly how it is built here: the filtered query set
+  is broadcast, the corpus scan stays partition-local, and only the
+  per-query top-k heap shuffles (windowed row_number on query_id).
+- The ANN variant buckets vectors by random-hyperplane signs (deterministic
+  seeded planes); candidates only compare within a bucket — the classic
+  cosine-LSH layout whose recall/cost is tuned by n_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 are the query vectors in the judged queries
+
+
+def _dbl(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — zip_with dot product
+    over aggregate norms; pure Catalyst higher-order functions."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), p -> "
+    "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_SQL_NORM = (
+    "sqrt(list_aggregate(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@register(
+    "x03_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding, label FROM embeddings),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_SQL_DOT.format(a='q.qv', b='c.embedding')} /
+         ({_SQL_NORM.format(v='q.qv')} * {_SQL_NORM.format(v='c.embedding')}) AS sim
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         round(sim, 6) AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rn AS nn_rank
+FROM ranked WHERE rn <= {TOP_K}
+""",
+    doc="X3: exact brute-force cosine top-k neighbors for a broadcast query "
+    "set — corpus scan stays partition-local; only the top-k window "
+    "shuffles (on query_id). The exact baseline the ANN variant is judged "
+    "against.",
+)
+def x03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _dbl("embedding").alias("cv"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG — no numpy RNG
+    state, reproducible across engines and runs)."""
+    planes = []
+    state = 42
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@register(
+    "x03b_lsh_ann_topk",
+    oracle=None,  # approximate by construction -> rows-only; pytest checks
+    # recall against the exact x03 result.
+    doc="X3: LSH-bucketed approximate top-k — sign-of-projection onto 6 "
+    "seeded hyperplanes forms the bucket key; neighbors are only scored "
+    "within the query's bucket. At 100 TB this turns an O(n^2) scan into "
+    "per-bucket joins; recall is pytest-measured against exact x03.",
+)
+def x03b_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_planes = 6
+    planes = _hyperplanes(n_planes)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in planes[p]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    tagged = emb.select(
+        "vec_id", "label", "embedding", bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _dbl("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = tagged.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _dbl("embedding").alias("cv"),
+        "bucket",
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("qbucket") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
+    )
+
+
+@register(
+    "x03c_pairwise_label_centroids",
+    oracle="""
+WITH comps AS (
+  SELECT label, unnest(embedding) AS comp,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+cent AS (
+  SELECT label, idx, AVG(CAST(comp AS DOUBLE)) AS c FROM comps GROUP BY label, idx
+)
+SELECT label,
+       CAST(COUNT(*) AS INT) AS dim,
+       round(SUM(c * c), 6) AS centroid_sq_norm
+FROM cent GROUP BY label
+""",
+    doc="X3 support: per-label centroid of embeddings (posexplode + "
+    "two-level agg) — the building block for IVF-style coarse quantization "
+    "at 100 TB (route queries to nearest centroid, search only that cell).",
+)
+def x03c_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(_dbl("embedding")).alias("pos", "comp")
+    ).select("label", (F.col("pos") + 1).alias("idx"), "comp")
+    cent = comps.groupBy("label", "idx").agg(F.avg("comp").alias("c"))
+    return cent.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.round(F.sum(F.col("c") * F.col("c")), 6).alias("centroid_sq_norm"),
+    )

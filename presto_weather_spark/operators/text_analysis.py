@@ -1,0 +1,236 @@
+"""Text-analysis operators for training-data pipelines (X4 + extensions).
+
+Token statistics, tf-idf, language ID, quality scoring, token counting and
+document fingerprinting over the ``documents`` table.  All hot paths are
+built-in Catalyst expressions (split/explode/groupBy, regexp) — no Python in
+the row loop — so they parallelize trivially: at 100 TB these are one scan +
+(for the aggregating ones) one shuffle on a high-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+# A tiny fixed English stopword list shared by Spark and oracle SQL.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+
+def _tokens(text_col: str = "text") -> F.Column:
+    """Lowercased whitespace tokens (the shared tokenizer)."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+_SQL_TOKENS = "string_split_regex(lower(text), '\\s+')"
+
+
+@register(
+    "x04_term_frequencies",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+)
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks WHERE term <> ''
+GROUP BY term
+""",
+    doc="X4: corpus term/document frequencies — explode+groupBy; the "
+    "building block for tf-idf. One shuffle on term.",
+)
+def x04_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+@register(
+    "x04b_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rn AS term_rank FROM ranked WHERE rn <= 3
+""",
+    doc="X4: per-document top-3 tf-idf terms. df table is tiny relative to "
+    "the corpus -> broadcast onto the tf side; top-k via windowed "
+    "row_number (no global sort).",
+)
+def x04b_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale use a broadcast single-row agg
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tfidf", "term_rank")
+    )
+
+
+@register(
+    "x08_language_id_heuristic",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+stats AS (
+  SELECT doc_id, any_value(lang) AS lang,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN term IN ({', '.join(repr(s) for s in STOPWORDS)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM toks WHERE term <> '' GROUP BY doc_id
+)
+SELECT doc_id, lang,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS lang_guess
+FROM stats
+""",
+    doc="X8: n-gram/stopword-ratio language-ID heuristic — a deterministic, "
+    "SQL-expressible classifier (English stopword density >= 0.1 -> 'en').",
+)
+def x08_language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return stats.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio >= 0.1, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "x09_quality_score",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INT) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+       CASE WHEN length(text) BETWEEN 20 AND 10000
+             AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) < 0.2
+            THEN 'keep' ELSE 'drop' END AS quality_gate
+FROM documents
+""",
+    doc="X9: document quality scoring — length, punctuation density, "
+    "alphabetic ratio, and a keep/drop gate; pure regexp expressions, "
+    "embarrassingly parallel.",
+)
+def x09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text_len = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    punct_ratio = punct.cast("double") / text_len
+    return d.select(
+        "doc_id",
+        text_len.alias("n_chars_actual"),
+        F.size(F.filter(_tokens(), lambda t: t != "")).alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(alpha.cast("double") / text_len, 6).alias("alpha_ratio"),
+        F.when(
+            text_len.between(20, 10000) & (punct_ratio < 0.2), "keep"
+        )
+        .otherwise("drop")
+        .alias("quality_gate"),
+    )
+
+
+@register(
+    "x10_token_counting",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT) AS byte_estimate_tokens
+FROM documents
+""",
+    doc="X10: token counting three ways — whitespace, BPE-ish regex "
+    "(letter-runs | digit-runs | single punctuation), and the chars/4 "
+    "estimate used for LLM budget planning.",
+)
+def x10_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(_tokens(), lambda t: t != "")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("byte_estimate_tokens"),
+    )
+
+
+@register(
+    "x11_document_fingerprint",
+    oracle=None,  # xxhash64 is Spark-specific -> rows-only check; pytest
+    # covers determinism and collision behavior on goldens.
+    doc="X11: document fingerprinting — full-text xxhash64 plus a "
+    "rolling-window fingerprint (min of 8-gram token-window hashes, i.e. a "
+    "winnowing-style signature). Hash function is engine-specific, so this "
+    "is a rows-only check; stability is pytest-verified.",
+)
+def x11_document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n = F.size(toks)
+    # 8-token shingles via transform over a 1..n-7 index sequence.
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
+    )
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("full_hash"),
+        F.array_min(window_hashes).alias("winnow_fingerprint"),
+        n.alias("n_tokens"),
+    )

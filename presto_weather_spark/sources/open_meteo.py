@@ -1,0 +1,238 @@
+"""Custom Python Data Source: offline Open-Meteo replay (R1/R2 of SURVEY §2).
+
+Spark 4 ``pyspark.sql.datasource`` implementation of the reference's two
+REST reads (/root/reference/weather.py:31-39 http_get_json, :42-59 geocode,
+:62-85 forecast) as a declarative source:
+
+    spark.read.format("open_meteo")
+         .option("endpoint", "geocoding").option("name", "London")
+         .option("country_code", "GB").option("count", "1").load()
+
+Pushdown-by-option, exactly as the reference pushes work into its URL
+parameters: ``count`` ≙ limit pushdown (weather.py:45), ``fields`` ≙ column
+pruning (weather.py:66-67), ``temperature_unit`` ≙ computation pushdown
+(weather.py:69-70). The Python DS API has no planner pruning hook yet, so
+options are the contract — same moral status as URL construction.
+
+A ``simpleStreamReader`` replays forecast ticks one micro-batch at a time,
+mirroring the 600 s refresh loop (weather.py:324-333).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+GEOCODE_SCHEMA = StructType(
+    [
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("name", StringType()),
+        StructField("admin1", StringType()),
+        StructField("country_code", StringType()),
+    ]
+)
+
+FORECAST_SCHEMA = StructType(
+    [
+        StructField("temperature_2m", DoubleType()),
+        StructField("weather_code", IntegerType()),
+        StructField("time", StringType()),
+        StructField("rain_prob", IntegerType()),
+    ]
+)
+
+
+def _geocode_rows(options: dict) -> list[tuple]:
+    from presto_weather_spark.sources.fixtures import GEOCODE_FIXTURES
+
+    name = options.get("name", "London")
+    country = options.get("country_code", "GB")
+    count = int(options.get("count", "10"))  # limit pushdown (weather.py:45)
+    results = GEOCODE_FIXTURES.get((name, country), [])
+    if not results and options.get("fail_on_empty", "false") == "true":
+        # fail-fast read, reference weather.py:50-51
+        raise ValueError(f"Could not find location: {name}")
+    fields = options.get("fields")  # column pruning (weather.py:66-67)
+    keep = fields.split(",") if fields else [f.name for f in GEOCODE_SCHEMA.fields]
+    rows = []
+    for r in results[:count]:
+        rows.append(
+            tuple(
+                (float(r[f.name]) if f.name in ("latitude", "longitude") else r.get(f.name))
+                if f.name in keep and f.name in r
+                else None
+                for f in GEOCODE_SCHEMA.fields
+            )
+        )
+    return rows
+
+
+def _forecast_tuple(payload: dict, unit: str) -> tuple:
+    cur = payload.get("current", {})
+    temp = cur.get("temperature_2m")
+    if temp is not None and unit == "fahrenheit":
+        # computation pushdown: the source converts, client never does
+        # (reference weather.py:23,69-70)
+        temp = temp * 9 / 5 + 32
+    probs = payload.get("daily", {}).get("precipitation_probability_max", [])
+    rain = probs[0] if probs else None  # guarded head, weather.py:79-83
+    return (temp, cur.get("weather_code"), cur.get("time"), rain)
+
+
+def _forecast_rows(options: dict) -> list[tuple]:
+    from presto_weather_spark.sources.fixtures import FORECAST_FIXTURES
+
+    lat = round(float(options.get("latitude", "51.51")), 2)
+    lon = round(float(options.get("longitude", "-0.13")), 2)
+    unit = options.get("temperature_unit", "celsius")
+    ticks = FORECAST_FIXTURES.get((lat, lon), [])
+    return [_forecast_tuple(p, unit) for p in ticks]
+
+
+class OpenMeteoReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+
+    def partitions(self):
+        # Single logical request per read — one partition, like one GET.
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        if self.options.get("endpoint", "geocoding") == "geocoding":
+            yield from _geocode_rows(self.options)
+        else:
+            yield from _forecast_rows(self.options)
+
+
+class OpenMeteoStreamReader(DataSourceStreamReader):
+    """Replays forecast ticks one per micro-batch (the 600 s loop)."""
+
+    def __init__(self, options: dict):
+        self.options = options
+        from presto_weather_spark.sources.fixtures import FORECAST_FIXTURES
+
+        lat = round(float(options.get("latitude", "51.51")), 2)
+        lon = round(float(options.get("longitude", "-0.13")), 2)
+        self._n = len(FORECAST_FIXTURES.get((lat, lon), []))
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def latestOffset(self) -> dict:
+        return {"tick": self._n}
+
+    def partitions(self, start: dict, end: dict):
+        return [InputPartition((start["tick"], end["tick"]))]
+
+    def read(self, partition):
+        start, end = partition.value
+        rows = _forecast_rows(self.options)
+        for i in range(start, min(end, len(rows))):
+            yield rows[i]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class OpenMeteoDataSource(DataSource):
+    """format("open_meteo") — offline replay of the reference's REST feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "open_meteo"
+
+    def schema(self):
+        if self.options.get("endpoint", "geocoding") == "geocoding":
+            return GEOCODE_SCHEMA
+        return FORECAST_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return OpenMeteoReader(dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return OpenMeteoStreamReader(dict(self.options))
+
+
+def register_open_meteo(spark) -> None:
+    spark.dataSource.register(OpenMeteoDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Judged queries over the custom source (R1-R4, R20)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from presto_weather_spark.registry import register  # noqa: E402
+
+
+@register(
+    "r01_open_meteo_geocode",
+    oracle="""
+SELECT 51.50853 AS latitude, -0.12574 AS longitude,
+       'London' AS name, 'England' AS admin1
+""",
+    doc="R1-R4: custom Python DataSource read with option pushdown — "
+    "geocoding endpoint, count=1 (limit pushdown, weather.py:45), top-1 "
+    "projection with COALESCE defaults (weather.py:54-59). Oracle is the "
+    "known fixture row.",
+)
+def r01_open_meteo_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_open_meteo(spark)
+    df = (
+        spark.read.format("open_meteo")
+        .option("endpoint", "geocoding")
+        .option("name", "London")
+        .option("country_code", "GB")
+        .option("count", "1")
+        .load()
+    )
+    return df.select(
+        F.col("latitude").cast("double").alias("latitude"),
+        F.col("longitude").cast("double").alias("longitude"),
+        F.coalesce(F.col("name"), F.lit("London")).alias("name"),
+        F.coalesce(F.col("admin1"), F.lit("")).alias("admin1"),
+    )
+
+
+@register(
+    "r02_open_meteo_forecast",
+    oracle="""
+SELECT * FROM (VALUES
+  (14.3, 61, '2026-08-13T10:30', 72),
+  (15.1, 3,  '2026-08-13T10:40', 55),
+  (16.0, 0,  '2026-08-13T10:50', 20)
+) AS t(temperature_2m, weather_code, obs_time, rain_prob)
+""",
+    doc="R1/R5/R6: forecast endpoint replay — nested-field extraction with "
+    "null propagation and guarded array head happen source-side, exactly "
+    "like the reference's fetch_current_weather (weather.py:62-85).",
+)
+def r02_open_meteo_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_open_meteo(spark)
+    df = (
+        spark.read.format("open_meteo")
+        .option("endpoint", "forecast")
+        .option("latitude", "51.51")
+        .option("longitude", "-0.13")
+        .load()
+    )
+    return df.select(
+        F.col("temperature_2m").cast("double").alias("temperature_2m"),
+        "weather_code",
+        F.col("time").alias("obs_time"),
+        "rain_prob",
+    )

@@ -1,0 +1,204 @@
+"""Structured Streaming layer — the reference's refresh loop, generalized
+(R13/R14/R15, S14 of SURVEY.md §2).
+
+The reference app is logically a stream: one reading per 600 s tick, latest
+value wins, errors absorbed per tick (/root/reference/weather.py:324-333).
+Here that becomes:
+
+- file-source micro-batches over the ``events`` table,
+- event-time tumbling windows with a watermark (late data dropped),
+- latest-value-per-station aggregation (the board, complete mode),
+- a ``foreachBatch`` display sink with per-batch error absorption (R13).
+
+Tests drive these with ``trigger(availableNow=True)`` so they terminate.
+The registered queries run the stream to completion into a memory sink and
+return the sink table — judged by the driver as batch-equivalent results
+(oracle SQL provided where semantics align; single-file sources mean a
+single micro-batch, so no rows are watermark-dropped at test scale).
+
+Scale: windowed aggs shuffle once on (window, key); watermarks bound state.
+``complete`` mode is only for the tiny board dimension — at 100 TB the
+board would be ``update`` mode into a keyed store.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+WINDOW_SECONDS = 6 * 3600  # 6-hour tumbling windows over the events fixture
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema from batch read)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    from presto_weather_spark.session import _normalize_nanos
+
+    # The file-stream source wants a directory; stage a symlink dir (the
+    # read-only testdata layout is one bare file per table).
+    stage = f"/tmp/pws_stream_{abs(hash(path))}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    return _normalize_nanos(spark.readStream.schema(schema).parquet(stage))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming frame to completion (availableNow) into a memory
+    sink; return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "s14_stream_tumbling_counts",
+    oracle=f"""
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                + CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT) * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="S14: event-time tumbling-window aggregation with watermark, driven "
+    "availableNow to completion — batch-equivalent because the single-file "
+    "source is one micro-batch (no late drops at test scale). Oracle: "
+    "epoch-aligned 6h buckets, matching Spark's window() origin.",
+)
+def s14_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", f"{WINDOW_SECONDS} seconds").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "s14b_stream_latest_board",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id AS station_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       round(value, 6) AS last_value,
+       event_type AS last_event_type
+FROM ranked WHERE rn = 1
+""",
+    doc="S14+R14: streaming latest-value board — max_by over (ts, event_id) "
+    "per station in complete mode, the streaming form of the reference's "
+    "latest-reading display. Deterministic via the unique event_id "
+    "tiebreak.",
+)
+def s14b_stream_latest_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    latest = (
+        stream.groupBy(F.col("user_id").alias("station_id"))
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "value", "event_type")
+            ).alias("latest")
+        )
+        .select(
+            "station_id",
+            F.date_format("latest.ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            F.round("latest.value", 6).alias("last_value"),
+            F.col("latest.event_type").alias("last_event_type"),
+        )
+    )
+    return _run_to_memory(latest, "complete")
+
+
+@register(
+    "s14c_stream_dedup_within_watermark",
+    oracle=None,  # stateful streaming dedup has no DuckDB analogue ->
+    # rows-only; pytest asserts set equality with batch dropDuplicates.
+    doc="S14: stateful streaming deduplication — dropDuplicates on "
+    "(user_id, event_type) within a watermark; state is bounded by the "
+    "watermark horizon, the scalable exactly-once ingest pattern.",
+)
+def s14c_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        )
+    )
+    return _run_to_memory(deduped, "append")
+
+
+def run_display_pipeline(
+    spark: SparkSession, sf_dir: str, inject_error: bool = False
+) -> list[dict]:
+    """R13/R15: the display sink — foreachBatch formats each micro-batch
+    onto the 'screen' (a captured list), absorbing per-batch errors exactly
+    like the reference's try/except tick loop (weather.py:325-331)."""
+    from presto_weather_spark.functions import formatting as fmt
+
+    screen: list[dict] = []
+    stream = events_stream(spark, sf_dir)
+    board = stream.select(
+        "user_id",
+        fmt.fmt_temperature(F.col("value")).alias("temp_display"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("tick"),
+    )
+
+    def draw(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            if inject_error:
+                raise RuntimeError("simulated tick failure")
+            rows = batch_df.limit(3).collect()
+            screen.append(
+                {"epoch": epoch_id, "ok": True, "lines": [r.asDict() for r in rows]}
+            )
+        except Exception as e:  # absorb per tick — reference weather.py:330-331
+            screen.append(
+                {"epoch": epoch_id, "ok": False, "lines": [{"error": f"Error: {e}"}]}
+            )
+
+    q = (
+        board.writeStream.foreachBatch(draw)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/pws_ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    return screen
