@@ -81,9 +81,16 @@ def x01b_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id -> MinHash signature (array of N_HASHES min-hashes).
 
-    Shingle (SHINGLE_K-token windows) -> per-shingle xxhash64 under
-    N_HASHES salts -> column-wise min.  All higher-order array expressions:
-    computed in the scan stage, no shuffle, no Python.
+    Shape: shingle (SHINGLE_K-token windows) -> explode -> one xxhash64 per
+    shingle -> hash-aggregate with N_HASHES ``min(xxhash64(h, salt))``
+    columns.  The aggregate keeps everything inside WholeStageCodegen with
+    map-side partial mins, so each shingle string is tokenized and hashed
+    exactly once; the per-salt re-hash works on a fixed-width bigint.  (The
+    earlier formulation — nested ``transform`` lambdas re-hashing the
+    shingle strings per salt — ran ~15x slower because higher-order
+    functions are interpreted and Catalyst inlines the whole shingle
+    subtree into every salt branch.)  The only shuffle is the partial->final
+    aggregate exchange on doc_id, which LSH banding needs anyway.
     """
     toks = _tokens()
     n = F.size(toks)
@@ -91,13 +98,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda salt: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, salt))
-        ),
+    hashed = docs.select("doc_id", F.explode(shingles).alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return hashed.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.col("h"), F.lit(salt))) for salt in range(N_HASHES)]
+        ).alias("sig")
+    )
 
 
 @register(
@@ -110,6 +118,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 )
 def x02_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d)
+
+
+def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
+    """Candidate near-duplicate pairs for any (doc_id, text) DataFrame —
+    the reusable core of x02 (tested on planted duplicates in
+    tests/test_dedup.py)."""
     sigs = minhash_signatures(d)
     bands = sigs.select(
         "doc_id",
@@ -237,29 +252,34 @@ def x02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "here (signatures + chunk keys); rows-only check.",
 )
 def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_bits = 32  # 32-bit simhash: plenty for blocking, halves the expr tree
+    n_bits = 32  # 32-bit simhash: plenty for blocking at these corpus sizes
     d = load_table(spark, sf_dir, "documents")
-    # Hash each token once, scan-side; then one vote-aggregate per bit
-    # (static Python loop — shift amounts must be literals in Catalyst).
-    hashed = d.select(
-        "doc_id", F.transform(_tokens(), lambda t: F.xxhash64(t)).alias("th")
+    # Explode tokens and hash each once, then one hash-aggregate with
+    # n_bits SUM(+-1) vote columns — all WholeStageCodegen with map-side
+    # partial sums (an ``F.aggregate`` fold per bit would be interpreted
+    # and re-traverse the token array 32 times).  Empty docs keep a row via
+    # the single-empty-token guard, so output row count == input row count.
+    toks = _tokens()
+    guarded = F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
+    hashed = d.select("doc_id", F.explode(guarded).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
     )
-    def vote(bit: int):
-        return F.aggregate(
-            F.col("th"),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    votes = [vote(bit) for bit in range(n_bits)]
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(n_bits)
+        ]
+    )
     simhash = None
-    for bit, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(1 << bit).cast("bigint")).otherwise(
+    for bit in range(n_bits):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         simhash = term if simhash is None else simhash.bitwiseOR(term)
-    out = hashed.select("doc_id", simhash.alias("simhash"))
+    out = votes.select("doc_id", simhash.alias("simhash"))
     return out.select(
         "doc_id",
         "simhash",

@@ -1,0 +1,176 @@
+"""Reference-parity extras and sink/session-window coverage.
+
+Completes the SURVEY.md §2 rows that were exercised only inside the flagship
+pipeline, as individually judged queries:
+
+- R9-R12 (display formatting: numeric round-to-string, templating, suffix
+  substring, null fallback — /root/reference/weather.py:268,301,306,264-265)
+- R18 (running offset = cumulative sum over prior rows —
+  /root/reference/weather.py:233-238)
+- S2 (a real write sink: parquet roundtrip, the engine-side analogue of the
+  reference's display flush at /root/reference/weather.py:308)
+- S14 session windows (gap-based sessionization, the event-time counterpart
+  of the reference's latest-value refresh loop)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from presto_weather_spark.operators._util import sql_dsum
+from presto_weather_spark.registry import register
+from presto_weather_spark.session import load_table
+
+
+@register(
+    "r09_12_display_formatting",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN '--'
+            ELSE CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) END AS temp_display,
+       'Chance of rain: ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '%' AS rain_line,
+       right(strftime(ts, '%Y-%m-%dT%H:%M'), 5) AS updated_hhmm
+FROM events
+WHERE event_id < 500
+""",
+    doc="R9-R12 parity: round-to-int display string (weather.py:268), "
+    "string templating (weather.py:301), HH:MM suffix of the ISO timestamp "
+    "(weather.py:306), and the '--' null fallback (weather.py:264-265). "
+    "FLOOR instead of printf('%.0f') because floor is bit-identical across "
+    "engines while printf rounding modes differ (half-even vs half-up).",
+)
+def r09_12_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    as_int_str = F.floor(F.col("value")).cast("bigint").cast("string")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm")
+    return e.select(
+        "event_id",
+        # weather.py:264-265: None -> '--'; the 'error' type plays the
+        # missing-reading role (driver events have no NULL values).
+        F.when(F.col("event_type") == "error", F.lit("--"))
+        .otherwise(as_int_str)
+        .alias("temp_display"),
+        F.concat(F.lit("Chance of rain: "), as_int_str, F.lit("%")).alias("rain_line"),
+        # weather.py:306 is updated[-5:]; substring(-5, 5) is the direct
+        # Spark spelling of that suffix slice.
+        F.substring(iso, -5, 5).alias("updated_hhmm"),
+    )
+
+
+@register(
+    "r18_running_offset",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       l_quantity,
+       COALESCE(SUM(l_quantity) OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_qty
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+    doc="R18 parity: each row placed at the running sum of *prior* row "
+    "widths (weather.py:233-238, the draw-cursor advance) — a window SUM "
+    "over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING with 0 for the first "
+    "row. lineitem has duplicate (orderkey, linenumber) pairs, so the "
+    "ordering uses the full composite key for determinism.",
+)
+def r18_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.coalesce(F.sum("l_quantity").over(w), F.lit(0)).alias("offset_qty"),
+    )
+
+
+@register(
+    "s02_parquet_sink_roundtrip",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="S2: a real write sink — aggregate, write parquet, read it back and "
+    "return the re-read result (proves the sink preserves schema + values; "
+    "the engine analogue of the reference's display flush, weather.py:308). "
+    "At scale the write is the shuffle boundary: output partitioning (here "
+    "a single small aggregate) is what downstream consumers inherit.",
+)
+def s02_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators._util import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_sink_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "s14d_session_window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 14400
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sess_id
+""",
+    doc="S14: gap-based sessionization — Spark's native session_window "
+    "(dynamic-gap merging aggregate, 4h gap) vs the classic gaps-and-"
+    "islands SQL. Outputs are timestamps+counts only: exact types, no "
+    "float-ordering risk. In streaming the same expression runs with a "
+    "watermark; batch mode proves the session semantics.",
+)
+def s14d_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "4 hours").alias("sw"))
+        .agg(
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("mn", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -220,3 +220,151 @@ def x03c_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("int").alias("dim"),
         F.round(F.sum(F.col("c") * F.col("c")), 6).alias("centroid_sq_norm"),
     )
+
+
+NEARDUP_TAU = 0.38  # driver embeddings have no true dups (max pair cosine
+# ~0.456 at sf0.01), so the threshold sits in the upper tail to exercise
+# the operator with a small non-empty result.
+NEARDUP_SUBSET = 300  # bounded probe set keeps the all-pairs oracle cheap
+
+
+@register(
+    "x02d_embedding_cosine_neardup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEARDUP_SUBSET}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} /
+             ({_SQL_NORM.format(v='a.embedding')} * {_SQL_NORM.format(v='b.embedding')}),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} /
+            ({_SQL_NORM.format(v='a.embedding')} * {_SQL_NORM.format(v='b.embedding')}),
+            6) >= {NEARDUP_TAU}
+""",
+    doc="X2/X3: embedding-cosine near-duplicate pairs — all-pairs cosine "
+    "over a bounded probe set with threshold tau, survivor = lower vec_id. "
+    "The exact small-scale form; at 100 TB the pair space is first blocked "
+    "by the x03b LSH buckets (same bucket => candidate) so only "
+    "intra-bucket pairs are scored.",
+)
+def x02d_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEARDUP_SUBSET
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), _dbl("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), _dbl("embedding").alias("vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= NEARDUP_TAU)
+    )
+
+
+@register(
+    "x03d_ivf_ann_topk",
+    oracle=f"""
+WITH comps AS (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS comp,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+),
+centvec AS (
+  SELECT label, list(c ORDER BY idx) AS cv
+  FROM (SELECT label, idx, AVG(comp) AS c FROM comps GROUP BY label, idx)
+  GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+routed AS (
+  SELECT query_id, label,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_SQL_DOT.format(a='qv', b='cv')} /
+                    ({_SQL_NORM.format(v='qv')} * {_SQL_NORM.format(v='cv')}) DESC,
+                    label) AS cell_rank
+  FROM q CROSS JOIN centvec
+),
+cell AS (SELECT query_id, label FROM routed WHERE cell_rank = 1),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round({_SQL_DOT.format(a='q.qv', b='c.embedding')} /
+               ({_SQL_NORM.format(v='q.qv')} * {_SQL_NORM.format(v='c.embedding')}),
+               6) AS cosine_sim
+  FROM q
+  JOIN cell ON q.query_id = cell.query_id
+  JOIN embeddings c ON c.label = cell.label AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine_sim,
+       rn AS nn_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM sims)
+WHERE rn <= {TOP_K}
+""",
+    doc="X3: IVF-style ANN — coarse quantization by per-label centroids "
+    "(the x03c building block), each query routed to its nearest cell "
+    "(nprobe=1), exact cosine re-rank only inside that cell. At 100 TB the "
+    "corpus is partitioned by cell id, so a query touches 1/n_cells of the "
+    "data; centroids are a broadcast-size table.",
+)
+def x03d_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(_dbl("embedding")).alias("pos", "comp")
+    ).select("label", "pos", "comp")
+    centvec = (
+        comps.groupBy("label", "pos")
+        .agg(F.avg("comp").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("qv"), F.col("cv")).desc(), F.col("label")
+    )
+    cell = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centvec))
+        .withColumn("cell_rank", F.row_number().over(w_route))
+        .filter(F.col("cell_rank") == 1)
+        .select("query_id", "qv", F.col("label").alias("cell_label"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        _dbl("embedding").alias("cv2"),
+    )
+    sims = (
+        F.broadcast(cell)
+        .join(c, (F.col("cell_label") == F.col("neighbor_label")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
+    )

@@ -79,6 +79,7 @@ def _load_all() -> None:
     from presto_weather_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        parity_extras,
         relational,
         scalar_functions,
         similarity,
