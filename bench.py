@@ -32,16 +32,26 @@ def main() -> None:
 
     queries = all_queries()
 
-    # Warm-up: flagship once (JVM + codegen + parquet footer caches).
+    # Warm-up: flagship once (JVM + codegen + parquet footer caches), plus
+    # one tiny custom-source read (the first Python DataSource use pays a
+    # ~5 s Python-worker spin-up that is session start-up, not query cost).
     queries["r14_conditions_board"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    queries["r01_open_meteo_geocode"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
+    # Median of 3 runs per query (BASELINE.md protocol) — single runs swing
+    # up to ~15% with JVM GC pauses and page-cache state.
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -98,6 +98,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
     )
+    # The corpus may arrive as a handful of large parquet row groups (one,
+    # at test scale) — repartition so the CPU-bound shingle+hash work uses
+    # every core. The explicit partition count matters: a column-only
+    # repartition is a coalescible shuffle, and AQE would fold this tiny
+    # (by bytes) but compute-heavy input back into one partition.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_parts, "doc_id")
     hashed = docs.select("doc_id", F.explode(shingles).alias("shingle")).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
@@ -126,6 +133,11 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     the reusable core of x02 (tested on planted duplicates in
     tests/test_dedup.py)."""
     sigs = minhash_signatures(d)
+    # The signature rides along through the band join: referencing ``sigs``
+    # from multiple plan branches would re-run the whole signature pipeline
+    # per branch (Spark reuses exchanges, not aggregates), which costs far
+    # more than shuffling 16 bigints per row. Candidate sets are tiny, so
+    # the wide distinct is cheap.
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -146,7 +158,12 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("bh"),
-    ).select("doc_id", "sig", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
 
     left = bands.alias("a")
     right = bands.alias("b")
@@ -261,6 +278,9 @@ def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single-empty-token guard, so output row count == input row count.
     toks = _tokens()
     guarded = F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
+    # Explicit count: AQE would coalesce a column-only repartition of
+    # this byte-small, compute-heavy input back to one partition.
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     hashed = d.select("doc_id", F.explode(guarded).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )

@@ -597,3 +597,92 @@ def s08_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(big.intersect(urgent), "intersect"))
         .unionByName(tag(big.subtract(urgent), "except"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 extras — exact percentiles, pivot; S3 extras — subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s05f_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="S5: exact percentiles (continuous interpolation) per group — "
+    "Spark percentile() == DuckDB quantile_cont. Exact percentile sorts "
+    "within each group; at 100 TB switch to approx_percentile (t-digest, "
+    "mergeable map-side sketch, no full sort) — the s05e pattern.",
+)
+def s05f_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("price_p95"),
+    )
+
+
+@register(
+    "s05g_pivot_event_matrix",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+""",
+    doc="S5: pivot — long-to-wide event counts per user with an explicit "
+    "value list (no discovery scan; at scale the values-unknown form "
+    "needs an extra distinct pass, so always pin the columns). "
+    "Equivalent to per-value FILTERed counts.",
+)
+def s05g_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "s03b_subqueries",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+""",
+    doc="S3/S4: scalar subquery + uncorrelated IN + correlated EXISTS — "
+    "Catalyst rewrites these to a broadcast scalar, a left-semi hash join, "
+    "and a correlated semi join; no driver-side collect anywhere.",
+)
+def s03b_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_price = o.select(F.avg("o_totalprice").alias("a"))
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    heavy = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        o.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .join(building, o.o_custkey == building.c_custkey, "left_semi")
+        .join(heavy, o.o_orderkey == heavy.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )

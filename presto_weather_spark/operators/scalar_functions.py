@@ -265,10 +265,15 @@ FROM events
 )
 def s13_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # json_tuple parses the payload ONCE for both paths (it's a generator,
+    # so Catalyst can't inline-duplicate it the way per-path
+    # get_json_object calls get collapsed into N parses of the same doc).
     return e.select(
+        "event_id", F.json_tuple("props", "k", "missing").alias("k", "missing")
+    ).select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
-        F.get_json_object("props", "$.missing").cast("int").alias("prop_missing"),
+        F.col("k").cast("int").alias("prop_k"),
+        F.col("missing").cast("int").alias("prop_missing"),
     )
 
 
@@ -310,16 +315,22 @@ def r05_forecast_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int") % 101,
     )
     payload = e.select("event_id", body.alias("body"))
-    return payload.select(
+    # Parse the document ONCE with a schema (from_json), then take struct
+    # fields — four get_json_object calls would each re-parse the body, and
+    # worse, projection collapse would inline the whole body-builder
+    # expression (19-branch CASE included) into every extraction.
+    schema = (
+        "current struct<temperature_2m: double, weather_code: int, time: string>, "
+        "daily struct<precipitation_probability_max: array<int>>"
+    )
+    parsed = payload.select("event_id", F.from_json("body", schema).alias("j"))
+    return parsed.select(
         "event_id",
-        F.get_json_object("body", "$.current.temperature_2m")
-        .cast("double")
-        .alias("temperature"),
-        F.get_json_object("body", "$.current.weather_code").cast("int").alias("weather_code"),
-        F.get_json_object("body", "$.current.time").alias("obs_time"),
-        F.get_json_object("body", "$.daily.precipitation_probability_max[0]")
-        .cast("int")
-        .alias("rain_prob"),
+        F.col("j.current.temperature_2m").alias("temperature"),
+        F.col("j.current.weather_code").alias("weather_code"),
+        F.col("j.current.time").alias("obs_time"),
+        # R6: guarded array head — element_at returns NULL on absent/empty
+        F.element_at("j.daily.precipitation_probability_max", 1).alias("rain_prob"),
     )
 
 
@@ -431,3 +442,37 @@ def s15b_pandas_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+@register(
+    "s15c_grouped_map_zscore",
+    oracle="""
+SELECT event_id,
+       event_type,
+       round((value - AVG(value) OVER (PARTITION BY event_type)) /
+             stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+FROM events
+""",
+    doc="S15: grouped-map applyInPandas — per-event_type z-score "
+    "normalization, each group handed to pandas as one Arrow batch (the "
+    "feature-normalization shape for training pipelines). Matches the "
+    "window-function form; at 100 TB groups must fit an executor, so "
+    "skewed group keys get salted two-pass normalization instead.",
+)
+def s15c_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)  # matches stddev_samp
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mean) / std).round(4),
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        zscore, "event_id bigint, event_type string, zscore double"
+    )

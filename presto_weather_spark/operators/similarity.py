@@ -250,18 +250,48 @@ WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} /
     "intra-bucket pairs are scored.",
 )
 def x02d_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All-pairs dot products via posexplode + equi-join on component index +
+    # codegen hash aggregate, instead of a theta-join with a higher-order
+    # cosine per pair (interpreted lambdas made that form ~10x slower).
+    # The exploded component table is broadcast-size by construction
+    # (NEARDUP_SUBSET * 64 rows), so the join is shuffle-free.
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEARDUP_SUBSET
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), _dbl("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), _dbl("embedding").alias("vb"))
-    return (
+    comps = emb.select(
+        "vec_id", F.posexplode(_dbl("embedding")).alias("pos", "comp")
+    )
+    norms = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform(_dbl("embedding"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ).alias("norm"),
+    )
+    a = comps.select(
+        F.col("vec_id").alias("vec_a"), F.col("pos").alias("pos_a"), F.col("comp").alias("ca")
+    )
+    b = comps.select(
+        F.col("vec_id").alias("vec_b"), F.col("pos").alias("pos_b"), F.col("comp").alias("cb")
+    )
+    dots = (
         F.broadcast(a)
-        .join(b, F.col("vec_a") < F.col("vec_b"))
+        .join(b, (F.col("pos_a") == F.col("pos_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= NEARDUP_TAU)
     )

@@ -221,14 +221,23 @@ def x10_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x11_document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(_tokens(), lambda t: t != "")
-    n = F.size(toks)
+    # Materialize the token array in its own projection: it is referenced
+    # from inside the shingle lambda, and projection collapse would
+    # otherwise re-run split+filter for every window position.
+    tokenized = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id",
+        "text",
+        F.filter(_tokens(), lambda t: t != "").alias("toks"),
+    )
+    n = F.size(F.col("toks"))
     # 8-token shingles via transform over a 1..n-7 index sequence.
     window_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 7, F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, 8))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, 8))),
     )
-    return d.select(
+    return tokenized.select(
         "doc_id",
         F.xxhash64("text").alias("full_hash"),
         F.array_min(window_hashes).alias("winnow_fingerprint"),

@@ -46,6 +46,14 @@ def build_session(app_name: str = "presto_weather_spark", cpus: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # A long session compiles one generated class per codegen stage;
+        # the JVM's default 240 MB code cache fills after ~50 queries and
+        # the JIT silently stops compiling, leaving compute-heavy stages
+        # interpreted (~10x). Bigger cache + flushing keeps the JIT alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized

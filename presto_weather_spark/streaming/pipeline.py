@@ -202,3 +202,65 @@ def run_display_pipeline(
     )
     q.awaitTermination()
     return screen
+
+
+@register(
+    "s14e_stateful_running_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(MAX(value), 6) AS max_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY user_id
+""",
+    doc="S14/S15: custom stateful streaming operator via "
+    "applyInPandasWithState — per-station running totals (count, max, "
+    "last-seen) carried in explicit GroupState across micro-batches; each "
+    "update emits the station's current totals. Driven availableNow (one "
+    "micro-batch), the final emission equals the batch aggregate, so the "
+    "oracle stays SQL-expressible. Outputs are count/max/timestamp only — "
+    "exact values, no float-sum ordering risk. State is per-key and "
+    "watermark-free here; a production deployment bounds it with a "
+    "timeout.",
+)
+def s14e_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir)
+
+    def totals(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, mx, last = state.get
+        else:
+            n, mx, last = 0, float("-inf"), None
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, float(pdf["value"].max()))
+            batch_last = pdf["ts"].max()
+            last = batch_last if last is None else max(last, batch_last)
+        state.update((n, mx, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "max_value": [round(mx, 6)],
+                "last_ts": [pd.Timestamp(last).strftime("%Y-%m-%d %H:%M:%S")],
+            }
+        )
+
+    out = (
+        stream.select("user_id", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals,
+            outputStructType="user_id bigint, n_events bigint, "
+            "max_value double, last_ts string",
+            stateStructType="n bigint, mx double, last timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")
