@@ -174,3 +174,64 @@ def x05b_media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, sf_dir)
     feats = extract_media_features(media)
     return feats.select("doc_id", "media_type", "n_bytes", "feat_dim", "decoder")
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_hash bigint"
+FRAME_STRIDE = 64  # bytes per synthetic "frame" in the stub decoder
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """mapInPandas frame sampler — one input row fans out to one row per
+    sampled frame (the 1->N UDTF shape video decoding needs). The frame
+    decode is the same deterministic stub as x05b (codecs absent here):
+    a 'frame' is a stride-sized byte slice; real deployments swap the
+    slicing for ffmpeg keyframe extraction with the same schema."""
+    import pyspark.sql.functions as _F  # noqa: F401  (schema-side parity)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset")}
+            hashes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = max(len(data) // stride, 1)
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * stride)
+                    # stub frame fingerprint: sum of the slice's bytes
+                    hashes.append(sum(data[i * stride : (i + 1) * stride]))
+            frame = pd.DataFrame(out)
+            frame["frame_hash"] = pd.Series(hashes, dtype="int64")
+            yield frame
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+@register(
+    "x05c_video_frame_sample",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, encode(text) AS payload FROM documents
+  WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(unnest(range(0, greatest(octet_length(payload) // {FRAME_STRIDE}, 1))) AS INT) AS frame_idx,
+       CAST(unnest(range(0, greatest(octet_length(payload) // {FRAME_STRIDE}, 1))) AS INT) * {FRAME_STRIDE} AS frame_offset
+FROM media
+""",
+    doc="X5: video frame sampling — the 1->N mapInPandas fan-out (one row "
+    "per sampled frame with typed offsets and a per-frame fingerprint); "
+    "decode stubbed as stride slicing, plumbing and schema real. At "
+    "100 TB frames inherit the media partitioning, so sampling is "
+    "shuffle-free and downstream per-frame featurization starts "
+    "partition-local.",
+)
+def x05c_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    # The oracle checks the fan-out metadata (DuckDB cannot index BLOB
+    # bytes for the stub frame_hash — same metadata-oracle precedent as
+    # x05b); the hash column itself is exercised by the mapInPandas run.
+    return sample_frames(media.select("doc_id", "payload")).select(
+        "doc_id", "frame_idx", "frame_offset"
+    )

@@ -686,3 +686,49 @@ def s03b_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(heavy, o.o_orderkey == heavy.l_orderkey, "left_semi")
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "s16_sql_api_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate, l.l_orderkey
+LIMIT 10
+""",
+    doc="S1/S4/S5/S7 via the SQL front-end: TPC-H-Q3-shaped shipping "
+    "priority, submitted as a SQL string over registered views "
+    "(spark.sql) rather than the DataFrame API — both front-ends compile "
+    "to the same Catalyst plan, which this query's oracle match proves.",
+)
+def s16_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, orderdate, l.l_orderkey
+        LIMIT 10
+        """
+    )
