@@ -732,3 +732,91 @@ def s16_sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         LIMIT 10
         """
     )
+
+
+@register(
+    "s07c_sort_nulls_ordering",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_custkey, c.c_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_name
+)
+SELECT c_custkey, c_name, total_spend
+FROM spend
+ORDER BY total_spend DESC NULLS FIRST, c_custkey
+LIMIT 25
+""",
+    doc="S7: multi-key sort with explicit NULLS FIRST — customers without "
+    "orders (NULL spend from the left join) sort ahead of the biggest "
+    "spenders; unique-key tiebreak makes the LIMIT boundary deterministic. "
+    "Plans as TakeOrderedAndProject (per-partition heaps + driver merge of "
+    "k rows), never a global sort.",
+)
+def s07c_sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    return (
+        spend.orderBy(
+            F.col("total_spend").desc_nulls_first(), F.col("c_custkey")
+        )
+        .limit(25)
+    )
+
+
+@register(
+    "s04g_bucketed_colocated_join",
+    oracle="""
+SELECT l.l_orderkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS line_total,
+       MAX(o.o_totalprice) AS order_total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey < 3000
+GROUP BY l.l_orderkey
+""",
+    doc="S4 at scale: fact-fact join on co-located bucketed tables — both "
+    "sides written bucketed by the join key (8 buckets here; thousands at "
+    "100 TB), so the SortMergeJoin consumes bucket layout directly and the "
+    "plan has NO Exchange on either side (verifiable with .explain). This "
+    "is the write-time answer to the biggest shuffle in the star schema; "
+    "the oracle verifies the join result itself.",
+)
+def s04g_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    warehouse = _os.path.join(
+        _tf.gettempdir(), "pws_bucketed", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    for name, df, key in (("li_b", li, "l_orderkey"), ("o_b", o, "o_orderkey")):
+        table = f"pws_{name}"
+        path = _os.path.join(warehouse, name)
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    lb = spark.table("pws_li_b")
+    ob = spark.table("pws_o_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("line_total"),
+            F.max("o_totalprice").alias("order_total"),
+        )
+    )
