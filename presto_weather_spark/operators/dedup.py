@@ -196,10 +196,8 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
-@register(
-    "x02b_ngram_jaccard",
-    oracle="""
-WITH grams AS (
+# x02b's pair CTEs, shared with x02f's recursive-closure oracle.
+_X02B_PAIRS_SQL = """grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INT) - 2, 1) + 1),
            i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), i, i + 2), ' ')))) AS gram
@@ -214,14 +212,20 @@ pairs AS (
 ),
 sizes AS (
   SELECT doc_id, COUNT(DISTINCT gram) AS n_grams FROM grams GROUP BY doc_id
-)
-SELECT p.doc_a, p.doc_b,
-       round(CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size), 6) AS jaccard
-FROM pairs p
-JOIN sizes sa ON p.doc_a = sa.doc_id
-JOIN sizes sb ON p.doc_b = sb.doc_id
-WHERE CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size) >= 0.2
-""",
+),
+jacc AS (
+  SELECT p.doc_a, p.doc_b,
+         round(CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size), 6) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+  WHERE CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size) >= 0.2
+)"""
+
+
+@register(
+    "x02b_ngram_jaccard",
+    oracle="WITH " + _X02B_PAIRS_SQL + "\nSELECT doc_a, doc_b, jaccard FROM jacc",
     doc="X2: exact n-gram (3-token shingle) Jaccard similarity on a doc "
     "subset — the exact counterpart MinHash approximates; inverted-index "
     "join on shared grams instead of a cross join (the scalable exact "
@@ -310,3 +314,72 @@ def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(2)
         ],
     )
+
+
+@register(
+    "x02f_neardup_clusters",
+    oracle="WITH RECURSIVE " + _X02B_PAIRS_SQL + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc
+  UNION ALL
+  SELECT doc_b, doc_a FROM jacc
+),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+""",
+    doc="X2: near-duplicate CLUSTER assignment — connected components over "
+    "the x02b Jaccard pair graph via iterative min-label propagation "
+    "(each doc's cluster id = min doc_id reachable through near-dup "
+    "edges); isolated docs form singleton clusters. The driver loop runs "
+    "O(graph diameter) rounds, each a distributed join+min-agg, with "
+    "localCheckpoint truncating lineage — the standard Spark CC shape "
+    "(large-star/small-star halves the rounds at 100 TB; the per-round "
+    "plan is identical). Oracle: recursive-CTE transitive closure, "
+    "viable only at oracle scale.",
+)
+def x02f_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
+    edges = edges.persist()
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Min-label propagation to fixpoint: label(v) <- min(label(v),
+    # min(label(u) for u~v)). Converges in <= diameter rounds; the loop is
+    # driver-side control flow only — every round is one shuffle join +
+    # one min-aggregate, fully distributed.
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -174,3 +174,81 @@ def s14d_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# R19: the reference's draw_icon router (weather.py:205-219) — a 7-way
+# if/elif on the icon class selecting a drawing routine. The dispatch table
+# below encodes, per icon, the routine name, the primary pen RGB it sets
+# first, and whether it composes on the cloud base shape (rain/snow/storm/
+# fog all call draw_cloud first — weather.py:163-196).
+ICON_DISPATCH: list[tuple[str, str, str, bool]] = [
+    ("sun", "draw_sun", "255,220,0", False),
+    ("cloud", "draw_cloud", "220,220,230", True),
+    ("rain", "draw_rain", "100,180,255", True),
+    ("snow", "draw_snow", "255,255,255", True),
+    ("storm", "draw_storm", "255,220,0", True),
+    ("fog", "draw_fog", "180,180,200", True),
+]
+_UNKNOWN_DISPATCH = ("draw_unknown", "255,255,255", False)
+
+
+def _r19_oracle() -> str:
+    from presto_weather_spark.functions.weather import code_sql, icon_case_sql
+
+    def case_over(idx: int, default, quote: bool = True) -> str:
+        fmt = (lambda v: f"'{v}'") if quote else (lambda v: str(v).upper())
+        whens = "\n         ".join(
+            f"WHEN icon = '{icon}' THEN {fmt((fn, rgb, base)[idx])}"
+            for icon, fn, rgb, base in ICON_DISPATCH
+        )
+        return f"CASE {whens} ELSE {fmt(default)} END"
+
+    u_fn, u_rgb, u_base = _UNKNOWN_DISPATCH
+    return f"""
+WITH coded AS (
+  SELECT event_id, {code_sql('event_id')} AS code FROM events
+),
+classified AS (
+  SELECT event_id, {icon_case_sql('code')} AS icon FROM coded
+)
+SELECT event_id, icon,
+       {case_over(0, u_fn)} AS routine,
+       {case_over(1, u_rgb)} AS pen_rgb,
+       {case_over(2, u_base, quote=False)} AS on_cloud_base
+FROM classified
+"""
+
+
+@register(
+    "r19_icon_dispatch",
+    oracle=_r19_oracle(),
+    doc="R19 parity: category dispatch — the reference's 7-way if/elif "
+    "icon router (/root/reference/weather.py:205-219) as a CASE selecting "
+    "the rendering routine plus its pen color and cloud-base flag. Pure "
+    "codegen CASE over the 6-row dispatch table; at any scale this is a "
+    "scan-local expression, zero shuffles.",
+)
+def r19_icon_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.functions.weather import code_expr, icon_case_expr
+
+    events = load_table(spark, sf_dir, "events")
+    coded = events.select(
+        "event_id", code_expr(F.col("event_id")).alias("code")
+    ).select("event_id", "code", icon_case_expr(F.col("code")).alias("icon"))
+
+    routine = None
+    pen = None
+    base = None
+    for icon, fn, rgb, has_base in ICON_DISPATCH:
+        cond = F.col("icon") == icon
+        routine = F.when(cond, fn) if routine is None else routine.when(cond, fn)
+        pen = F.when(cond, rgb) if pen is None else pen.when(cond, rgb)
+        base = F.when(cond, has_base) if base is None else base.when(cond, has_base)
+    u_fn, u_rgb, u_base = _UNKNOWN_DISPATCH
+    return coded.select(
+        "event_id",
+        "icon",
+        routine.otherwise(F.lit(u_fn)).alias("routine"),
+        pen.otherwise(F.lit(u_rgb)).alias("pen_rgb"),
+        base.otherwise(F.lit(u_base)).alias("on_cloud_base"),
+    )

@@ -820,3 +820,42 @@ def s04g_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("order_total"),
         )
     )
+
+
+N_SALTS = 16
+
+
+@register(
+    "s05h_salted_two_phase_agg",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    doc="S5 scale pattern: SALTED two-phase aggregation — phase 1 groups "
+    "on (user_id, salt) with salt = event_id % 16 so a hot key's rows "
+    "spread over 16 reducers; phase 2 merges the 16 partials per key. "
+    "Decimal partial sums are exact and associative, so the result is "
+    "bit-identical to the direct GROUP BY (the oracle). The fixture's "
+    "keys are uniform — this entry exists to pin the skew-mitigation "
+    "plan shape (two exchanges, both bounded) the 100 TB deployment "
+    "switches to when a key exceeds a reducer; Spark's own map-side "
+    "partial aggregation makes it redundant for COUNT/SUM, which is "
+    "exactly what the oracle equality proves.",
+)
+def s05h_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

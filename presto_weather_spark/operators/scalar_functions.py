@@ -476,3 +476,44 @@ def s15c_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         zscore, "event_id bigint, event_type string, zscore double"
     )
+
+
+@register(
+    "s15d_udtf_tokenize",
+    oracle="""
+SELECT doc_id, t.pos, t.token
+FROM documents,
+LATERAL (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS token,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> x <> ''), 1) AS pos
+) t
+WHERE doc_id < 300
+""",
+    doc="S15: Python UDTF (Spark 4 user-defined *table* function) — "
+    "tokenize(text) yields one (pos, token) row per whitespace token, "
+    "applied per document via a LATERAL correlated call. Completes the "
+    "UDF/UDAF/UDTF triple of SURVEY.md §2 S15. Row-expanding Python is "
+    "the slow path by design — the codegen equivalent is "
+    "posexplode(split(...)) (x04); this entry exists to prove the UDTF "
+    "surface, bounded to 300 docs.",
+)
+def s15d_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").lower().split()):
+                yield (i + 1, tok)
+
+    spark.udtf.register("pws_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("pws_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM pws_docs_udtf d, LATERAL pws_tokenize(d.text) t
+        WHERE d.doc_id < 300
+        """
+    )

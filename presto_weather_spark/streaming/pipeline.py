@@ -264,3 +264,56 @@ def s14e_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "update")
+
+
+SLIDE_SECONDS = WINDOW_SECONDS // 2  # 6h windows sliding every 3h
+
+
+@register(
+    "s14f_stream_sliding_counts",
+    oracle=f"""
+WITH shifts AS (SELECT unnest([0, 1]) AS shift),
+slid AS (
+  SELECT (CAST(floor(epoch(ts) / {SLIDE_SECONDS}) AS BIGINT) - shift)
+           * {SLIDE_SECONDS} AS wstart,
+         event_type, value
+  FROM events CROSS JOIN shifts
+)
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + wstart * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM slid
+GROUP BY 1, 2
+""",
+    doc="S14: event-time SLIDING-window aggregation (6 h windows every 3 h) "
+    "with watermark — each event lands in window/slide = 2 overlapping "
+    "windows. Oracle replays Spark's epoch-aligned window assignment: with "
+    "W = 2S, an event at t belongs to starts (floor(t/S)-k)*S for k in "
+    "{0,1}. Completes the tumbling/sliding/session window triple of "
+    "SURVEY.md §2 S14. Scale: state is bounded by watermark x overlap "
+    "factor; the shuffle key is (window, event_type).",
+)
+def s14f_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window(
+                "ts", f"{WINDOW_SECONDS} seconds", f"{SLIDE_SECONDS} seconds"
+            ).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
