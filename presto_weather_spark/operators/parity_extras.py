@@ -252,3 +252,63 @@ def r19_icon_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         pen.otherwise(F.lit(u_rgb)).alias("pen_rgb"),
         base.otherwise(F.lit(u_base)).alias("on_cloud_base"),
     )
+
+
+@register(
+    "s01b_csv_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderkey < 5000
+""",
+    doc="S1/S2: CSV source + sink — project a slice of orders, write it as "
+    "headered CSV, read it back with an explicit schema (no inference "
+    "scan) and return the re-read frame. Doubles survive because Spark "
+    "writes the shortest round-trippable decimal form. At scale CSV is "
+    "the interchange-only path — splittable but schema-less and "
+    "row-parsed; parquet stays the storage format (s02).",
+)
+def s01b_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_csv_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    o.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).option("header", True).csv(out)
+
+
+@register(
+    "s02b_partitioned_write_pruning",
+    oracle="""
+SELECT event_id, user_id, round(value, 6) AS value, event_type
+FROM events
+WHERE event_type IN ('click', 'purchase')
+""",
+    doc="S2/S3: hive-partitioned parquet sink + partition-pruned read — "
+    "events written partitionBy(event_type); the read-back filter on the "
+    "partition column prunes directories before any IO (PartitionFilters "
+    "in the scan node, vs PushedFilters for row groups). At 100 TB this "
+    "is THE layout lever: a pruned partition costs zero bytes read.",
+)
+def s02b_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value"), "event_type"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_part_write",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "value", "event_type"
+    )

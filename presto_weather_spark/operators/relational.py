@@ -859,3 +859,63 @@ def s05h_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "s06c_window_ntile_distribution",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="S6: distribution window functions — ntile quartiles, "
+    "percent_rank, cume_dist per priority class. The (o_totalprice, "
+    "o_orderkey) ordering is a total order, so tile edges are "
+    "deterministic. One shuffle on the partition key; each partition "
+    "sorts locally — the same single-exchange shape as s06.",
+)
+def s06c_window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "s05i_grouping_sets",
+    oracle="""
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+""",
+    doc="S5: explicit GROUPING SETS — the non-hierarchical combination "
+    "((a,b),(a),(b)) that neither rollup (s05b) nor cube (s05c) "
+    "expresses. Catalyst expands rows once per set before the single "
+    "shuffle, so cost scales with set count x groups, not input size.",
+)
+def s05i_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pws_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM pws_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """
+    )

@@ -243,3 +243,46 @@ def x11_document_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(window_hashes).alias("winnow_fingerprint"),
         n.alias("n_tokens"),
     )
+
+
+@register(
+    "x07_train_test_split",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4)) AS INT) % 10 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'valid'
+            ELSE 'test' END AS split
+FROM hashed
+""",
+    doc="X7: deterministic content-hash train/valid/test split (80/10/10) "
+    "— bucket = first 16 bits of md5(doc_id:text) mod 10. Hash-based "
+    "assignment is the training-pipeline standard: stable under "
+    "re-partitioning, re-runs, and corpus growth (a doc never migrates "
+    "between splits), unlike sample()/randomSplit whose output depends "
+    "on partitioning. Pure codegen expression — scan-local at any scale; "
+    "md5 chosen because both engines define it identically (oracle "
+    "proves exact parity).",
+)
+def x07_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

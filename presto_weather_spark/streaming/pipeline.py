@@ -317,3 +317,61 @@ def s14f_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "s14g_stream_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+    doc="S14: watermarked STREAM-STREAM inner join — clicks joined to the "
+    "same user's purchases within 1 h, both sides watermarked so the "
+    "state store evicts rows once the event-time horizon passes (the "
+    "time-range predicate bounds state; without it stream-stream state "
+    "grows forever). availableNow = one micro-batch, so the result "
+    "equals the batch self-join oracle. Scale: state is per-user rows "
+    "within the 1 h + watermark horizon only; the join shuffles both "
+    "streams on user_id once.",
+)
+def s14g_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1000000)
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+    return _run_to_memory(joined, "append")
