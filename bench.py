@@ -42,15 +42,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Median of 3 runs per query (BASELINE.md protocol) — single runs swing
-    # up to ~15% with JVM GC pauses and page-cache state.
+    # Per-query warm-up + median of 3 timed runs (BASELINE.md protocol).
+    # The warm-up run is discarded: a query's own generated code JIT-compiles
+    # during its first execution(s) — compute-heavy codegen (e.g. the
+    # 16-column min-hash aggregate) runs interpreted until C2 kicks in,
+    # swinging first-run times up to ~7x over steady state.
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
         runs = []
-        for _ in range(3):
+        for i in range(4):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            if i > 0:  # run 0 is the per-query warm-up
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)

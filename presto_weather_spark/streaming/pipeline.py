@@ -51,19 +51,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_nanos(spark.readStream.schema(schema).parquet(stage))
 
 
+STREAM_STATE_PARTITIONS = "8"  # state stores per stateful operator in tests
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Drive a streaming frame to completion (availableNow) into a memory
-    sink; return the sink contents as a batch DataFrame."""
+    sink; return the sink contents as a batch DataFrame.
+
+    Stateful operators allocate one state store per shuffle partition, each
+    with per-batch checkpoint commit IO — at test scale that fixed cost
+    dominates (a stream-stream join carries two stateful operators: 32
+    partitions cost ~8 s, 8 cost ~2 s). The partition count is pinned low
+    for the harness and restored after start; a production deployment sizes
+    it to state volume / executor count instead (it is baked into the
+    checkpoint at first start, exactly like this)."""
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # micro-batches plan async — restore only after
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(
