@@ -1,0 +1,76 @@
+"""Plan-shape regression tests — the scale claims in SCALE.md, asserted.
+
+Correctness tests prove the numbers; these prove the *plan* is the one that
+survives a 100 TB scale-up: filters reach the parquet scan, column pruning
+reaches ReadSchema, small dims broadcast, top-k plans TakeOrderedAndProject
+(never a global sort), and partition-column predicates prune directories
+instead of reading rows.
+"""
+
+from __future__ import annotations
+
+from presto_weather_spark.plans.explain import (
+    count_codegen_stages,
+    formatted_plan,
+    has_broadcast_join,
+    simple_plan,
+)
+from presto_weather_spark.registry import all_queries
+
+QS = all_queries()
+
+
+def _df(name, spark, sf_dir):
+    return QS[name].fn(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(_df("s03_filter_predicates", spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("[]" not in l for l in pushed), pushed
+
+
+def test_column_pruning_reaches_readschema(spark, sf_dir):
+    plan = formatted_plan(_df("s03_filter_predicates", spark, sf_dir))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas
+    # lineitem has 16 columns incl. l_comment; the query needs a handful —
+    # a scan that still reads l_comment would ship ~40% dead bytes.
+    assert all("l_comment" not in l for l in schemas), schemas
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    assert has_broadcast_join(_df("s04_star_join_revenue", spark, sf_dir))
+
+
+def test_dim_lookup_broadcasts(spark, sf_dir):
+    assert has_broadcast_join(_df("r07_code_to_text_dim_join", spark, sf_dir))
+
+
+def test_global_topk_avoids_global_sort(spark, sf_dir):
+    plan = simple_plan(_df("s07_global_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
+def test_partitioned_read_prunes_not_filters(spark, sf_dir):
+    df = _df("s02b_partitioned_write_pruning", spark, sf_dir)
+    scan_lines = [
+        l for l in simple_plan(df).splitlines() if "FileScan parquet" in l
+    ]
+    assert scan_lines
+    line = scan_lines[0]
+    # The event_type predicate must be a directory-level PartitionFilter;
+    # DataFilters stays empty (no row ever evaluated against it).
+    assert "DataFilters: []" in line, line
+    assert "PartitionFilters" in line and "event_type" in line.split(
+        "PartitionFilters"
+    )[1], line
+
+
+def test_hot_paths_are_codegen(spark, sf_dir):
+    # AQE hides codegen wrappers until stage materialization, so the helper
+    # re-plans with AQE off; >=1 subtree means the scan→agg hot path is
+    # compiled, not interpreted.
+    for name in ("x04_term_frequencies", "s05_agg_pricing_summary"):
+        n = count_codegen_stages(spark, lambda: _df(name, spark, sf_dir))
+        assert n >= 1, name
