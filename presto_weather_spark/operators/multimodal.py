@@ -235,3 +235,80 @@ def x05c_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media.select("doc_id", "payload")).select(
         "doc_id", "frame_idx", "frame_offset"
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, orig_w int, orig_h int, "
+    "out_w int, out_h int, out_bytes int"
+)
+RESIZE_TARGET = 64  # longest-edge pixels after resize
+
+
+def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """mapInPandas resize stage — batch-local, shuffle-free.
+
+    STUB geometry decode (codecs absent in this container): the synthetic
+    header's dimensions derive from payload length; a real deployment swaps
+    the two marked lines for PIL's ``Image.open(...).size`` / ``thumbnail``
+    with the identical schema and batch shape. The aspect-preserving
+    longest-edge-to-``target`` arithmetic is the real production logic.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["n_bytes"].astype("int64")
+            w = (n % 640 + 16).astype("int64")  # STUB: real decode reads header
+            h = (n // 7 % 480 + 16).astype("int64")  # STUB
+            scale = target / pd.concat([w, h], axis=1).max(axis=1)
+            out_w = (w * scale).astype("int64").clip(lower=1)
+            out_h = (h * scale).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_w": w,
+                    "orig_h": h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+@register(
+    "x05d_media_resize",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, media_type,
+         n_bytes % 640 + 16 AS w,
+         (n_bytes // 7) % 480 + 16 AS h
+  FROM media WHERE media_type = 'image/png'
+)
+SELECT doc_id, media_type,
+       CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
+       CAST(greatest(CAST(floor(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_w,
+       CAST(greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_h,
+       CAST(greatest(CAST(floor(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1)
+            * greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) * 3 AS INT) AS out_bytes
+FROM dims
+""",
+    doc="X5: image resize stage — aspect-preserving longest-edge-to-64 "
+    "thumbnailing over the binary media column via mapInPandas (decode "
+    "stubbed as in x05b/x05c; geometry arithmetic and Arrow plumbing "
+    "real, oracle-proved). Resize is the canonical pre-training image "
+    "normalization: batch-local and shuffle-free, so 100 TB of media "
+    "streams through at scan parallelism with no exchange.",
+)
+def x05d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image/png")
+    return resize_media(media.select("doc_id", "media_type", "n_bytes"))

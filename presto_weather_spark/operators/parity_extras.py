@@ -312,3 +312,61 @@ def s02b_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     return back.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id", "user_id", "value", "event_type"
     )
+
+
+@register(
+    "r13_error_absorbing_parse",
+    oracle="""
+WITH payloads(station_id, body) AS (
+  VALUES (1, '{"current": {"temperature_2m": 13.4, "weather_code": 3}}'),
+         (2, '{"current": {"temperature_2m": -2.0, "weather_code": 71}}'),
+         (3, '{broken json'),
+         (4, ''),
+         (5, '{"current": {"weather_code": 95}}')
+)
+, parsed AS (
+  SELECT station_id,
+         CASE WHEN json_valid(body) THEN body END AS jbody
+  FROM payloads
+)
+SELECT station_id,
+       COALESCE(printf('%.0f', CAST(json_extract(jbody, '$.current.temperature_2m') AS DOUBLE)), '--') AS temp_display,
+       CAST(CAST(json_extract(jbody, '$.current.weather_code') AS DOUBLE) AS INT) AS weather_code,
+       json_extract(jbody, '$.current') IS NULL AS is_error
+FROM parsed
+""",
+    doc="R13: error-absorbing parse — the reference's per-tick try/except "
+    "(/root/reference/weather.py:325-331: any failure renders an error "
+    "record, never crashes the loop) as a set operation: PERMISSIVE "
+    "from_json turns corrupt payloads into NULL rows, the null-fallback "
+    "projection (R12, weather.py:264-265) renders '--', and is_error "
+    "routes bad records — per-ROW tolerance, so one poison record in "
+    "100 TB cannot fail a job (the scale analogue of mode=PERMISSIVE + "
+    "_corrupt_record on file sources).",
+)
+def r13_error_absorbing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        (1, '{"current": {"temperature_2m": 13.4, "weather_code": 3}}'),
+        (2, '{"current": {"temperature_2m": -2.0, "weather_code": 71}}'),
+        (3, "{broken json"),
+        (4, ""),
+        (5, '{"current": {"weather_code": 95}}'),
+    ]
+    df = spark.createDataFrame(rows, "station_id int, body string")
+    parsed = F.from_json(  # PERMISSIVE (default): corrupt input -> NULL struct
+        F.col("body"),
+        "struct<current: struct<temperature_2m: double, weather_code: double>>",
+    )
+    temp = parsed["current"]["temperature_2m"]
+    # from_json (PERMISSIVE) yields an all-NULL struct for malformed input,
+    # so "record absent" is `current IS NULL`, not `parsed IS NULL`; and
+    # format_string does not NULL-propagate, so the R12 fallback must be an
+    # explicit null test rather than coalesce.
+    return df.select(
+        "station_id",
+        F.when(temp.isNull(), "--")
+        .otherwise(F.format_string("%.0f", temp))
+        .alias("temp_display"),
+        parsed["current"]["weather_code"].cast("int").alias("weather_code"),
+        parsed["current"].isNull().alias("is_error"),
+    )

@@ -919,3 +919,151 @@ def s05i_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), (o_orderstatus))
         """
     )
+
+
+@register(
+    "s06d_window_first_last",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       first_value(l_quantity) OVER w AS first_qty,
+       last_value(l_quantity) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                             l_quantity, l_extendedprice
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_qty,
+       nth_value(l_quantity, 2) OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                               l_quantity, l_extendedprice
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS second_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey,
+                      l_quantity, l_extendedprice)
+""",
+    doc="S6: first_value/last_value/nth_value navigation — last/nth need the "
+    "explicit full frame (the default frame stops at CURRENT ROW, where "
+    "last_value degenerates to the current row). Ordering uses the full "
+    "composite key because (l_orderkey, l_linenumber) is NOT unique in "
+    "the test data. One shuffle on l_orderkey, same profile as s06.",
+)
+def s06d_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(full).alias("last_qty"),
+        F.nth_value("l_quantity", 2).over(full).alias("second_qty"),
+    )
+
+
+@register(
+    "s03c_exists_subqueries",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 50000)
+""",
+    doc="S3: correlated EXISTS / NOT EXISTS through the SQL front-end — "
+    "Catalyst de-correlates both into a left-semi and a left-anti hash "
+    "join on o_custkey (no per-row re-execution, unlike a naive nested "
+    "loop); the same de-correlation is what makes these safe at 100 TB.",
+)
+def s03c_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("pws_cust_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pws_ord_ex")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM pws_cust_ex c
+        WHERE EXISTS (SELECT 1 FROM pws_ord_ex o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM pws_ord_ex o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 50000)
+        """
+    )
+
+
+@register(
+    "s05j_string_agg",
+    oracle="""
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       string_agg(DISTINCT CAST(year(l_shipdate) AS VARCHAR), '|'
+                  ORDER BY CAST(year(l_shipdate) AS VARCHAR)) AS ship_years,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="S5: ordered string aggregation (array_agg/string_agg family) — "
+    "collect_set is partial-aggregated map-side, then sorted ONCE per "
+    "group before join to a display string; sorting inside the agg (not "
+    "relying on input order) is what makes the output deterministic "
+    "under any partitioning, which the oracle match proves.",
+)
+def s05j_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.concat_ws(
+            "|", F.array_sort(F.collect_set(F.year("l_shipdate").cast("string")))
+        ).alias("ship_years"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "s17_merge_upsert_latest",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type,
+       value AS last_value, event_id AS last_event_id
+FROM ranked WHERE rn = 1
+""",
+    doc="S17: CDC merge/upsert — a base snapshot (latest state per user_id "
+    "from the older half of the log) merged with a delta (newer half) by "
+    "unionByName + keyed row_number, the engine-agnostic MERGE INTO "
+    "pattern for parquet lakes without a table format. The oracle "
+    "(latest event per key over the whole log) proves snapshot+delta "
+    "merge == full recompute. At scale the base is already deduped, so "
+    "the window only re-ranks base_keys + delta rows, not full history; "
+    "partitioning both sides by user_id makes the merge shuffle-free.",
+)
+def s17_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "value", "event_id", "ts"]
+    cutoff = e.select(F.expr("percentile(CAST(event_id AS DOUBLE), 0.5)").alias("c"))
+    tagged = e.select(*cols).join(F.broadcast(cutoff))
+    base_log = tagged.filter(F.col("event_id") <= F.col("c")).drop("c")
+    delta = tagged.filter(F.col("event_id") > F.col("c")).drop("c")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base_snapshot = (
+        base_log.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    merged = base_snapshot.unionByName(delta)
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )

@@ -286,3 +286,106 @@ def x07_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "x12_stratified_sample",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 4)) AS INT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang
+FROM hashed
+WHERE bucket < (CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 90 END)
+""",
+    doc="X12: deterministic stratified downsampling — per-language keep "
+    "rates (en 20%, de 50%, rest 90%), the standard rebalancing move for "
+    "training corpora dominated by one language. Membership = content "
+    "hash bucket < per-stratum rate: scan-local (no shuffle, no state), "
+    "reproducible under re-partitioning and corpus growth, and "
+    "incremental (new docs never flip old membership) — everything "
+    "sample()/randomSplit can't guarantee. Same md5-bucket primitive as "
+    "x07, oracle-proved bit-identical in both engines.",
+)
+def x12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("strat"), F.col("doc_id"), F.col("text"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(90)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "x13_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       ROUND((MAX(ts_us) - MIN(ts_us)) / 1000000.0, 3) AS duration_s
+FROM sessions
+GROUP BY user_id, session_idx
+""",
+    doc="X13: batch gap-sessionization — a new session starts after a "
+    ">30-min silence; session id is the running sum of new-session flags "
+    "(lag + cumulative sum, two window passes over ONE shuffle on "
+    "user_id, since both windows share the partitioning). The batch twin "
+    "of the streaming session_window (s14d). At 100 TB this is the "
+    "canonical one-shuffle sessionization: all window work is "
+    "partition-local after the single exchange on the session key.",
+)
+def x13_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(ts_us).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(prev.isNull() | ((ts_us - prev) > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(wsum).cast("int")
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.round((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0, 3).alias("duration_s"),
+    )
