@@ -1076,3 +1076,62 @@ def s17_merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
         )
     )
+
+
+@register(
+    "s05k_unpivot",
+    oracle="""
+SELECT o_orderstatus, 'avg_price' AS measure, ROUND(AVG(o_totalprice), 4) AS val
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderstatus, 'max_price', ROUND(MAX(o_totalprice), 4)
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderstatus, 'n_orders', CAST(COUNT(*) AS DOUBLE)
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="S5: UNPIVOT (wide-to-long) — the inverse of s05g's pivot: one "
+    "aggregate row per group melts into (measure, val) rows via the "
+    "native unpivot operator (Catalyst Expand: one pass, no self-union; "
+    "the UNION ALL oracle shows the semantics, but re-scans per "
+    "measure — exactly what unpivot avoids at scale).",
+)
+def s05k_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["avg_price", "max_price", "n_orders"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "x14_hll_sketch_union",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only check
+    doc="X14: mergeable HyperLogLog sketches (Datasketches HLL) — per-"
+    "(lang, source) user... doc-cardinality sketches built with "
+    "hll_sketch_agg, then rolled up to per-lang totals by "
+    "hll_union_agg WITHOUT rescanning the base data. This is the "
+    "100 TB cardinality pattern: sketches are tiny, associative, and "
+    "union-able across partitions/days, so daily sketches roll into "
+    "monthly/all-time counts in milliseconds (exact distinct would "
+    "re-shuffle the full corpus per rollup). Estimates are "
+    "engine-specific: rows-only check; determinism pytest-covered via "
+    "s05e precedent.",
+)
+def x14_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_src.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
