@@ -421,3 +421,72 @@ def x03d_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@register(
+    "x15_kmeans_embeddings",
+    oracle=None,  # iterative algorithm (explicitly non-SQL-expressible);
+    # convergence/determinism pytest-covered in tests/test_ann_recall.py
+    doc="X15: k-means over the embedding corpus — Lloyd's iterations as "
+    "driver-side control flow over distributed jobs. Per iteration: "
+    "(1) assignment — posexploded components broadcast-join the k x dim "
+    "centroid table on idx, then ONE codegen hash-aggregate computes "
+    "all k squared distances per vector (sum((x-c)^2) grouped by "
+    "(vec_id, cluster)) and a windowed argmin picks the cluster; "
+    "(2) update — per-(cluster, idx) avg; centroids (k x dim doubles) "
+    "collect to the driver and re-broadcast, so lineage stays one "
+    "iteration deep (no checkpoint needed) and the per-round plan is "
+    "scan + broadcast join + two hash aggregates. This is exactly how "
+    "k-means scales to 10^9 vectors: the only driver-sized state is the "
+    "centroid table. Init is deterministic (first k vectors by vec_id); "
+    "components round to 9 dp at each collect so re-runs are stable "
+    "despite float partial-sum ordering.",
+)
+def x15_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode(_dbl("embedding")).alias("idx", "x")
+    )
+
+    init = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", _dbl("embedding").alias("v"))
+        .collect()
+    )
+    centroids = {int(r["vec_id"]): list(r["v"]) for r in init}
+
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        cent_rows = [
+            (c, i, float(x))
+            for c, vec in sorted(centroids.items())
+            for i, x in enumerate(vec)
+        ]
+        cent_df = spark.createDataFrame(cent_rows, "cluster int, idx int, c double")
+        d2 = (
+            comps.join(F.broadcast(cent_df), "idx")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        )
+        new_cent = (
+            assign.join(comps, "vec_id")
+            .groupBy("cluster", "idx")
+            .agg(F.round(F.avg("x"), 9).alias("c"))
+            .collect()
+        )
+        centroids = {}
+        for r in new_cent:
+            centroids.setdefault(int(r["cluster"]), [0.0] * 64)[int(r["idx"])] = float(r["c"])
+
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+    )

@@ -46,3 +46,17 @@ def test_ann_results_subset_of_corpus_and_ranked(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1)), query_id
         sims = [r["cosine_sim"] for r in sorted(group, key=lambda r: r["nn_rank"])]
         assert sims == sorted(sims, reverse=True), query_id
+
+
+def test_kmeans_partitions_corpus_deterministically(spark, sf_dir):
+    from presto_weather_spark.operators.similarity import KMEANS_K
+
+    first = {r["cluster"]: (r["n_members"], r["avg_dist"])
+             for r in QS["x15_kmeans_embeddings"].fn(spark, sf_dir).collect()}
+    n_vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(n for n, _ in first.values()) == n_vectors  # every vector assigned once
+    assert 1 <= len(first) <= KMEANS_K
+    assert all(d >= 0 for _, d in first.values())
+    second = {r["cluster"]: (r["n_members"], r["avg_dist"])
+              for r in QS["x15_kmeans_embeddings"].fn(spark, sf_dir).collect()}
+    assert first == second  # centroid rounding makes re-runs bit-stable
