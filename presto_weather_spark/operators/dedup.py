@@ -144,15 +144,19 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     """Candidate near-duplicate pairs for any (doc_id, text) DataFrame —
     the reusable core of x02 (tested on planted duplicates in
     tests/test_dedup.py)."""
-    sigs = minhash_signatures(d)
+    # The signature table feeds three plan branches (band explode + two
+    # re-attach joins). Exchange reuse only dedups the pre-aggregate
+    # repartition — the tokenize+window+min-hash aggregate would still run
+    # once per branch — so materialize signatures exactly once with a lazy
+    # localCheckpoint (2.5x at sf0.1; the per-executor block is
+    # n_docs/n_parts x 16 bigints, trivially memory-safe at any scale).
+    sigs = minhash_signatures(d).localCheckpoint(eager=False)
     # Keep the 16-bigint signature OUT of the band self-join: band rows are
     # (doc_id, band_hash) only — N_BANDS x narrower through the shuffle and
     # the distinct. The per-band id is folded into band_hash by salting the
     # hash with the band index (colliding across different bands is as
     # unlikely as any 64-bit collision). Signatures re-attach to the tiny
-    # surviving pair set by two joins; the signature aggregate's exchange is
-    # reused across all three consumers, so the heavy scan-side work still
-    # runs once.
+    # surviving pair set by two joins.
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -1135,3 +1135,65 @@ def x14_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+@register(
+    "s18_returned_items_report",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       ROUND(c.c_acctbal, 2) AS acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="S18: TPC-H-Q10-shaped returned-item report — the composite plan: "
+    "selective scan filters pushed to both fact scans (returnflag on "
+    "lineitem, date range on orders), one fact-fact shuffle join "
+    "(lineitem x orders), broadcast dims (customer at this SF ratio via "
+    "AQE; nation always), hash aggregate on custkey, then global top-20 "
+    "planned as TakeOrderedAndProject (per-partition heaps, never a "
+    "full sort). The judged composite of s03+s04+s05+s07 in one plan.",
+)
+def s18_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li_f = li.filter(F.col("l_returnflag") == "R")
+    joined = (
+        li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
+        .join(c, o_f.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name", "c_acctbal").agg(
+        F.sum(dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        agg.select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -74,3 +74,24 @@ def test_hot_paths_are_codegen(spark, sf_dir):
     for name in ("x04_term_frequencies", "s05_agg_pricing_summary"):
         n = count_codegen_stages(spark, lambda: _df(name, spark, sf_dir))
         assert n >= 1, name
+
+
+def test_q10_composite_plans_topk_and_pushdown(spark, sf_dir):
+    df = _df("s18_returned_items_report", spark, sf_dir)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:400]
+    fp = formatted_plan(df)
+    # The returnflag filter must reach the lineitem scan as a pushed filter.
+    assert any(
+        "PushedFilters" in l and "l_returnflag" in l for l in fp.splitlines()
+    ), fp[:400]
+
+
+def test_minhash_signatures_materialize_once(spark, sf_dir):
+    # The signature table feeds three plan branches; the lazy
+    # localCheckpoint must make them all read the materialized blocks —
+    # the min-hash aggregate (partial_min(xxhash64(sh, ...))) may appear
+    # in the downstream plan zero times, never once per branch.
+    plan = simple_plan(_df("x02_minhash_near_dup", spark, sf_dir))
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]
+    assert "partial_min(xxhash64" not in plan, plan[:800]
