@@ -392,3 +392,11 @@ def s14g_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_seconds"),
     )
     return _run_to_memory(joined, "append")
+
+
+# NOTE: a transformWithStateInPandas (Spark 4 typed-state API) twin of
+# s14e was attempted and reverted: the API's driver worker needs a working
+# google.protobuf, which this container lacks (STREAMING_PYTHON_RUNNER_
+# INITIALIZATION_FAILURE). s14e's applyInPandasWithState covers the custom
+# stateful operator surface; migrate to transformWithState where protobuf
+# is available (typed value/list/map state, timers, TTL).
