@@ -448,9 +448,12 @@ KMEANS_ITERS = 3
 )
 def x15_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # The exploded component table is read twice per iteration (assignment
+    # + centroid update) across every iteration — materialize it once
+    # instead of re-running scan+explode 2*ITERS times.
     comps = emb.select(
         "vec_id", F.posexplode(_dbl("embedding")).alias("idx", "x")
-    )
+    ).localCheckpoint(eager=False)
 
     init = (
         emb.filter(F.col("vec_id") < KMEANS_K)

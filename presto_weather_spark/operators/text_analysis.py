@@ -402,3 +402,101 @@ def x13_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.round((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0, 3).alias("duration_s"),
     )
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+@register(
+    "x16_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567.' AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones
+FROM seeded
+""",
+    doc="X16: PII scrubbing — email/phone regex redaction plus per-doc "
+    "match counts (the audit trail). Deterministic synthetic PII is "
+    "seeded into each doc so the redaction paths actually execute "
+    "(fixture text contains none). Pure regexp expressions: scan-local, "
+    "no shuffle, trivially parallel at 100 TB; the oracle proves both "
+    "engines' regex dialects agree on these patterns.",
+)
+def x16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567."),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(seeded, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+@register(
+    "x17_repetition_filter",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter({_SQL_TOKENS}, t -> t <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(CAST(len(t) AS INT) - 1, 0) + 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id,
+       round(CAST(mx AS DOUBLE) / tot, 6) AS top_bigram_ratio,
+       CASE WHEN CAST(mx AS DOUBLE) / tot > 0.2 THEN 'drop' ELSE 'keep' END
+           AS repetition_gate
+FROM agg
+""",
+    doc="X17: repetition filter (Gopher-style quality rule) — fraction of "
+    "all bigrams taken by the single most frequent bigram; docs above "
+    "0.2 are boilerplate/spam-like and dropped from training corpora. "
+    "Bigrams come from the same codegen lead()-window shape as the "
+    "MinHash shingles (no string-array materialization); two hash "
+    "aggregates, one shuffle on doc_id that the window already needs.",
+)
+def x17_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    th = d.select(
+        "doc_id",
+        F.posexplode(F.filter(_tokens(), lambda t: t != "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok").over(w)
+    bigrams = th.select(
+        "doc_id", F.concat_ws(" ", F.col("tok"), nxt).alias("bg"), nxt.alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    cnt = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    ratio = F.col("mx").cast("double") / F.col("tot")
+    return agg.select(
+        "doc_id",
+        F.round(ratio, 6).alias("top_bigram_ratio"),
+        F.when(ratio > 0.2, "drop").otherwise("keep").alias("repetition_gate"),
+    )
