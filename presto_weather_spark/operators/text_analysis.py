@@ -500,3 +500,68 @@ def x17_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("top_bigram_ratio"),
         F.when(ratio > 0.2, "drop").otherwise("keep").alias("repetition_gate"),
     )
+
+
+DECON_NGRAM = 4  # n-gram width: real pipelines use 8-13; the synthetic
+# corpus's vocabulary only produces cross-doc collisions at 4-grams, and a
+# 0-hit result would make the oracle check vacuous
+DECON_EVAL_MOD = 97  # doc_id % 97 == 0 designates the synthetic eval set
+
+
+@register(
+    "x18_decontamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(CAST(len(t) AS INT) - {DECON_NGRAM - 1}, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + {DECON_NGRAM - 1}), ' ')))) AS gram
+  FROM toks WHERE len(t) >= {DECON_NGRAM}
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+train AS (SELECT doc_id, gram FROM grams WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT train.doc_id,
+       CAST(COUNT(DISTINCT train.gram) AS BIGINT) AS n_shared_ngrams
+FROM train JOIN eval_grams ON train.gram = eval_grams.gram
+GROUP BY train.doc_id
+""",
+    doc="X18: benchmark decontamination — flag training docs sharing any "
+    f"{DECON_NGRAM}-gram with a held-out eval set (the standard "
+    "n-gram-overlap contamination rule). Eval grams are DISTINCT and "
+    "small relative to the corpus -> broadcast onto the train side, so "
+    "the contamination scan is one broadcast hash join at scan "
+    "parallelism — no shuffle of the training corpus; only the per-doc "
+    "count aggregates (one shuffle on doc_id). Gram identity uses the "
+    "token strings (not hashes) so the oracle is exact in both engines; "
+    "at 100 TB swap the join key for xxhash64(gram) to shrink state "
+    "with identical plan shape.",
+)
+def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    th = d.select(
+        "doc_id",
+        F.posexplode(F.filter(_tokens(), lambda t: t != "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, DECON_NGRAM)]
+    grams = (
+        th.select("doc_id", F.concat_ws(" ", *parts).alias("gram"), parts[-1].alias("tail"))
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_ngrams"))
+    )
