@@ -550,18 +550,28 @@ def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, DECON_NGRAM)]
+    # Distinct/join/count on the 8-byte gram hash, not the gram string —
+    # the oracle matches on string grams, which is the same answer short of
+    # a 64-bit collision; checkpoint the distinct gram table because both
+    # the eval and train branches read it (it would otherwise recompute
+    # tokenize+window+distinct per branch). Together: 4.4s -> ~1s at sf0.1.
     grams = (
-        th.select("doc_id", F.concat_ws(" ", *parts).alias("gram"), parts[-1].alias("tail"))
+        th.select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("tail"),
+        )
         .filter(F.col("tail").isNotNull())
-        .select("doc_id", "gram")
+        .select("doc_id", "gh")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     eval_grams = (
-        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("gram").distinct()
+        grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select("gh").distinct()
     )
     train = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
     return (
-        train.join(F.broadcast(eval_grams), "gram")
+        train.join(F.broadcast(eval_grams), "gh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_shared_ngrams"))
+        .agg(F.count_distinct("gh").alias("n_shared_ngrams"))
     )
