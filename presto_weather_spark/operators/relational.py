@@ -1197,3 +1197,44 @@ def s18_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "s06e_range_interval_window",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_30d_spend,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                           RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+           AS trailing_30d_orders
+FROM orders
+""",
+    doc="S6: RANGE frame over event time — per-customer trailing-30-day "
+    "spend/order-count, the moving-window pattern ROWS frames (s06b) "
+    "cannot express (the frame is value-bounded, so ties and gaps in "
+    "order dates are handled by time distance, not row position). Spark "
+    "ranges over epoch seconds == DuckDB's INTERVAL range, oracle-"
+    "proved. Same one-shuffle-per-partition-key profile as s06; at "
+    "100 TB the sort within each customer partition is the only cost "
+    "beyond the exchange.",
+)
+def s06e_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.sum(dec(F.col("o_totalprice"))).over(w).cast("double").alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
