@@ -394,3 +394,61 @@ def x02f_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# X19 — cross-document chunk dedup (CCNet/C4-style duplicated-span profile)
+# ---------------------------------------------------------------------------
+
+CHUNK_LEN = 16  # characters per chunk (aligned, non-overlapping)
+
+
+@register(
+    "x19_chunk_dedup",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, md5(substr(text, CAST(s AS INT), {CHUNK_LEN})) AS h
+  FROM documents,
+       unnest(generate_series(1, greatest(len(text), 1), {CHUNK_LEN})) AS t(s)
+),
+freq AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h
+)
+SELECT ch.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (freq.n_docs > 1) AS BIGINT) AS dup_chunks,
+       round(count(*) FILTER (freq.n_docs > 1) * 1.0 / count(*), 4) AS dup_ratio
+FROM ch JOIN freq USING (h)
+GROUP BY ch.doc_id
+""",
+    doc="X19: cross-document duplicated-span profile (the CCNet/C4 "
+    "paragraph-dedup shape, adapted to aligned 16-char chunks because the "
+    "corpus has no newlines): chunk each document, hash chunks with md5 "
+    "(identical in Spark and DuckDB, so fully oracle-checkable), count "
+    "distinct docs per chunk, and report per-doc duplicated-chunk ratio. "
+    "Scale: the chunk table is |corpus|/16 rows built scan-side (explode, "
+    "no shuffle); then one shuffle to count docs per hash and one to "
+    "re-aggregate per doc — both on high-cardinality keys, no skew. At "
+    "100 TB you would drop the join-back and instead anti-join docs whose "
+    "ratio exceeds a threshold (same two-shuffle profile).",
+)
+def x19_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # single-row-group fixture scan -> fan the chunking out across cores
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_LEN))
+    ch = d.select("doc_id", "text", F.explode(starts).alias("s")).select(
+        "doc_id",
+        F.md5(F.col("text").substr(F.col("s"), F.lit(CHUNK_LEN))).alias("h"),
+    )
+    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("dup_chunks"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
+        )
+    )

@@ -1238,3 +1238,50 @@ def s06e_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("o_totalprice"))).over(w).cast("double").alias("trailing_30d_spend"),
         F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S5l — statistical aggregates (median / stddev / corr / regression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s05l_stat_aggregates",
+    oracle="""
+SELECT l_returnflag,
+       round(median(CAST(l_quantity AS DOUBLE)), 4) AS qty_median,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS qty_var,
+       round(corr(l_extendedprice, CAST(l_quantity AS DOUBLE)), 6) AS price_qty_corr,
+       round(covar_samp(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4) AS price_qty_covar,
+       round(regr_slope(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4) AS slope,
+       round(regr_intercept(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="S5: statistical aggregate suite — exact median, sample "
+    "stddev/variance, correlation, covariance, and linear-regression "
+    "slope/intercept per group; Spark and DuckDB both use numerically "
+    "stable merge formulas, reconciled by fixed-scale rounding. Scale: "
+    "all but median are constant-state mergeable aggregates (one "
+    "map-side-combined shuffle); exact median buffers per group — at "
+    "100 TB swap to approx_percentile(0.5) (t-digest, mergeable).",
+)
+def s05l_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # exact median buffers group values in the partial phase; spread the
+    # single-row-group scan so the buffering parallelizes (cf. s05f)
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_returnflag", "l_linenumber"
+    )
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median(qty), 4).alias("qty_median"),
+        F.round(F.stddev_samp(price), 4).alias("price_stddev"),
+        F.round(F.var_samp(qty), 4).alias("qty_var"),
+        F.round(F.corr(price, qty), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(price, qty), 4).alias("price_qty_covar"),
+        F.round(F.regr_slope(price, qty), 4).alias("slope"),
+        F.round(F.regr_intercept(price, qty), 4).alias("intercept"),
+    )

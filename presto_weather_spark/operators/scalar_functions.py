@@ -523,3 +523,38 @@ def s15d_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 300
         """
     )
+
+
+@register(
+    "s10b_calendar_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+       dayname(CAST(o_orderdate AS DATE)) AS dow_name,
+       CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS INT)
+           AS months_since_95
+FROM orders
+""",
+    doc="S10b: calendar arithmetic — last_day, month addition with "
+    "end-of-month clamping (both engines clamp), quarter, ISO week "
+    "number, day name, and integer month delta (computed as "
+    "year*12+month in both engines because Spark months_between is "
+    "fractional while DuckDB date_diff('month') counts boundary "
+    "crossings — the portable form avoids both). Pure scan-side "
+    "projection: no shuffle at any scale.",
+)
+def s10b_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2m"),
+        F.quarter(d).alias("order_quarter"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_format(d, "EEEE").alias("dow_name"),
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1).alias("months_since_95"),
+    )

@@ -493,3 +493,68 @@ def x15_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X3e — int8 scalar quantization (the ANN memory-compression path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x03e_scalar_quantization",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, max(abs(v)) AS amax FROM x GROUP BY vec_id
+),
+q AS (
+  SELECT x.vec_id, s.amax, v,
+         round(v * 127.0 / nullif(s.amax, 0)) AS qi
+  FROM x JOIN s USING (vec_id)
+)
+SELECT vec_id,
+       round(amax, 6) AS amax,
+       round(CAST(SUM(CAST(power(v - qi * amax / 127.0, 2) AS DECIMAL(28,18)))
+                  AS DOUBLE), 12) AS sq_err,
+       round(sqrt(CAST(SUM(CAST(power(v - qi * amax / 127.0, 2) AS DECIMAL(28,18)))
+                       AS DOUBLE) / 64.0), 8) AS rmse
+FROM q
+GROUP BY vec_id, amax
+""",
+    doc="X3e: per-vector int8 scalar quantization (symmetric, amax-scaled) "
+    "with exact reconstruction error — the memory-compression step a "
+    "100 TB ANN index needs (4x smaller vectors, int8 SIMD distance). "
+    "Explode + codegen aggregates instead of nested array lambdas (the "
+    "interpreted-HOF pitfall); squared-error sums go through DECIMAL so "
+    "the result is independent of Spark's partial-aggregation order and "
+    "bit-comparable to the sequential DuckDB oracle. Scale: two shuffles "
+    "on vec_id (amax, then error agg) over a scan-side explode; at "
+    "deployment the quantized vectors write back as array<tinyint>.",
+)
+def x03e_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    x = e.select("vec_id", F.explode("embedding").alias("vf")).select(
+        "vec_id", F.col("vf").cast("double").alias("v")
+    )
+    s = x.groupBy("vec_id").agg(F.max(F.abs("v")).alias("amax"))
+    q = x.join(s, "vec_id").select(
+        "vec_id",
+        "amax",
+        "v",
+        F.round(F.col("v") * 127.0 / F.nullif(F.col("amax"), F.lit(0.0)), 0).alias("qi"),
+    )
+    err2 = F.pow(F.col("v") - F.col("qi") * F.col("amax") / 127.0, F.lit(2.0))
+    sq_err = F.sum(err2.cast("decimal(28,18)")).cast("double")
+    return (
+        q.groupBy("vec_id", "amax")
+        .agg(
+            F.round(sq_err, 12).alias("sq_err"),
+            F.round(F.sqrt(sq_err / 64.0), 8).alias("rmse"),
+        )
+        .select(
+            "vec_id", F.round("amax", 6).alias("amax"), "sq_err", "rmse"
+        )
+    )
