@@ -441,6 +441,10 @@ def x19_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").substr(F.col("s"), F.lit(CHUNK_LEN))).alias("h"),
     )
+    # ch feeds both the frequency aggregate and the join-back; checkpoint the
+    # (doc_id, hash) table once instead of re-running explode+md5 per branch
+    # (the x18 gram-table pattern)
+    ch = ch.localCheckpoint()
     freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
     return (

@@ -575,3 +575,55 @@ def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gh").alias("n_shared_ngrams"))
     )
+
+
+@register(
+    "x20_unigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) AS t
+  WHERE t.term <> ''
+),
+lm AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(ln(lm.tf / tot.t) AS DECIMAL(28,18))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM tok JOIN lm USING (term) CROSS JOIN tot
+GROUP BY tok.doc_id
+""",
+    doc="X20: unigram language-model quality score — the CCNet-style "
+    "perplexity gate, with the corpus's own unigram distribution standing "
+    "in for KenLM: score each document by its mean token log-probability; "
+    "low scorers are boilerplate/outliers. Per-token ln() goes through "
+    "DECIMAL before summing so the result is independent of aggregation "
+    "order (libm-vs-JVM ln differs by ulps; the fixed-scale cast absorbs "
+    "it). Scale: the LM table is vocab-sized -> broadcast onto the token "
+    "stream (no shuffle of the big side); the corpus total is a scalar "
+    "cross join; one final shuffle on doc_id.",
+)
+def x20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    logp = F.log(F.col("tf") / F.col("t"))
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(28,18)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

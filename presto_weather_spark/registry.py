@@ -77,6 +77,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from presto_weather_spark.operators import (  # noqa: F401
+        corpus_pipeline,
         dedup,
         multimodal,
         parity_extras,
