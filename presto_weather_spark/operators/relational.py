@@ -1285,3 +1285,62 @@ def s05l_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(price, qty), 4).alias("slope"),
         F.round(F.regr_intercept(price, qty), 4).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S19 — TPC-H-Q9-shaped profit report (5-table join, mixed broadcast + SMJ)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s19_profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * l.l_quantity * CAST(0.1 AS DECIMAL(18,1))) AS DOUBLE), 4)
+           AS profit,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    doc="S19: TPC-H Q9-shaped profit report — lineitem joined to part "
+    "(filtered, broadcast), supplier (broadcast), orders (the one genuine "
+    "big-big shuffle join), and nation (broadcast), aggregated by supplier "
+    "nation and order year with exact DECIMAL profit arithmetic "
+    "(retailprice-based cost proxy; the driver schema has no partsupp). "
+    "Scale: the part filter prunes before the broadcast; only "
+    "lineitem-orders shuffles, on the join key both sides — at 100 TB "
+    "pre-bucketing both tables on orderkey (s04g) removes that exchange "
+    "too. The group-by key space (nations x years) is tiny, so the final "
+    "agg is map-side partial + one narrow exchange.",
+)
+def s19_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,2)") - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ) * F.lit(0.1).cast("decimal(18,1)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit).cast("double"), 4).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

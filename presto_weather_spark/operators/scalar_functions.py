@@ -558,3 +558,31 @@ def s10b_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "EEEE").alias("dow_name"),
         ((F.year(d) - 1995) * 12 + F.month(d) - 1).alias("months_since_95"),
     )
+
+
+@register(
+    "s13c_variant_extraction",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+       CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+FROM events
+""",
+    doc="S13c: semi-structured extraction through Spark 4's VARIANT type — "
+    "parse_json once into a binary variant, then typed variant_get paths "
+    "(the modern schema-on-read path: one parse, many typed extractions, "
+    "~8x faster than repeated get_json_object on wide JSON). Missing "
+    "paths yield NULL via try_variant_get, mirroring the reference's "
+    ".get(key, None) semantics (weather.py:73-77). Oracle: DuckDB "
+    "json_extract_string + cast. Scan-side only — no shuffle.",
+)
+def s13c_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        (F.variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )

@@ -95,3 +95,23 @@ def test_minhash_signatures_materialize_once(spark, sf_dir):
     plan = simple_plan(_df("x02_minhash_near_dup", spark, sf_dir))
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:800]
     assert "partial_min(xxhash64" not in plan, plan[:800]
+
+
+def test_q9_profit_join_shape(spark, sf_dir):
+    """s19: the part filter is pushed to the scan, the three dims broadcast,
+    and lineitem's scan reads only the 6 needed columns."""
+    df = _df("s19_profit_by_nation_year", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "StringContains(p_name,bolt)" in plan, "part filter not pushed"
+    assert has_broadcast_join(df)
+    li_schemas = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "l_orderkey" in l
+    ]
+    assert li_schemas and all("l_shipdate" not in l for l in li_schemas), li_schemas
+
+
+def test_unigram_lm_broadcasts(spark, sf_dir):
+    """x20: the vocab-sized LM table broadcasts onto the token stream."""
+    assert has_broadcast_join(_df("x20_unigram_logprob", spark, sf_dir))
