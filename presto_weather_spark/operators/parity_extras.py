@@ -370,3 +370,32 @@ def r13_error_absorbing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["current"]["weather_code"].cast("int").alias("weather_code"),
         parsed["current"].isNull().alias("is_error"),
     )
+
+
+@register(
+    "s01c_orc_roundtrip",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal, c_nationkey
+FROM customer
+WHERE c_acctbal > 0
+""",
+    doc="S1/S2: ORC source + sink — project positive-balance customers, "
+    "write ORC, read back and return the re-read frame. ORC is Spark's "
+    "second first-class columnar format (vectorized reader, predicate "
+    "pushdown, splittable stripes) — same scan-time pruning guarantees as "
+    "parquet (s02), exercised here so format choice is a config, not a "
+    "code change.",
+)
+def s01c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_orc_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    c.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -558,3 +558,56 @@ def x03e_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.round("amax", 6).alias("amax"), "sq_err", "rmse"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X22 — distributed Gram matrix (the PCA/whitening building block)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x22_embedding_gram",
+    oracle="""
+WITH x AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT a.i, b.i AS j, round(SUM(a.v * b.v), 6) AS gram
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+    doc="X22: distributed Gram matrix G = X^T X over the embedding corpus "
+    "(upper triangle, 2080 cells) — the one-pass building block for PCA / "
+    "whitening / covariance of a 100 TB embedding store. Spark side runs "
+    "the textbook two-phase pattern: each partition computes its 64x64 "
+    "partial Gram with one BLAS matmul inside Arrow-batched mapInPandas, "
+    "then a single 2080-row shuffle sums the partials — communication is "
+    "O(partitions x d^2), independent of corpus size. The DuckDB oracle "
+    "expands the quadratic per-element join; identical to 6 decimals.",
+)
+def x22_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+
+    def gram_partials(batches):
+        iu = np.triu_indices(64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype(np.int32),
+                    "j": (iu[1] + 1).astype(np.int32),
+                    "partial": g[iu],
+                }
+            )
+
+    return (
+        e.mapInPandas(gram_partials, "i int, j int, partial double")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("partial"), 6).alias("gram"))
+    )

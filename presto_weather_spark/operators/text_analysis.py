@@ -627,3 +627,73 @@ def x20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "x23_pmi_cooccurrence",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents) t
+  WHERE t.term <> ''
+),
+d AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT p.term_a, p.term_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       round(ln(p.n_ab * d.n_docs * 1.0 / (fa.df * fb.df)), 6) AS pmi
+FROM pairs p
+JOIN df fa ON fa.term = p.term_a
+JOIN df fb ON fb.term = p.term_b
+CROSS JOIN d
+WHERE p.n_ab * 4 >= d.n_docs
+""",
+    doc="X23: pointwise mutual information over term co-occurrence — "
+    "which token pairs appear in the same document more often than "
+    "chance (collocation mining / topic signal for corpus curation). "
+    "Support gate n_ab >= D/4 keeps the pair table dense-only. Scale: "
+    "the distinct (doc, term) table shuffles once on doc_id; per-doc "
+    "pair generation is quadratic in per-doc vocabulary, so at 100 TB "
+    "the standard mitigation applies — prune to the top-k df terms "
+    "before pairing (the df table is vocab-sized and broadcasts).",
+)
+def x23_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        _spread(d)
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .localCheckpoint()  # feeds df counts, the self-join, and the scalar D
+    )
+    n_docs = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = df.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    fb = df.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_ab") * 4 >= F.col("n_docs"))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
