@@ -89,13 +89,13 @@ def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         # exact feeds both the chunk profile and the final keep-join;
         # checkpoint so the dedup window runs once
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_LEN))
     ch = exact.select("doc_id", "text", F.explode(starts).alias("s")).select(
         "doc_id", F.md5(F.col("text").substr(F.col("s"), F.lit(CHUNK_LEN))).alias("h")
-    ).localCheckpoint()  # chunk table feeds freq + join-back (x18 pattern)
+    ).localCheckpoint(eager=False)  # chunk table feeds freq + join-back (x18 pattern)
     freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
     ratio = (

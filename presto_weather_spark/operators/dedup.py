@@ -444,7 +444,7 @@ def x19_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ch feeds both the frequency aggregate and the join-back; checkpoint the
     # (doc_id, hash) table once instead of re-running explode+md5 per branch
     # (the x18 gram-table pattern)
-    ch = ch.localCheckpoint()
+    ch = ch.localCheckpoint(eager=False)
     freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
     dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
     return (

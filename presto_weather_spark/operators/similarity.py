@@ -432,66 +432,100 @@ KMEANS_ITERS = 3
     oracle=None,  # iterative algorithm (explicitly non-SQL-expressible);
     # convergence/determinism pytest-covered in tests/test_ann_recall.py
     doc="X15: k-means over the embedding corpus — Lloyd's iterations as "
-    "driver-side control flow over distributed jobs. Per iteration: "
-    "(1) assignment — posexploded components broadcast-join the k x dim "
-    "centroid table on idx, then ONE codegen hash-aggregate computes "
-    "all k squared distances per vector (sum((x-c)^2) grouped by "
-    "(vec_id, cluster)) and a windowed argmin picks the cluster; "
-    "(2) update — per-(cluster, idx) avg; centroids (k x dim doubles) "
-    "collect to the driver and re-broadcast, so lineage stays one "
-    "iteration deep (no checkpoint needed) and the per-round plan is "
-    "scan + broadcast join + two hash aggregates. This is exactly how "
-    "k-means scales to 10^9 vectors: the only driver-sized state is the "
-    "centroid table. Init is deterministic (first k vectors by vec_id); "
-    "components round to 9 dp at each collect so re-runs are stable "
-    "despite float partial-sum ordering.",
+    "driver-side control flow over distributed jobs, in the classic "
+    "MLlib shape: per round, ONE Arrow-batched mapInPandas pass computes "
+    "each partition's per-cluster (count, component-sum) partials with "
+    "vectorized numpy distance argmin; only k x partitions partial rows "
+    "(k x d doubles each) leave the executors, so communication is "
+    "independent of corpus size. The driver reduces partials in a fixed "
+    "sort order and re-broadcasts k x d centroids; components round to "
+    "9 dp per round so re-runs are bit-stable despite float partial-sum "
+    "ordering. Init is deterministic (first k vectors by vec_id). The "
+    "corpus materializes once (localCheckpoint) and is re-scanned from "
+    "block storage each round — at 10^9 vectors the only driver-sized "
+    "state is the centroid table.",
 )
 def x15_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # The exploded component table is read twice per iteration (assignment
-    # + centroid update) across every iteration — materialize it once
-    # instead of re-running scan+explode 2*ITERS times.
-    comps = emb.select(
-        "vec_id", F.posexplode(_dbl("embedding")).alias("idx", "x")
-    ).localCheckpoint(eager=False)
+    base = (
+        emb.select("vec_id", _dbl("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
 
     init = (
         emb.filter(F.col("vec_id") < KMEANS_K)
         .select("vec_id", _dbl("embedding").alias("v"))
         .collect()
     )
-    centroids = {int(r["vec_id"]): list(r["v"]) for r in init}
+    cent = np.asarray(
+        [list(r["v"]) for r in sorted(init, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
 
-    assign = None
     for _ in range(KMEANS_ITERS):
-        cent_rows = [
-            (c, i, float(x))
-            for c, vec in sorted(centroids.items())
-            for i, x in enumerate(vec)
-        ]
-        cent_df = spark.createDataFrame(cent_rows, "cluster int, idx int, c double")
-        d2 = (
-            comps.join(F.broadcast(cent_df), "idx")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        assign = (
-            d2.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-        )
-        new_cent = (
-            assign.join(comps, "vec_id")
-            .groupBy("cluster", "idx")
-            .agg(F.round(F.avg("x"), 9).alias("c"))
-            .collect()
-        )
-        centroids = {}
-        for r in new_cent:
-            centroids.setdefault(int(r["cluster"]), [0.0] * 64)[int(r["idx"])] = float(r["c"])
+        c_now = cent
 
-    return assign.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+        def partials(batches, c_now=c_now):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d2 = ((m[:, None, :] - c_now[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                rows = []
+                for c in range(len(c_now)):
+                    mask = a == c
+                    if mask.any():
+                        rows.append(
+                            {
+                                "cluster": c,
+                                "n": int(mask.sum()),
+                                "s": m[mask].sum(0).tolist(),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        collected = base.mapInPandas(
+            partials, "cluster int, n long, s array<double>"
+        ).collect()
+        # fixed reduction order -> identical float sums across re-runs
+        collected.sort(key=lambda r: (r["cluster"], r["n"], tuple(r["s"])))
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent))
+        for r in collected:
+            sums[r["cluster"]] += np.asarray(r["s"])
+            counts[r["cluster"]] += r["n"]
+        keep = counts > 0
+        cent = cent.copy()
+        cent[keep] = np.round(sums[keep] / counts[keep, None], 9)
+
+    c_fin = cent
+
+    def stats(batches, c_fin=c_fin):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = ((m[:, None, :] - c_fin[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            d = np.sqrt(d2[np.arange(len(m)), a])
+            rows = []
+            for c in range(len(c_fin)):
+                mask = a == c
+                if mask.any():
+                    rows.append(
+                        {"cluster": c, "n": int(mask.sum()), "sd": float(d[mask].sum())}
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        base.mapInPandas(stats, "cluster int, n long, sd double")
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.round(F.sum("sd") / F.sum("n"), 4).alias("avg_dist"),
+        )
     )
 
 
