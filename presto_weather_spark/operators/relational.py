@@ -1344,3 +1344,98 @@ def s19_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S20/S21 — TPC-H Q6- and Q18-shaped queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s20_q6_forecast_revenue",
+    oracle="""
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+           AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="S20: TPC-H Q6-shaped forecast-revenue query — conjunctive "
+    "range predicates on date/discount/quantity with a single global "
+    "DECIMAL sum. The pure scan-throughput benchmark: every predicate "
+    "reaches the parquet scan (PushedFilters min/max row-group skipping), "
+    "and the aggregate is one map-side partial + a single-row final — at "
+    "100 TB this query is IO-bound by exactly the bytes the filters "
+    "cannot skip.",
+)
+def s20_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ).cast("double"),
+                4,
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "s21_q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 260
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS totalprice,
+       CAST(big.sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders o   ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="S21: TPC-H Q18-shaped large-volume-customer query — aggregate "
+    "lineitem per order, HAVING-filter to the heavy tail, then join the "
+    "tiny survivor set to orders and customer. Scale shape: the HAVING "
+    "reduces the big side BEFORE any join (one shuffle on orderkey, "
+    "map-side partial sums); the survivor set is small enough that AQE "
+    "demotes both joins to broadcast at runtime — the anti-pattern "
+    "(join first, aggregate later) would shuffle lineitem x orders.",
+)
+def s21_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 260)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
