@@ -697,3 +697,102 @@ def x23_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "x24_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+),
+freq AS (
+  SELECT term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY term
+),
+ranked AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rnk FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       round(regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+           AS zipf_slope,
+       round(regr_r2(ln(CAST(tf AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6)
+           AS zipf_r2
+FROM ranked
+""",
+    doc="X24: Zipf's-law fit over the corpus rank-frequency curve — "
+    "log-log regression slope (natural text ~ -1; synthetic/boilerplate "
+    "corpora deviate) plus R^2, a one-number distribution-shift monitor "
+    "for corpus curation. Composes term aggregation, a global rank "
+    "window, and regression aggregates. Scale: the window is a total "
+    "order over the VOCABULARY (not the corpus) — vocab fits one "
+    "executor after the term aggregate; at trillion-token scale swap "
+    "row_number for a rank computed from a cumulative histogram.",
+)
+def x24_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        _spread(d)
+        .select(F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    ranked = freq.select("tf", F.row_number().over(w).alias("rnk"))
+    lf = F.log(F.col("tf").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
+    )
+
+
+@register(
+    "x25_langid_confusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+pred AS (
+  SELECT doc_id, any_value(lang) AS lang,
+         CASE WHEN CAST(SUM(CASE WHEN term IN ({', '.join(repr(s) for s in STOPWORDS)}) THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) >= 0.1
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM toks WHERE term <> '' GROUP BY doc_id
+)
+SELECT lang, lang_guess,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / SUM(count(*)) OVER (PARTITION BY lang), 4)
+           AS row_rate
+FROM pred
+GROUP BY lang, lang_guess
+""",
+    doc="X25: language-ID confusion matrix — evaluate the x08 classifier "
+    "against the labeled lang column: per (label, prediction) doc counts "
+    "and per-label rates (recall on the diagonal). The evaluation-loop "
+    "pattern every classifier-driven curation stage needs. Scale: one "
+    "doc_id shuffle for per-doc prediction, then a cells-sized aggregate "
+    "+ a window over the tiny cell table.",
+)
+def x25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    is_stop = F.col("term").isin(*STOPWORDS).cast("int")
+    pred = toks.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.when(
+            F.sum(is_stop).cast("double") / F.count(F.lit(1)) >= 0.1, "en"
+        ).otherwise("other").alias("lang_guess"),
+    )
+    cells = pred.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("row_rate"),
+    )
