@@ -1439,3 +1439,82 @@ def s21_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_qty").cast("double").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S22 — recursive CTE calendar spine (gap-filled monthly series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s22_recursive_month_spine",
+    oracle="""
+WITH RECURSIVE ks(k) AS (
+  SELECT 0
+  UNION ALL
+  SELECT k + 1 FROM ks WHERE k < 95
+),
+bounds AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT lo + to_months(CAST(k AS INT)) AS m
+  FROM ks CROSS JOIN bounds
+  WHERE lo + to_months(CAST(k AS INT)) <= hi
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+  FROM orders GROUP BY 1
+)
+SELECT strftime(s.m, '%Y-%m') AS month,
+       CAST(coalesce(p.n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(p.month_total, 0.0) AS month_total
+FROM spine s LEFT JOIN per_month p ON p.m = s.m
+""",
+    doc="S22: recursive CTE (Spark 4 WITH RECURSIVE) building a gap-free "
+    "monthly calendar spine between the first and last order date, "
+    "left-joined to per-month order totals so empty months surface as "
+    "explicit zero rows — the standard time-series gap-fill pattern. "
+    "Recursion depth is bounded (96 iterations, under Spark's default 100-level limit) and the recursive "
+    "branch is constant-width, so the plan is a 96-row local series "
+    "cross-joined to a scalar bounds row; only the per-month aggregate "
+    "touches data. DuckDB oracle uses the identical recursion.",
+)
+def s22_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE ks(k) AS (
+          SELECT 0
+          UNION ALL
+          SELECT k + 1 FROM ks WHERE k < 95
+        ),
+        bounds AS (
+          SELECT to_date(date_trunc('month', min(o_orderdate))) AS lo,
+                 to_date(date_trunc('month', max(o_orderdate))) AS hi
+          FROM orders
+        ),
+        spine AS (
+          SELECT add_months(lo, k) AS m
+          FROM ks CROSS JOIN bounds
+          WHERE add_months(lo, k) <= hi
+        ),
+        per_month AS (
+          SELECT to_date(date_trunc('month', o_orderdate)) AS m,
+                 count(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS month_total
+          FROM orders GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               coalesce(p.n_orders, 0) AS n_orders,
+               coalesce(p.month_total, 0.0) AS month_total
+        FROM spine s LEFT JOIN per_month p ON p.m = s.m
+        """
+    )
