@@ -69,3 +69,81 @@ def test_hash_split_deterministic_and_total(pairs):
         b1, b2 = bucket(doc_id, text, 10), bucket(doc_id, text, 10)
         assert b1 == b2
         assert 0 <= b1 < 10
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_scalar_quantization_error_bound(vectors):
+    # x03e's int8 SQ, python twin: symmetric amax scaling means every
+    # reconstructed component is within half a quantization step
+    # (amax/254) of the original, and every code fits int8.
+    for v in vectors:
+        amax = max(abs(x) for x in v)
+        if amax == 0:
+            continue
+        for x in v:
+            qi = round(x * 127 / amax)
+            assert -127 <= qi <= 127
+            dq = qi * amax / 127
+            assert abs(x - dq) <= amax / 254 + 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_gram_matrix_symmetric_psd(vectors):
+    # x22's G = X^T X must be symmetric positive-semidefinite whatever the
+    # partition-partial decomposition — checked on the numpy twin of the
+    # mapInPandas kernel.
+    import numpy as np
+
+    m = np.asarray(vectors)
+    g = m.T @ m
+    assert np.allclose(g, g.T)
+    assert np.linalg.eigvalsh(g).min() >= -1e-8
+
+
+def test_chunk_dedup_flags_planted_duplicates(spark):
+    # x19 on a corpus with one planted duplicate pair: the duplicated docs'
+    # chunks all collide (dup_ratio 1.0) and a unique doc stays clean.
+    from presto_weather_spark.operators.dedup import CHUNK_LEN  # noqa: F401
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (1, dup_text, "en", "src0", len(dup_text)),
+        (2, dup_text, "en", "src1", len(dup_text)),
+        (3, "totally different unique content with its own words entirely", "en", "src0", 61),
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_chunkdedup")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    res = {
+        r["doc_id"]: r
+        for r in all_queries()["x19_chunk_dedup"].fn(spark, out).collect()
+    }
+    assert res[1]["dup_ratio"] == 1.0 and res[2]["dup_ratio"] == 1.0
+    assert res[3]["dup_ratio"] == 0.0
+    assert res[1]["n_chunks"] == res[1]["dup_chunks"]
