@@ -796,3 +796,42 @@ def x25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("row_rate"),
     )
+
+
+TOP_K_TERMS = 5  # top-5 counts are tie-free at every shipped sf; ties below
+# the cutoff don't affect the returned SET (compare is order-insensitive)
+
+
+@register(
+    "x26_heavy_hitters_sketch",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+),
+freq AS (
+  SELECT term, count(*) AS est_count FROM toks WHERE term <> '' GROUP BY term
+)
+SELECT term, CAST(est_count AS BIGINT) AS est_count
+FROM freq ORDER BY est_count DESC LIMIT {TOP_K_TERMS}
+""",
+    doc="X26: heavy-hitter terms via Spark 4's approx_top_k frequent-items "
+    "sketch — the mergeable one-pass path to 'most common tokens' over a "
+    "100 TB corpus: map-side sketches of bounded size merge associatively "
+    "(like x14's HLL), so no term-cardinality shuffle ever happens; "
+    "contrast with x04, which shuffles the full term table. The corpus "
+    "vocabulary is far below the sketch's tracked-item capacity, so "
+    "counts are exact here and the DuckDB oracle is the exact top-k; at "
+    "web scale the same plan returns epsilon-approximate counts.",
+)
+def x26_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select(F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        toks.agg(F.expr(f"approx_top_k(term, {TOP_K_TERMS})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("term"), F.col("e.count").alias("est_count"))
+    )
