@@ -400,3 +400,35 @@ def s14g_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # INITIALIZATION_FAILURE). s14e's applyInPandasWithState covers the custom
 # stateful operator surface; migrate to transformWithState where protobuf
 # is available (typed value/list/map state, timers, TTL).
+
+
+@register(
+    "s14h_stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    doc="S14h: stream-static join — the streaming enrichment pattern: each "
+    "micro-batch of the event stream joins the static customer dimension "
+    "(broadcast hash join, re-planned per batch so dim updates are picked "
+    "up), then aggregates per (segment, event_type). Unlike the "
+    "stream-stream join (s14g) the static side holds NO state store — "
+    "scale cost is the stream side's aggregation state only. Driven "
+    "availableNow; oracle is the batch-equivalent join.",
+)
+def s14h_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import load_table
+
+    stream = events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")
