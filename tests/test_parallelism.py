@@ -1,0 +1,38 @@
+"""Parallelism-invariance tests — the distributed-correctness claim in
+SCALE.md ('results independent of partial-aggregation order, at any
+parallelism'), asserted: the same query at a different shuffle partition
+count must produce bit-identical normalized results. This is what makes
+results reproducible when the same pipeline runs on 32 local threads or
+1000 executors."""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_weather_spark.registry import all_queries
+from tests.test_oracle import normalize
+
+QS = all_queries()
+
+# Aggregation/join-heavy queries where float merge order would bite if the
+# DECIMAL/rounding discipline slipped.
+INVARIANT_QUERIES = [
+    "s05_agg_pricing_summary",
+    "s19_profit_by_nation_year",
+    "x20_unigram_logprob",
+    "x22_embedding_gram",
+    "x21_corpus_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_result_invariant_to_shuffle_parallelism(spark, sf_dir, name):
+    q = QS[name]
+    base = normalize(q.fn(spark, sf_dir).toPandas())
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        low = normalize(q.fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == low, f"{name}: result depends on shuffle parallelism"
