@@ -1518,3 +1518,43 @@ def s22_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN per_month p ON p.m = s.m
         """
     )
+
+
+@register(
+    "s04h_full_outer_daily_activity",
+    oracle="""
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT strftime(coalesce(od.d, sd.d), '%Y-%m-%d') AS day,
+       CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(sd.n_ships, 0) AS BIGINT) AS n_ships
+FROM od FULL OUTER JOIN sd ON od.d = sd.d
+""",
+    doc="S4h: FULL OUTER join — daily order activity vs daily shipment "
+    "activity; ship dates extend past the order-date range, so both "
+    "unmatched sides genuinely occur (order-only days and ship-only "
+    "days surface with zero counts). Completes the join-type matrix "
+    "(inner/left/right/semi/anti/range/as-of/cross/bucketed/full). "
+    "Scale: both sides pre-aggregate to date cardinality BEFORE the "
+    "join, so the full-outer shuffle moves day-count rows, not facts.",
+)
+def s04h_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sd = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return od.join(sd, "d", "full_outer").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+    )
