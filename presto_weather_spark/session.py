@@ -67,24 +67,59 @@ def build_session(app_name: str = "presto_weather_spark", cpus: int | None = Non
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/pruning into it."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_nanos(df)
+    """Columnar parquet scan — Catalyst pushes filters/pruning into it.
+
+    Robust to TIMESTAMP(NANOS) parquet encodings, which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL).  The driver harness hands us a
+    vanilla SparkSession, so the nanosAsLong escape hatch must be applied
+    here at read time, not only in build_session.  Which columns were nanos
+    is sniffed from the parquet footer (metadata-only — O(1) regardless of
+    data size, so this holds at 100 TB).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static/removed conf — fall through; read fails loudly if needed
+    df = spark.read.parquet(path)
+    return _normalize_nanos(df, _nanos_columns(path))
 
 
-def _normalize_nanos(df: DataFrame) -> DataFrame:
+def _nanos_columns(path: str) -> set[str] | None:
+    """Column names stored as TIMESTAMP(NANOS) — from the footer only.
+    Returns None when the footer could not be inspected (caller falls back
+    to a name-based heuristic)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            schema = pq.read_schema(path)
+        except Exception:
+            schema = pq.ParquetDataset(path).schema
+        return {
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return None
+
+
+def _normalize_nanos(df: DataFrame, nanos_cols: set[str] | None) -> DataFrame:
     """TIMESTAMP(NANOS) columns arrive as long under nanosAsLong; truncate
     to microseconds exactly (integer DIV) — matching DuckDB's ns->us cast."""
     from pyspark.sql import functions as F
 
     for field in df.schema.fields:
-        meta = field.metadata or {}
-        if meta.get("__is_nanos_long__") or (
-            field.name == "ts" and field.dataType.simpleString() == "bigint"
+        if field.dataType.simpleString() != "bigint":
+            continue
+        if (nanos_cols is not None and field.name in nanos_cols) or (
+            nanos_cols is None and field.name == "ts"
         ):
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.expr(f"{field.name} DIV 1000")),
+                F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000")),
             )
     return df
 

@@ -3,10 +3,21 @@ import math, os, sys, time
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as entry_mod
-from presto_weather_spark.session import build_session, TABLE_NAMES
+from presto_weather_spark.session import TABLE_NAMES
+from pyspark.sql import SparkSession
 
 SF = "/root/testdata/sf0.01"
-spark = build_session("drive", cpus=16)
+# Vanilla session on purpose — the real driver does NOT use build_session,
+# so any reliance on our session presets must fail here too.
+spark = (
+    SparkSession.builder.master("local[16]")
+    .appName("drive")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "16g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
 
 # 1. smoke: entry()
 df = entry_mod.entry(spark)
