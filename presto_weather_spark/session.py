@@ -69,20 +69,51 @@ def build_session(app_name: str = "presto_weather_spark", cpus: int | None = Non
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/pruning into it.
 
-    Robust to TIMESTAMP(NANOS) parquet encodings, which Spark's reader
-    rejects outright (PARQUET_TYPE_ILLEGAL).  The driver harness hands us a
-    vanilla SparkSession, so the nanosAsLong escape hatch must be applied
-    here at read time, not only in build_session.  Which columns were nanos
-    is sniffed from the parquet footer (metadata-only — O(1) regardless of
-    data size, so this holds at 100 TB).
+    Robust to both timestamp encodings the driver has shipped:
+
+    - TIMESTAMP(NANOS), which Spark's reader rejects outright
+      (PARQUET_TYPE_ILLEGAL) unless ``nanosAsLong`` is set — sniffed from
+      the parquet footer (metadata-only, O(1) regardless of data size) and
+      the conf is flipped ONLY when ns columns are actually present.  It is
+      deliberately not restored afterwards: Spark re-reads it at physical
+      planning of every action on the returned frame, so restoring here
+      would break the scan later.  Micros-encoded reads never touch it.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 infers
+      TIMESTAMP_NTZ; ``_normalize_nanos`` casts it to TIMESTAMP under the
+      UTC session timezone, matching DuckDB's naive-UTC semantics.
+
+    The driver harness hands us a vanilla SparkSession, so all of this
+    happens at read time, not only in build_session.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # static/removed conf — fall through; read fails loudly if needed
+    nanos_cols = _prepare_parquet_read(spark, path)
     df = spark.read.parquet(path)
-    return _normalize_nanos(df, _nanos_columns(path))
+    return _normalize_nanos(df, nanos_cols)
+
+
+def _prepare_parquet_read(spark: SparkSession, path: str) -> set[str] | None:
+    """Footer-sniff ``path`` for TIMESTAMP(NANOS) columns and flip the
+    nanosAsLong conf when (and only when) needed; returns the sniffed set
+    (None = footer unreadable, caller falls back to the `ts`-name
+    heuristic).  Shared by the batch and streaming read paths."""
+    nanos_cols = _nanos_columns(path)
+    if nanos_cols is None:
+        # Footer sniff works on local paths only (pyarrow, no Hadoop FS) —
+        # on remote storage fall back to the conservative path: set the
+        # conf and treat a bigint `ts` as nanos.
+        import warnings
+
+        warnings.warn(
+            f"could not sniff parquet footer of {path}; "
+            "falling back to name-based nanos heuristic",
+            stacklevel=2,
+        )
+    if nanos_cols is None or nanos_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # static/removed conf — read fails loudly if truly needed
+    return nanos_cols
 
 
 def _nanos_columns(path: str) -> set[str] | None:
@@ -107,15 +138,23 @@ def _nanos_columns(path: str) -> set[str] | None:
 
 
 def _normalize_nanos(df: DataFrame, nanos_cols: set[str] | None) -> DataFrame:
-    """TIMESTAMP(NANOS) columns arrive as long under nanosAsLong; truncate
-    to microseconds exactly (integer DIV) — matching DuckDB's ns->us cast."""
+    """Normalize every timestamp encoding to plain TIMESTAMP:
+
+    - TIMESTAMP(NANOS) columns arrive as long under nanosAsLong; truncate
+      to microseconds exactly (integer DIV) — matching DuckDB's ns->us cast.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+      cast to TIMESTAMP (session tz is UTC, so the wall-clock value is
+      preserved — the same naive-UTC reading DuckDB uses).
+    """
     from pyspark.sql import functions as F
 
     for field in df.schema.fields:
-        if field.dataType.simpleString() != "bigint":
-            continue
-        if (nanos_cols is not None and field.name in nanos_cols) or (
-            nanos_cols is None and field.name == "ts"
+        kind = field.dataType.simpleString()
+        if kind == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif kind == "bigint" and (
+            (nanos_cols is not None and field.name in nanos_cols)
+            or (nanos_cols is None and field.name == "ts")
         ):
             df = df.withColumn(
                 field.name,

@@ -38,7 +38,7 @@ WINDOW_SECONDS = 6 * 3600  # 6-hour tumbling windows over the events fixture
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema from batch read)."""
     path = os.path.join(sf_dir, "events.parquet")
-    from presto_weather_spark.session import _normalize_nanos
+    from presto_weather_spark.session import _normalize_nanos, _prepare_parquet_read
 
     # The file-stream source wants a directory; stage a symlink dir (the
     # read-only testdata layout is one bare file per table).
@@ -47,8 +47,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
-    return _normalize_nanos(spark.readStream.schema(schema).parquet(stage))
+    nanos_cols = _prepare_parquet_read(spark, path)
+    schema = spark.read.parquet(path).schema  # raw on-disk schema (long/NTZ)
+    return _normalize_nanos(spark.readStream.schema(schema).parquet(stage), nanos_cols)
 
 
 STREAM_STATE_PARTITIONS = "8"  # state stores per stateful operator in tests
