@@ -72,37 +72,76 @@ ranked AS (
 SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rn AS nn_rank
 FROM ranked WHERE rn <= {TOP_K}
 """,
-    doc="X3: exact brute-force cosine top-k neighbors for a broadcast query "
-    "set — corpus scan stays partition-local; only the top-k window "
-    "shuffles (on query_id). The exact baseline the ANN variant is judged "
-    "against.",
+    doc="X3: exact brute-force cosine top-k neighbors for a small query "
+    "set. The query matrix ships in the UDF closure (the broadcast "
+    "pattern — it is queries x 64 doubles); the corpus scan stays "
+    "partition-local and each Arrow batch is scored with ONE BLAS "
+    "matmul (batch x 64) @ (64 x queries) instead of interpreted "
+    "zip_with/aggregate lambdas (~10x). Each partition emits only its "
+    "top-k per query (exact: top-k of a union = top-k of per-partition "
+    "top-ks under the same total order), so the final window shuffle "
+    "carries partitions x queries x k rows, not corpus x queries.",
 )
 def x03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _dbl("embedding").alias("qv")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # query set is small by definition; rides the closure
     )
-    c = emb.select(
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
+    )
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            sims = (mat @ qmat.T) / (
+                np.sqrt((mat * mat).sum(axis=1))[:, None] * qnorm[None, :]
+            )
+            sims = np.round(sims, 6)
+            n = len(pdf)
+            cand = pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), len(qids)),
+                    "neighbor_label": np.repeat(
+                        pdf["neighbor_label"].to_numpy(), len(qids)
+                    ),
+                    "cosine_sim": sims.ravel(),
+                }
+            )
+            cand = cand[cand["query_id"] != cand["neighbor_id"]]
+            best = cand if best is None else pd.concat([best, cand])
+            best = (
+                best.sort_values(
+                    ["query_id", "cosine_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(TOP_K)
+            )
+        if best is not None and len(best):
+            yield best
+
+    cands = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
-        _dbl("embedding").alias("cv"),
-    )
-    sims = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "neighbor_label",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
-        )
+        F.col("embedding").alias("cv"),
+    ).mapInPandas(
+        score,
+        "query_id bigint, neighbor_id bigint, neighbor_label int, cosine_sim double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return (
-        sims.withColumn("nn_rank", F.row_number().over(w))
+        cands.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
     )

@@ -655,11 +655,15 @@ WHERE p.n_ab * 4 >= d.n_docs
     doc="X23: pointwise mutual information over term co-occurrence — "
     "which token pairs appear in the same document more often than "
     "chance (collocation mining / topic signal for corpus curation). "
-    "Support gate n_ab >= D/4 keeps the pair table dense-only. Scale: "
-    "the distinct (doc, term) table shuffles once on doc_id; per-doc "
-    "pair generation is quadratic in per-doc vocabulary, so at 100 TB "
-    "the standard mitigation applies — prune to the top-k df terms "
-    "before pairing (the df table is vocab-sized and broadcasts).",
+    "Support gate n_ab >= D/4 keeps the pair table dense-only, and it "
+    "licenses an EXACT pre-prune: n_ab <= min(df_a, df_b), so only "
+    "terms with df >= D/4 can appear in a surviving pair — dt is "
+    "filtered to those (broadcast semi-join against the vocab-sized df "
+    "table) BEFORE the quadratic per-doc pairing. Result-identical by "
+    "construction, and at 100 TB the pair generation is quadratic only "
+    "in the per-doc count of corpus-frequent terms, not full per-doc "
+    "vocabulary. For lower support thresholds the same broadcast prune "
+    "takes a top-k df cut instead.",
 )
 def x23_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -672,16 +676,24 @@ def x23_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
     df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
-    b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    # Exact support prune: a pair needs n_ab*4 >= D and n_ab <= min(df_a,
+    # df_b), so any term with df*4 < D cannot survive the final gate.
+    eligible = (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 4 >= F.col("n_docs"))
+        .select("term", "df")
+    )
+    dt_pruned = dt.join(F.broadcast(eligible.select("term")), "term")
+    a = dt_pruned.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = dt_pruned.select(F.col("doc_id"), F.col("term").alias("term_b"))
     pairs = (
         a.join(b, "doc_id")
         .filter(F.col("term_a") < F.col("term_b"))
         .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    fa = df.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
-    fb = df.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    fa = eligible.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    fb = eligible.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
     return (
         pairs.join(F.broadcast(fa), "term_a")
         .join(F.broadcast(fb), "term_b")

@@ -25,6 +25,15 @@ n = df.count()
 print(f"entry(): {n} rows, schema: {[f.name for f in df.schema.fields]}")
 assert n > 0
 
+# 1b. smoke: the streaming source on a vanilla session — catches signature
+# or schema drift in the s14* path up front, before the 3-minute query loop.
+from presto_weather_spark.streaming.pipeline import events_stream
+sdf_stream = events_stream(spark, SF)
+assert sdf_stream.isStreaming, "events_stream must return a streaming frame"
+ts_type = dict((f.name, f.dataType.simpleString()) for f in sdf_stream.schema.fields)["ts"]
+assert ts_type == "timestamp", f"events_stream ts must normalize to timestamp, got {ts_type}"
+print(f"events_stream(): streaming schema ok (ts={ts_type})")
+
 qs = entry_mod.queries()
 oracles = entry_mod.oracle_sql()
 con = duckdb.connect()
