@@ -456,3 +456,43 @@ def x19_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dup) / F.count(F.lit(1)), 4).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "x29_dedup_lineage",
+    oracle="""
+WITH h AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h FROM documents),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY h) AS survivor_id,
+         count(*) OVER (PARTITION BY h) AS group_size
+  FROM h
+)
+SELECT doc_id, survivor_id, CAST(group_size AS BIGINT) AS group_size
+FROM g WHERE doc_id <> survivor_id
+""",
+    doc="X29: exact-dedup lineage — the audit twin of x01: for every "
+    "removed duplicate, which document survived and how large its "
+    "duplicate group was (provenance for dataset cards / removal "
+    "receipts). Keyed on md5 of the normalized first 64 chars (shared-"
+    "boilerplate-prefix dedup; any normalization slots into the same "
+    "plan) so the shuffle moves 16-byte digests, never document bodies "
+    "(the wide-column-out-of-shuffle rule); min/count windows over one "
+    "exchange on the digest.",
+)
+def x29_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.md5(F.substring("text", 1, 64).cast("binary")).alias("h")
+    )
+    w = Window.partitionBy("h")
+    g = h.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("survivor_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+    return g.filter(F.col("doc_id") != F.col("survivor_id")).select(
+        "doc_id", "survivor_id", "group_size"
+    )

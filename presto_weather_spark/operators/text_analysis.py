@@ -847,3 +847,122 @@ def x26_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("term"), F.col("e.count").alias("est_count"))
     )
+
+
+CTX_TOKENS = 512  # training context length (tokens) for sequence packing
+PACK_BUCKET = 1024  # docs per cumsum bucket in the hierarchical prefix sum
+
+
+@register(
+    "x27_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, count(*) AS n_tokens
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents) t
+  WHERE term <> ''
+  GROUP BY doc_id
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum_end - n_tokens) // {CTX_TOKENS} AS BIGINT) AS start_seq,
+       CAST((cum_end - 1) // {CTX_TOKENS} AS BIGINT) AS end_seq,
+       CAST(((cum_end - 1) // {CTX_TOKENS})
+            - ((cum_end - n_tokens) // {CTX_TOKENS}) + 1 AS BIGINT) AS n_seqs,
+       CAST((cum_end - n_tokens) % {CTX_TOKENS} AS BIGINT) AS offset_in_seq
+FROM cum
+""",
+    doc="X27: concat-and-chunk sequence packing — the standard LLM "
+    "pretraining layout: documents are concatenated in deterministic "
+    "doc_id order and sliced into fixed CTX_TOKENS-sized training "
+    "sequences; each doc maps to its [start_seq, end_seq] span and "
+    "offset within the first sequence. The global running token sum is "
+    "computed HIERARCHICALLY: an intra-bucket cumsum (window partitioned "
+    "by doc_id DIV 1024 — parallel) plus a broadcast per-bucket prefix "
+    "table (corpus/1024 rows), so no single-partition global window ever "
+    "materializes — the two-level scan + broadcast-prefix shape survives "
+    "100 TB where a bare ORDER BY window would serialize on one task. "
+    "Oracle uses the plain global cumsum (identical arithmetic).",
+)
+def x27_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    b = toks.withColumn("bucket", F.expr(f"doc_id DIV {PACK_BUCKET}"))
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = b.withColumn("intra_end", F.sum("n_tokens").over(intra_w))
+    # Per-bucket totals are corpus/1024 rows — the only global ordering is
+    # over THIS tiny table, then broadcast back.
+    prefix_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        b.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("prefix", F.coalesce(F.sum("btot").over(prefix_w), F.lit(0)))
+        .select("bucket", "prefix")
+    )
+    start_seq = F.expr(f"cum_start DIV {CTX_TOKENS}")
+    end_seq = F.expr(f"(cum_end - 1) DIV {CTX_TOKENS}")
+    return (
+        b.join(F.broadcast(prefix), "bucket")
+        .withColumn("cum_end", F.col("prefix") + F.col("intra_end"))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            start_seq.alias("start_seq"),
+            end_seq.alias("end_seq"),
+            (end_seq - start_seq + 1).alias("n_seqs"),
+            (F.col("cum_start") % CTX_TOKENS).alias("offset_in_seq"),
+        )
+    )
+
+
+@register(
+    "x28_mixture_reweighting",
+    oracle="""
+WITH counts AS (
+  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n_docs) AS total, count(*) AS n_cells FROM counts)
+SELECT lang, source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs * 1.0 / total, 6) AS corpus_share,
+       round((1.0 / n_cells) / (n_docs * 1.0 / total), 6) AS weight
+FROM counts CROSS JOIN tot
+""",
+    doc="X28: domain-mixture reweighting — per-(lang, source) sampling "
+    "weights that rebalance the corpus toward a target mixture (uniform "
+    "across cells here; any broadcast target table slots in the same "
+    "way): weight = target_share / corpus_share, the multiplier a "
+    "training-data sampler applies per domain. One partial-aggregated "
+    "shuffle on the tiny (lang, source) key set plus a broadcast scalar "
+    "total — nothing scales with corpus size except the first map-side "
+    "count.",
+)
+def x28_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    share = F.col("n_docs") / F.col("total")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(share, 6).alias("corpus_share"),
+        F.round((F.lit(1.0) / F.col("n_cells")) / share, 6).alias("weight"),
+    )
