@@ -93,8 +93,10 @@ ranked AS (
 )
 SELECT doc_id, term, tfidf, rn AS term_rank FROM ranked WHERE rn <= 3
 """,
-    doc="X4: per-document top-3 tf-idf terms. df table is tiny relative to "
-    "the corpus -> broadcast onto the tf side; top-k via windowed "
+    doc="X4: per-document top-3 tf-idf terms. The corpus is tokenized ONCE: "
+    "df derives from the tf table itself (df(term) = rows per term in "
+    "tf), so the second explode pass and the countDistinct disappear; "
+    "the tiny df table broadcasts onto the tf side; top-k via windowed "
     "row_number (no global sort).",
 )
 def x04b_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,8 +105,11 @@ def x04b_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _spread(d).select("doc_id", F.explode(_tokens()).alias("term")).filter(
         F.col("term") != ""
     )
+    # tf feeds both the df aggregate and the scoring join; the two branches
+    # share an identical shuffle, so Spark plans a ReusedExchange and the
+    # tokenize+explode scan runs once — no checkpoint needed.
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",

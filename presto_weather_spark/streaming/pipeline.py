@@ -433,3 +433,114 @@ def s14h_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "s14i_stream_stream_left_outer",
+    oracle=None,  # append-mode outer join cannot emit null-padded rows for
+    # left rows still inside the watermark horizon when the stream ends —
+    # the held-back tail makes it differ from the batch join by exactly
+    # those rows. tests/test_stream_outer.py pins that relationship
+    # precisely (matches identical; missing = unclosed-horizon clicks).
+    doc="S14: watermarked stream-stream LEFT OUTER join — clicks with or "
+    "without a purchase within 1 h. Matched pairs emit like s14g; "
+    "unmatched clicks emit null-padded ONLY once the watermark passes "
+    "their join horizon (click_ts + 1 h), which Spark detects in the "
+    "trailing no-data micro-batch. Clicks newer than max_ts - (delay + "
+    "window) remain in state at availableNow termination — the honest "
+    "streaming semantics, asserted exactly in tests. Scale: same "
+    "single-shuffle-per-side profile as the inner join; outer state "
+    "eviction is what bounds memory.",
+)
+def s14i_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        ((F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1000000)
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+SESSION_GAP_SECONDS = 4 * 3600  # same 4h gap as the batch twin (s14d)
+
+
+@register(
+    "s14j_stream_session_window",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sess_id
+""",
+    doc="S14: STREAMING session_window aggregation — the streaming form of "
+    "s14d: per-user sessions merge while event gaps stay under 4 h, with "
+    "a watermark bounding state in append/update deployments. Driven "
+    "availableNow in complete mode (single micro-batch, no late drops), "
+    "so the result equals the batch gaps-and-islands oracle; "
+    "session_window.end is last-event + gap, mirrored in the oracle. "
+    "Scale: sessions merge inside the state store per user_id — one "
+    "shuffle on the session key, state bounded by the watermark in "
+    "append mode.",
+)
+def s14j_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
