@@ -1558,3 +1558,105 @@ def s04h_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
     )
+
+
+@register(
+    "s05m_time_rollup",
+    oracle="""
+SELECT coalesce(y, 'ALL') AS y,
+       coalesce(m, 'ALL') AS m,
+       coalesce(d, 'ALL') AS d,
+       n_events, sum_value
+FROM (
+  SELECT strftime(ts, '%Y') AS y,
+         strftime(ts, '%m') AS m,
+         strftime(ts, '%d') AS d,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY ROLLUP (1, 2, 3)
+)
+""",
+    doc="S5: time-hierarchy ROLLUP over the event stream — the hypertable "
+    "continuous-aggregate shape: one pass emits day, month, year, and "
+    "grand-total rollups (year/month/day keys kept as strings so NULL "
+    "grouping levels survive both engines' pandas conversion). Money "
+    "sums in DECIMAL for partial-agg order independence. Scale: "
+    "Spark expands rollup into grouping sets inside ONE hash aggregate "
+    "with partial map-side combine — no extra shuffles vs a flat "
+    "group-by.",
+)
+def s05m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_format("ts", "yyyy").alias("y"),
+            F.date_format("ts", "MM").alias("m"),
+            F.date_format("ts", "dd").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("y", F.lit("ALL")).alias("y"),
+            F.coalesce("m", F.lit("ALL")).alias("m"),
+            F.coalesce("d", F.lit("ALL")).alias("d"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "s22_recursive_month_series",
+    oracle="""
+WITH RECURSIVE months(mo) AS (
+  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+  UNION ALL
+  SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE mo < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+)
+SELECT strftime(mo, '%Y-%m') AS month,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(total_price, 0) AS DOUBLE) AS total_price
+FROM months
+LEFT JOIN (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS omo,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  FROM orders GROUP BY 1
+) a ON a.omo = mo
+""",
+    doc="S22: WITH RECURSIVE (Spark 4 recursive CTE) — a gap-free month "
+    "spine generated from the orders date range, left-joined to monthly "
+    "order aggregates so empty months surface as zero rows (the "
+    "time-series zero-fill pattern). The recursion is driver-bounded "
+    "(one row per month); the join against it broadcasts the spine.",
+)
+def s22_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(mo) AS (
+          SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+          UNION ALL
+          SELECT add_months(mo, 1) FROM months
+          WHERE mo < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+        )
+        SELECT date_format(mo, 'yyyy-MM') AS month,
+               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(total_price, 0.0) AS DOUBLE) AS total_price
+        FROM months
+        LEFT JOIN (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS omo,
+                 count(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+          FROM orders GROUP BY 1
+        ) a ON a.omo = mo
+        """
+    )

@@ -684,3 +684,149 @@ def x22_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.round(F.sum("partial"), 6).alias("gram"))
     )
+
+
+PQ_M = 8  # subspaces (64-d -> 8 x 8-d subvectors)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_TRAIN_IDS = 512  # training sample: vectors with vec_id < 512
+PQ_ITERS = 5  # Lloyd iterations per subspace codebook
+PQ_SHORTLIST = 4 * TOP_K  # ADC shortlist size before exact re-rank
+
+
+def _pq_codebooks(sample: np.ndarray) -> np.ndarray:
+    """Deterministic per-subspace k-means codebooks, (M, K, d/M).
+
+    Init = first K sample subvectors (sample is vec_id-ordered); fixed
+    iteration count; empty cells keep their previous codeword — bit-stable
+    across runs, no RNG."""
+    n, dim = sample.shape
+    sub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        x = sample[:, m * sub : (m + 1) * sub]
+        c = x[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    c[k] = x[mask].mean(axis=0)
+        books[m] = c
+    return books
+
+
+@register(
+    "x03f_pq_ann_topk",
+    oracle=None,  # approximate by construction -> rows-only; recall vs the
+    # exact x03 baseline is pinned in tests/test_ann_recall.py.
+    doc="X3: product-quantization ANN (the IVF-PQ memory shape of "
+    "billion-scale ANN systems): unit-normalized vectors are split into "
+    "8 subvectors, each coded to one of 16 per-subspace k-means "
+    "codewords (4 bits — a 64-d float vector compresses to 8 bytes of "
+    "codes). Queries score candidates with asymmetric-distance lookup "
+    "tables (one 8x16 dot-product table per query, summed over code "
+    "entries — no decode), take an ADC shortlist per batch, then exact-"
+    "cosine re-rank only the shortlist; per-partition top-k keeps the "
+    "final shuffle at partitions x queries x k rows. Codebooks train "
+    "driver-side on a deterministic vec_id-ordered sample (standard "
+    "sample-based PQ training) and ride the UDF closure like a "
+    "broadcast. At 100 TB the stored corpus is codes + ids only "
+    "(~16 bytes/vector); raw vectors stream past once for the re-rank.",
+)
+def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = (
+        emb.filter(F.col("vec_id") < PQ_TRAIN_IDS)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in train])
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_codebooks(sample)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    sub = qmat.shape[1] // PQ_M
+    # ADC tables: adc[q, m, k] = dot(q_m, codeword_mk)
+    adc = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qids), PQ_M, sub), books)
+
+    def score(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / norms
+            parts = unit.reshape(len(pdf), PQ_M, sub)
+            # encode: nearest codeword per subspace
+            codes = np.stack(
+                [
+                    ((parts[:, m, None, :] - books[m][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for m in range(PQ_M)
+                ],
+                axis=1,
+            )  # (n, M)
+            # ADC score per query: sum over subspaces of table[code]
+            approx = np.stack(
+                [adc[qi, np.arange(PQ_M), codes].sum(axis=1) for qi in range(len(qids))]
+            )  # (Q, n)
+            frames = []
+            for qi in range(len(qids)):
+                order = np.argsort(-approx[qi], kind="stable")[:PQ_SHORTLIST]
+                keep = order[pdf["neighbor_id"].to_numpy()[order] != qids[qi]]
+                exact = np.round(unit[keep] @ qmat[qi], 6)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": pdf["neighbor_id"].to_numpy()[keep],
+                            "neighbor_label": pdf["neighbor_label"].to_numpy()[keep],
+                            "cosine_sim": exact,
+                        }
+                    )
+                )
+            cand = pd.concat(frames)
+            best = cand if best is None else pd.concat([best, cand])
+            best = (
+                best.sort_values(
+                    ["query_id", "cosine_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(TOP_K)
+            )
+        if best is not None and len(best):
+            yield best
+
+    cands = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("cv"),
+        )
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism, "neighbor_id")
+        .mapInPandas(
+            score,
+            "query_id bigint, neighbor_id bigint, neighbor_label int, cosine_sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
+    )

@@ -29,7 +29,9 @@ def exact(spark, sf_dir):
     return _pairs(QS["x03_cosine_topk"].fn(spark, sf_dir))
 
 
-@pytest.mark.parametrize("ann_name", ["x03b_lsh_ann_topk", "x03d_ivf_ann_topk"])
+@pytest.mark.parametrize(
+    "ann_name", ["x03b_lsh_ann_topk", "x03d_ivf_ann_topk", "x03f_pq_ann_topk"]
+)
 def test_ann_recall_floor(spark, sf_dir, exact, ann_name):
     approx = _pairs(QS[ann_name].fn(spark, sf_dir))
     recall = len(approx & exact) / len(exact)
