@@ -1668,3 +1668,72 @@ def s22_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) a ON a.omo = mo
         """
     )
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s23 join with runtime-bloom-filter-friendly shape: selective
+    dimension (urgent orders) sort-merge-joined to the lineitem fact."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+BLOOM_CONFS = {
+    # Emulate the 100 TB size ratios at test scale: the app-side scan-size
+    # gate (default 10 GB) is what a real fact table clears naturally, and
+    # forcing SMJ stands in for a fact side too big to broadcast against.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "s23_bloom_filtered_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+    doc="S23: runtime bloom-filter join pruning — Catalyst injects a "
+    "might_contain(bloom(o_orderkey)) predicate into the lineitem scan "
+    "when one join side is selective, so fact rows that cannot match die "
+    "at the scan instead of crossing the shuffle (the dominant cost of a "
+    "selective fact-dim SMJ at 100 TB). Thresholds are tuned to emulate "
+    "the production size ratios at test scale (see BLOOM_CONFS); the "
+    "join executes eagerly inside the conf scope (localCheckpoint) and "
+    "confs are restored. tests/test_plans.py asserts might_contain is "
+    "actually in the optimized plan.",
+)
+def s23_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # eager: the bloom-filter injection must happen while the confs hold
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

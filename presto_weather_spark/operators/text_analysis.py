@@ -971,3 +971,114 @@ def x28_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("corpus_share"),
         F.round((F.lit(1.0) / F.col("n_cells")) / share, 6).alias("weight"),
     )
+
+
+PSI_BINS = 10  # fixed equal-width bins over the global value range
+
+
+@register(
+    "x30_psi_drift_monitor",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(ts) AS t0, max(ts) AS t1, min(value) AS v0, max(value) AS v1
+  FROM events
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN epoch(e.ts) * 2 <= epoch(b.t0) + epoch(b.t1)
+              THEN 'ref' ELSE 'cur' END AS period,
+         least(CAST(floor((e.value - b.v0) / ((b.v1 - b.v0) / {PSI_BINS})) AS INT),
+               {PSI_BINS - 1}) AS bin
+  FROM events e CROSS JOIN bounds b
+),
+spine AS (
+  SELECT DISTINCT event_type, s.bin
+  FROM binned CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) s
+),
+counts AS (
+  SELECT s.event_type, s.bin,
+         count(*) FILTER (b.period = 'ref') AS n_ref,
+         count(*) FILTER (b.period = 'cur') AS n_cur
+  FROM spine s
+  LEFT JOIN binned b ON b.event_type = s.event_type AND b.bin = s.bin
+  GROUP BY s.event_type, s.bin
+),
+tot AS (
+  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(SUM(c.n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(c.n_cur) AS BIGINT) AS n_cur,
+       round(SUM(
+         ((c.n_ref + 0.5) / (t.t_ref + {PSI_BINS} * 0.5)
+          - (c.n_cur + 0.5) / (t.t_cur + {PSI_BINS} * 0.5))
+         * ln(((c.n_ref + 0.5) / (t.t_ref + {PSI_BINS} * 0.5))
+              / ((c.n_cur + 0.5) / (t.t_cur + {PSI_BINS} * 0.5)))
+       ), 6) AS psi
+FROM counts c JOIN tot t USING (event_type)
+GROUP BY c.event_type
+""",
+    doc="X30: population-stability-index drift monitor — the standard "
+    "training-data distribution-shift check: per event_type, the value "
+    "distribution of the first time half (reference) vs the second "
+    "(current) over 10 fixed equal-width bins, Laplace-smoothed "
+    "(+0.5/bin) so empty bins stay finite; PSI = sum (p_ref - p_cur) * "
+    "ln(p_ref/p_cur). >0.2 conventionally flags drift. Scale: global "
+    "min/max ride a broadcast scalar row; one partial-agg shuffle on "
+    "(event_type, period, bin) — cardinality bins x types x 2, "
+    "independent of row count; the bin spine is generated, not scanned.",
+)
+def x30_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    width = (F.col("v1") - F.col("v0")) / PSI_BINS
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.unix_seconds("ts") * 2 <= F.unix_seconds("t0") + F.unix_seconds("t1"),
+            F.lit("ref"),
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.floor((F.col("value") - F.col("v0")) / width).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("period") == "ref", 1)).alias("n_ref"),
+            F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+        )
+    )
+    # dense bin spine so empty bins contribute their smoothed mass
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin")))
+    )
+    dense = spine.join(counts, ["event_type", "bin"], "left").fillna(
+        0, subset=["n_ref", "n_cur"]
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    sm = F.lit(0.5)
+    p_ref = (F.col("n_ref") + sm) / (F.col("t_ref") + PSI_BINS * sm)
+    p_cur = (F.col("n_cur") + sm) / (F.col("t_cur") + PSI_BINS * sm)
+    return (
+        dense.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.round(F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6).alias("psi"),
+        )
+    )

@@ -115,3 +115,65 @@ def test_q9_profit_join_shape(spark, sf_dir):
 def test_unigram_lm_broadcasts(spark, sf_dir):
     """x20: the vocab-sized LM table broadcasts onto the token stream."""
     assert has_broadcast_join(_df("x20_unigram_logprob", spark, sf_dir))
+
+
+def test_sequence_packing_has_no_global_window(spark, sf_dir):
+    """x27: the token cumsum must be hierarchical — the only
+    SinglePartition exchange allowed is over the tiny per-bucket prefix
+    table (an aggregate of corpus/1024 rows), never over the doc table."""
+    plan = simple_plan(_df("x27_sequence_packing", spark, sf_dir))
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "SinglePartition" in l]
+    assert single, "expected the bucket-prefix window exchange"
+    # The doc-level branch partitions by bucket; bucket-prefix by single.
+    assert any("hashpartitioning(bucket" in l for l in lines), plan[:900]
+
+
+def test_pq_ann_corpus_stays_partition_local(spark, sf_dir):
+    """x03f: no shuffle between the corpus scan and the PQ scoring UDF —
+    only the tiny per-partition top-k output may exchange."""
+    plan = simple_plan(_df("x03f_pq_ann_topk", spark, sf_dir))
+    scoring = plan.split("MapInPandas")[-1]  # below = scan side
+    assert "Exchange hashpartitioning(neighbor_id" in scoring, plan[:900]
+
+
+def test_time_rollup_single_aggregate_pass(spark, sf_dir):
+    """s05m: ROLLUP expands inside one hash aggregate (expand + partial +
+    final) — exactly one shuffle exchange in the whole plan."""
+    plan = simple_plan(_df("s05m_time_rollup", spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges: {plan[:900]}"
+    assert "Expand" in plan, plan[:500]
+
+
+def test_pmi_prunes_before_pairing(spark, sf_dir):
+    """x23: the quadratic self-join must sit above the broadcast
+    support-prune join, not directly on the raw doc-term table."""
+    plan = simple_plan(_df("x23_pmi_cooccurrence", spark, sf_dir))
+    # both pairing inputs are pruned -> two broadcast joins appear before
+    # the sort-merge/hash join on doc_id
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:900]
+
+
+def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """s23: with the scale-emulating confs active, Catalyst must inject a
+    might_contain runtime filter on the lineitem side of the join."""
+    from presto_weather_spark.operators.relational import (
+        BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = (
+            _bloom_join_frame(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:800]
