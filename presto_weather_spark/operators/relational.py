@@ -1609,67 +1609,6 @@ def s05m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-@register(
-    "s22_recursive_month_series",
-    oracle="""
-WITH RECURSIVE months(mo) AS (
-  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
-  UNION ALL
-  SELECT CAST(mo + INTERVAL 1 MONTH AS DATE) FROM months
-  WHERE mo < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
-)
-SELECT strftime(mo, '%Y-%m') AS month,
-       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
-       CAST(coalesce(total_price, 0) AS DOUBLE) AS total_price
-FROM months
-LEFT JOIN (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS omo,
-         count(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-  FROM orders GROUP BY 1
-) a ON a.omo = mo
-""",
-    doc="S22: WITH RECURSIVE (Spark 4 recursive CTE) — a gap-free month "
-    "spine generated from the orders date range, left-joined to monthly "
-    "order aggregates so empty months surface as zero rows (the "
-    "time-series zero-fill pattern). The spine bounds are resolved ONCE "
-    "and inlined as literals: a scalar subquery in the recursive step's "
-    "WHERE re-executes the full orders aggregate on EVERY iteration "
-    "(~80 table scans, measured 12x slower). The recursion is "
-    "driver-bounded (one row per month); the join against it broadcasts "
-    "the spine.",
-)
-def s22_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from presto_weather_spark.session import register_views
-
-    register_views(spark, sf_dir)
-    lo, hi = spark.sql(
-        "SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),"
-        "       CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders"
-    ).collect()[0]
-    return spark.sql(
-        f"""
-        WITH RECURSIVE months(mo) AS (
-          SELECT DATE '{lo}'
-          UNION ALL
-          SELECT add_months(mo, 1) FROM months
-          WHERE mo < DATE '{hi}'
-        )
-        SELECT date_format(mo, 'yyyy-MM') AS month,
-               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
-               CAST(coalesce(total_price, 0.0) AS DOUBLE) AS total_price
-        FROM months
-        LEFT JOIN (
-          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS omo,
-                 count(*) AS n_orders,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-          FROM orders GROUP BY 1
-        ) a ON a.omo = mo
-        """
-    )
-
-
 def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The s23 join with runtime-bloom-filter-friendly shape: selective
     dimension (urgent orders) sort-merge-joined to the lineitem fact."""

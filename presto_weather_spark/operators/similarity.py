@@ -830,3 +830,106 @@ def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
     )
+
+
+@register(
+    "x31_hard_pair_mining",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id, label, embedding FROM embeddings),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         CASE WHEN c.label = q.qlabel THEN 'pos' ELSE 'neg' END AS kind,
+         round({_SQL_DOT.format(a='q.qv', b='c.embedding')} /
+               ({_SQL_NORM.format(v='q.qv')} * {_SQL_NORM.format(v='c.embedding')}),
+               6) AS cosine_sim
+  FROM q JOIN c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, kind
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM sims
+)
+SELECT query_id, kind, neighbor_id, neighbor_label, cosine_sim
+FROM ranked WHERE rn = 1
+""",
+    doc="X31: contrastive-pair mining — for each anchor, the hardest "
+    "positive (most-similar SAME-label vector) and hardest negative "
+    "(most-similar different-label vector), the pair-selection step of "
+    "metric-learning / embedding-model training data. Same execution "
+    "shape as x03: anchors ride the closure, each Arrow batch is one "
+    "BLAS matmul, each partition emits only its best pos/neg per anchor "
+    "(exact: argmax distributes over partition union), final window "
+    "reduces partitions x anchors x 2 rows.",
+)
+def x31_hard_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.asarray([r["label"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def mine(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            sims = (mat @ qmat.T) / (
+                np.sqrt((mat * mat).sum(axis=1))[:, None] * qnorm[None, :]
+            )
+            sims = np.round(sims, 6)
+            n = len(pdf)
+            labels = pdf["neighbor_label"].to_numpy()
+            cand = pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), len(qids)),
+                    "neighbor_label": np.repeat(labels, len(qids)),
+                    "kind": np.where(
+                        np.repeat(labels, len(qids)) == np.tile(qlabels, n),
+                        "pos",
+                        "neg",
+                    ),
+                    "cosine_sim": sims.ravel(),
+                }
+            )
+            cand = cand[cand["query_id"] != cand["neighbor_id"]]
+            best = cand if best is None else pd.concat([best, cand])
+            best = (
+                best.sort_values(
+                    ["query_id", "kind", "cosine_sim", "neighbor_id"],
+                    ascending=[True, True, False, True],
+                )
+                .groupby(["query_id", "kind"], sort=False)
+                .head(1)
+            )
+        if best is not None and len(best):
+            yield best
+
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cv"),
+    ).mapInPandas(
+        mine,
+        "query_id bigint, neighbor_id bigint, neighbor_label int, "
+        "kind string, cosine_sim double",
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "kind", "neighbor_id", "neighbor_label", "cosine_sim")
+    )
