@@ -726,8 +726,10 @@ def _pq_codebooks(sample: np.ndarray) -> np.ndarray:
     "codewords (4 bits — a 64-d float vector compresses to 8 bytes of "
     "codes). Queries score candidates with asymmetric-distance lookup "
     "tables (one 8x16 dot-product table per query, summed over code "
-    "entries — no decode), take an ADC shortlist per batch, then exact-"
-    "cosine re-rank only the shortlist; per-partition top-k keeps the "
+    "entries — no decode), maintain an ADC shortlist per PARTITION "
+    "(batch-boundary invariant: iterative top-k pruning under a total "
+    "order is associative), then exact-cosine re-rank only the "
+    "shortlist; per-partition top-k keeps the "
     "final shuffle at partitions x queries x k rows. Codebooks train "
     "driver-side on a deterministic vec_id-ordered sample (standard "
     "sample-based PQ training) and ride the UDF closure like a "
@@ -759,14 +761,29 @@ def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC tables: adc[q, m, k] = dot(q_m, codeword_mk)
     adc = np.einsum("qmd,mkd->qmk", qmat.reshape(len(qids), PQ_M, sub), books)
 
+    dim = qmat.shape[1]
+
     def score(batches):
-        best: pd.DataFrame | None = None
+        # Per-query ADC shortlist maintained ACROSS batches (iterative
+        # top-k prune under the (adc desc, neighbor_id) total order is
+        # associative), so the result is invariant to Arrow batch
+        # boundaries; exact re-rank happens once per partition at the end.
+        state = {
+            qi: (
+                np.empty(0, dtype=np.int64),  # neighbor ids
+                np.empty(0, dtype=np.int64),  # labels
+                np.empty(0),  # adc scores
+                np.empty((0, dim)),  # unit vectors
+            )
+            for qi in range(len(qids))
+        }
+        seen = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            seen = True
             mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            unit = mat / norms
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             parts = unit.reshape(len(pdf), PQ_M, sub)
             # encode: nearest codeword per subspace
             codes = np.stack(
@@ -778,37 +795,39 @@ def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
                 axis=1,
             )  # (n, M)
-            # ADC score per query: sum over subspaces of table[code]
-            approx = np.stack(
-                [adc[qi, np.arange(PQ_M), codes].sum(axis=1) for qi in range(len(qids))]
-            )  # (Q, n)
-            frames = []
+            ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            labels = pdf["neighbor_label"].to_numpy().astype(np.int64)
             for qi in range(len(qids)):
-                order = np.argsort(-approx[qi], kind="stable")[:PQ_SHORTLIST]
-                keep = order[pdf["neighbor_id"].to_numpy()[order] != qids[qi]]
-                exact = np.round(unit[keep] @ qmat[qi], 6)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids[qi],
-                            "neighbor_id": pdf["neighbor_id"].to_numpy()[keep],
-                            "neighbor_label": pdf["neighbor_label"].to_numpy()[keep],
-                            "cosine_sim": exact,
-                        }
-                    )
+                mask = ids != qids[qi]
+                batch_adc = adc[qi, np.arange(PQ_M), codes[mask]].sum(axis=1)
+                sid, slab, sadc, svec = state[qi]
+                cid = np.concatenate([sid, ids[mask]])
+                clab = np.concatenate([slab, labels[mask]])
+                cadc = np.concatenate([sadc, batch_adc])
+                cvec = np.vstack([svec, unit[mask]])
+                order = np.lexsort((cid, -cadc))[:PQ_SHORTLIST]
+                state[qi] = (cid[order], clab[order], cadc[order], cvec[order])
+        if not seen:
+            return
+        frames = []
+        for qi in range(len(qids)):
+            sid, slab, _, svec = state[qi]
+            if not len(sid):
+                continue
+            exact = np.round(svec @ qmat[qi], 6)
+            keep = np.lexsort((sid, -exact))[:TOP_K]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": sid[keep],
+                        "neighbor_label": slab[keep],
+                        "cosine_sim": exact[keep],
+                    }
                 )
-            cand = pd.concat(frames)
-            best = cand if best is None else pd.concat([best, cand])
-            best = (
-                best.sort_values(
-                    ["query_id", "cosine_sim", "neighbor_id"],
-                    ascending=[True, False, True],
-                )
-                .groupby("query_id", sort=False)
-                .head(TOP_K)
             )
-        if best is not None and len(best):
-            yield best
+        if frames:
+            yield pd.concat(frames)
 
     cands = (
         emb.select(

@@ -22,6 +22,14 @@ INVARIANT_QUERIES = [
     "x20_unigram_logprob",
     "x22_embedding_gram",
     "x21_corpus_pipeline",
+    # per-partition top-k/argmax + hierarchical cumsum operators: their
+    # exactness claim is precisely that partitioning and Arrow batch
+    # boundaries cannot change the result
+    "x03_cosine_topk",
+    "x03f_pq_ann_topk",
+    "x31_hard_pair_mining",
+    "x27_sequence_packing",
+    "x30_psi_drift_monitor",
 ]
 
 
@@ -30,9 +38,14 @@ def test_result_invariant_to_shuffle_parallelism(spark, sf_dir, name):
     q = QS[name]
     base = normalize(q.fn(spark, sf_dir).toPandas())
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
+        # shrink Arrow batches so mapInPandas operators also prove
+        # batch-boundary invariance, not just shuffle invariance
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
         low = normalize(q.fn(spark, sf_dir).toPandas())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_batch)
     assert base == low, f"{name}: result depends on shuffle parallelism"
