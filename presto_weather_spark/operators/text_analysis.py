@@ -9,6 +9,8 @@ the row loop — so they parallelize trivially: at 100 TB these are one scan +
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1081,4 +1083,40 @@ def x30_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_cur").alias("n_cur"),
             F.round(F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6).alias("psi"),
         )
+    )
+
+
+@register(
+    "x32_compression_ratio",
+    oracle=None,  # zlib has no DuckDB analogue -> rows-only; determinism
+    # and the planted-repetition property are pinned in
+    # tests/test_properties.py (zlib DEFLATE with a fixed level is a
+    # deterministic function of the bytes).
+    doc="X32: compression-ratio quality signal — deflated_size / raw_size "
+    "per document (zlib level 6). Highly repetitive or templated text "
+    "compresses far below ~0.4 and is a classic corpus-filter signal "
+    "(complements the explicit n-gram repetition gate, x17: compression "
+    "catches ANY redundancy, not just fixed-length repeats). Runs as an "
+    "Arrow-batched pandas UDF — CPU-bound, partition-local, no shuffle; "
+    "the gate column makes it directly usable as a curation filter.",
+)
+def x32_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: round(
+                len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t.encode("utf-8")), 1),
+                6,
+            )
+        )
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    r = ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        r.alias("compression_ratio"),
+        F.when(r < 0.4, "drop").otherwise("keep").alias("redundancy_gate"),
     )

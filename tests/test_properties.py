@@ -147,3 +147,34 @@ def test_chunk_dedup_flags_planted_duplicates(spark):
     assert res[1]["dup_ratio"] == 1.0 and res[2]["dup_ratio"] == 1.0
     assert res[3]["dup_ratio"] == 0.0
     assert res[1]["n_chunks"] == res[1]["dup_chunks"]
+
+
+def test_compression_ratio_gates_planted_repetition(spark):
+    # x32 on a corpus with one highly repetitive doc and one high-entropy
+    # doc: the repetitive one compresses hard and is gated 'drop'; ratios
+    # are deterministic (zlib level pinned).
+    from presto_weather_spark.registry import all_queries
+    import os
+    import random
+    import tempfile
+
+    rng = random.Random(7)
+    noisy = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(60)
+    )
+    rows = [
+        (1, "spam ham " * 200, "en", "src0", 1800),
+        (2, noisy, "en", "src1", len(noisy)),
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_compress")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    q = all_queries()["x32_compression_ratio"]
+    res = {r["doc_id"]: r for r in q.fn(spark, out).collect()}
+    assert res[1]["redundancy_gate"] == "drop" and res[1]["compression_ratio"] < 0.1
+    assert res[2]["redundancy_gate"] == "keep" and res[2]["compression_ratio"] > 0.5
+    # bit-stable across runs
+    res2 = {r["doc_id"]: r["compression_ratio"] for r in q.fn(spark, out).collect()}
+    assert res2 == {k: r["compression_ratio"] for k, r in res.items()}
