@@ -544,3 +544,50 @@ def s14j_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "s24_file_sink_exactly_once",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       round(value, 6) AS value
+FROM events
+""",
+    doc="S24: exactly-once streaming FILE sink — the stream appends parquet "
+    "through a checkpointed file sink, then the SAME stream+checkpoint is "
+    "started a second time (a restart/replay): the source's committed "
+    "offsets make the replay a no-op and the sink's _spark_metadata log "
+    "defines the committed file set, so readers see each input row "
+    "exactly once. The oracle is the plain batch projection — equality "
+    "IS the exactly-once guarantee. Scale: the metadata log is the "
+    "coordination point (object stores have no atomic rename); "
+    "compaction intervals bound its growth.",
+)
+def s24_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stream = events_stream(spark, sf_dir)
+    out = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.round("value", 6).alias("value"),
+    )
+    base = f"/tmp/pws_eo_{uuid.uuid4().hex[:12]}"
+    sink_dir, ckpt = f"{base}/data", f"{base}/ckpt"
+    try:
+        for _ in range(2):  # second start = restart/replay; must add nothing
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # localCheckpoint so the returned frame outlives the tmp cleanup
+        return spark.read.parquet(sink_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
