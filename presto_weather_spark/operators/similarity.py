@@ -307,56 +307,47 @@ WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} /
 """,
     doc="X2/X3: embedding-cosine near-duplicate pairs — all-pairs cosine "
     "over a bounded probe set with threshold tau, survivor = lower vec_id. "
-    "The exact small-scale form; at 100 TB the pair space is first blocked "
-    "by the x03b LSH buckets (same bucket => candidate) so only "
-    "intra-bucket pairs are scored.",
+    "The probe set rides the UDF closure (it is bounded by construction — "
+    "the broadcast pattern) and each Arrow batch of the same scan is one "
+    "BLAS matmul against it; the vec_a < vec_b guard keeps each pair "
+    "scored once. The exact small-scale form; at 100 TB the pair space "
+    "is first blocked by the x03b LSH buckets (same bucket => candidate) "
+    "so only intra-bucket pairs are scored — with the same per-bucket "
+    "matmul kernel.",
 )
 def x02d_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All-pairs dot products via posexplode + equi-join on component index +
-    # codegen hash aggregate, instead of a theta-join with a higher-order
-    # cosine per pair (interpreted lambdas made that form ~10x slower).
-    # The exploded component table is broadcast-size by construction
-    # (NEARDUP_SUBSET * 64 rows), so the join is shuffle-free.
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEARDUP_SUBSET
     )
-    comps = emb.select(
-        "vec_id", F.posexplode(_dbl("embedding")).alias("pos", "comp")
-    )
-    norms = emb.select(
-        "vec_id",
-        F.sqrt(
-            F.aggregate(
-                F.transform(_dbl("embedding"), lambda x: x * x),
-                F.lit(0.0),
-                lambda s, v: s + v,
+    probe = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    pids = np.asarray([r["vec_id"] for r in probe], dtype=np.int64)
+    pmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in probe])
+    punit = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+
+    def pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(unit @ punit.T, 6)  # (n, probe)
+            ids = pdf["vec_a"].to_numpy().astype(np.int64)
+            row, col = np.nonzero(
+                (sims >= NEARDUP_TAU) & (ids[:, None] < pids[None, :])
             )
-        ).alias("norm"),
-    )
-    a = comps.select(
-        F.col("vec_id").alias("vec_a"), F.col("pos").alias("pos_a"), F.col("comp").alias("ca")
-    )
-    b = comps.select(
-        F.col("vec_id").alias("vec_b"), F.col("pos").alias("pos_b"), F.col("comp").alias("cb")
-    )
-    dots = (
-        F.broadcast(a)
-        .join(b, (F.col("pos_a") == F.col("pos_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"))
-    return (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= NEARDUP_TAU)
-    )
+            if not len(row):
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids[row],
+                    "vec_b": pids[col],
+                    "cosine_sim": sims[row, col],
+                }
+            )
+
+    return emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("cv")
+    ).mapInPandas(pairs, "vec_a bigint, vec_b bigint, cosine_sim double")
 
 
 @register(

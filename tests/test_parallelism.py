@@ -26,6 +26,7 @@ INVARIANT_QUERIES = [
     # exactness claim is precisely that partitioning and Arrow batch
     # boundaries cannot change the result
     "x03_cosine_topk",
+    "x02d_embedding_cosine_neardup",
     "x03f_pq_ann_topk",
     "x31_hard_pair_mining",
     "x27_sequence_packing",
