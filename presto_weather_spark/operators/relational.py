@@ -1676,3 +1676,81 @@ def s23_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s25 join: a synthetic hot cohort (two-thirds of events collapse
+    onto cohort 0) joined to a one-row-per-cohort dimension. The fact side
+    is fanned out to 32 map tasks first — AQE's skew split reassembles a
+    hot REDUCER partition from per-MAPPER output chunks, so a one-mapper
+    shuffle (the single-row-group fixture scan) can never be split."""
+    e = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    c = load_table(spark, sf_dir, "customer")
+    fact = e.select(
+        F.when(F.col("user_id") < 100, 0).otherwise(F.col("user_id")).alias("cohort"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+    )
+    dim = c.filter((F.col("c_custkey") >= 100) | (F.col("c_custkey") == 50)).select(
+        F.when(F.col("c_custkey") == 50, 0)
+        .otherwise(F.col("c_custkey"))
+        .alias("cohort"),
+        "c_mktsegment",
+    )
+    return fact.join(dim, "cohort").select(
+        "cohort", "event_id", "c_mktsegment", "value"
+    )
+
+
+SKEW_CONFS = {
+    # Emulate 100 TB size ratios at test scale: thresholds sized so the
+    # hot cohort's reducer partition qualifies as skewed and splits.
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@register(
+    "s25_skew_join_aqe",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS cohort,
+         event_id, round(value, 6) AS value
+  FROM events
+),
+dim AS (
+  SELECT CASE WHEN c_custkey = 50 THEN 0 ELSE c_custkey END AS cohort,
+         c_mktsegment
+  FROM customer WHERE c_custkey >= 100 OR c_custkey = 50
+)
+SELECT f.cohort, f.event_id, d.c_mktsegment, f.value
+FROM fact f JOIN dim d USING (cohort)
+""",
+    doc="S25: AQE runtime skew-join splitting — two-thirds of the fact "
+    "stream lands on one join key; AQE detects the oversized reducer "
+    "partition at stage boundary and splits it across tasks "
+    "(SortMergeJoin(skew=true), duplicated matching dim partition) with "
+    "NO manual salting — the runtime complement to the hand-salted "
+    "aggregate (s05h). Key enabler documented in _skew_join_frame: "
+    "splits are per-mapper output chunks, so the fact side must have "
+    "multiple map tasks. Executed eagerly inside the conf scope; "
+    "tests/test_plans.py asserts skew=true in the final adaptive plan.",
+)
+def s25_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {k: spark.conf.get(k, None) for k in SKEW_CONFS}
+    for k, v in SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _skew_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

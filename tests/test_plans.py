@@ -177,3 +177,26 @@ def test_bloom_filter_reaches_fact_scan(spark, sf_dir):
         for k, v in saved.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "might_contain" in plan, plan[:800]
+
+
+def test_skew_join_splits_hot_partition(spark, sf_dir):
+    """s25: with the scale-emulating confs, AQE must mark the join
+    skew-handled in the FINAL adaptive plan (requires executing the
+    frame's own QueryExecution — a sink write plans a separate one)."""
+    from presto_weather_spark.operators.relational import (
+        SKEW_CONFS,
+        _skew_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in SKEW_CONFS}
+    for k, v in SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _skew_join_frame(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:600]
