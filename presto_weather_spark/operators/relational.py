@@ -1754,3 +1754,28 @@ def s25_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "s26_total_order_export",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events ORDER BY ts, event_id
+""",
+    doc="S26: totally-ordered export — the full table sorted by "
+    "(ts, event_id) with NO limit: Spark plans Exchange rangepartitioning "
+    "(sampled split points) + per-partition sort, so a global total order "
+    "materializes without ever funnelling through one reducer — the "
+    "time-ordered training-shard / changelog export shape. Contrast s07, "
+    "where a LIMIT turns the same ordering into TakeOrderedAndProject. "
+    "Plan pinned in tests/test_plans.py.",
+)
+def s26_total_order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    ).orderBy("ts_str", "event_id")

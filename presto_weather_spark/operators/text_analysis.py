@@ -1120,3 +1120,42 @@ def x32_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("compression_ratio"),
         F.when(r < 0.4, "drop").otherwise("keep").alias("redundancy_gate"),
     )
+
+
+RAG_CHUNK = 64  # chars per retrieval chunk
+RAG_STRIDE = 48  # 16-char overlap between consecutive chunks
+
+
+@register(
+    "x33_rag_chunking",
+    oracle=f"""
+SELECT doc_id,
+       CAST((s - 1) // {RAG_STRIDE} AS INT) AS chunk_idx,
+       CAST(s AS INT) AS chunk_start,
+       substr(text, CAST(s AS INT), {RAG_CHUNK}) AS chunk_text,
+       md5(substr(text, CAST(s AS INT), {RAG_CHUNK})) AS chunk_hash
+FROM documents,
+     unnest(generate_series(1, greatest(len(text), 1), {RAG_STRIDE})) AS t(s)
+""",
+    doc="X33: overlapping-window chunking for retrieval corpora (RAG prep) "
+    "— 64-char chunks every 48 chars so no boundary-straddling phrase is "
+    "lost to a hard cut (the overlap twin of x19's ALIGNED dedup chunks; "
+    "same scan-side explode, different purpose). chunk_idx derives "
+    "arithmetically from the start offset — no window function, so the "
+    "chunk table is born fully parallel with zero shuffles; the md5 "
+    "chunk_hash is the join key downstream (chunk-level dedup, chunk -> "
+    "embedding association).",
+)
+def x33_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(RAG_STRIDE)
+    )
+    chunk = F.col("text").substr(F.col("s"), F.lit(RAG_CHUNK))
+    return d.select("doc_id", "text", F.explode(starts).alias("s")).select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) DIV {RAG_STRIDE} AS INT)").alias("chunk_idx"),
+        F.col("s").cast("int").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.md5(chunk.cast("binary")).alias("chunk_hash"),
+    )

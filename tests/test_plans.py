@@ -200,3 +200,11 @@ def test_skew_join_splits_hot_partition(spark, sf_dir):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan[:600]
+
+
+def test_total_order_export_uses_range_partitioning(spark, sf_dir):
+    """s26: a no-limit global sort must plan Exchange rangepartitioning
+    (parallel total order), never a single-partition sort."""
+    plan = simple_plan(_df("s26_total_order_export", spark, sf_dir))
+    assert "rangepartitioning" in plan, plan[:600]
+    assert "SinglePartition" not in plan, plan[:600]
