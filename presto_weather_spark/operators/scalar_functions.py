@@ -586,3 +586,75 @@ def s13c_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "int") % 10).alias("k_bucket"),
         F.try_variant_get(v, "$.missing", "int").alias("absent"),
     )
+
+
+@register(
+    "s15e_cogrouped_asof_enrich",
+    oracle="""
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         (epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 86400000000 AS days_since_order,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey, CAST(days_since_order AS BIGINT) AS days_since_order
+FROM j WHERE rn = 1
+""",
+    doc="S15: COGROUPED map (groupBy().cogroup().applyInPandas) — the "
+    "two-sided grouped-pandas API: each user's event batch and order "
+    "batch arrive as aligned pandas frames and pd.merge_asof attaches "
+    "the latest order at-or-before each event (deterministic tiebreak: "
+    "frames pre-sorted by (date, orderkey), merge_asof keeps the last "
+    "match). The per-key as-of logic the s04e join expresses relationally "
+    "— here as imperative pandas where a relational form wouldn't fit "
+    "(model scoring, curve interpolation). Scale: one shuffle per side "
+    "on the cogroup key, Arrow both ways, per-key memory only.",
+)
+def s15e_cogrouped_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+
+    def asof(evp: pd.DataFrame, odp: pd.DataFrame) -> pd.DataFrame:
+        if not len(evp) or not len(odp):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "days_since_order": pd.Series(dtype="int64"),
+                }
+            )
+        evp = evp.sort_values(["ts", "event_id"])
+        odp = odp.sort_values(["o_orderdate", "o_orderkey"])
+        m = pd.merge_asof(evp, odp, left_on="ts", right_on="o_orderdate")
+        m = m[m["o_orderkey"].notna()]
+        # exact integer microsecond arithmetic — float total_seconds()
+        # can land an epsilon under an exact day multiple and floor wrong
+        days = (
+            (m["ts"].astype("int64") - m["o_orderdate"].astype("int64"))
+            // (86_400 * 1_000_000 if m["ts"].dt.unit == "us" else 86_400 * 10**9)
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id_x"],
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "days_since_order": days,
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id bigint, user_id bigint, o_orderkey bigint, "
+            "days_since_order bigint",
+        )
+    )
