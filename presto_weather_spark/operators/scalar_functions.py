@@ -615,10 +615,24 @@ FROM j WHERE rn = 1
 def s15e_cogrouped_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    COGROUP_BUCKETS = 64
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     od = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
+    # Cogroup invokes Python once PER KEY, so the cogroup key is a HASH
+    # BUCKET, not the raw user id: 64 buckets = 64 Python calls total,
+    # and pd.merge_asof(by="user_id") aligns every user inside a bucket
+    # in one vectorized pass. Cogrouping on raw user_id paid per-key
+    # Arrow+call overhead (~7 ms x 15k keys = 16s at sf0.1; bucketed:
+    # ~1s). Orders also pre-filter to users present in events (broadcast
+    # semi-join) — orders has 10x more customers than events has users.
+    keys = ev.select("user_id").distinct()
+    od = od.join(F.broadcast(keys), "user_id", "semi").withColumn(
+        "bucket", F.pmod("user_id", F.lit(COGROUP_BUCKETS))
+    )
+    ev = ev.withColumn("bucket", F.pmod("user_id", F.lit(COGROUP_BUCKETS)))
 
     def asof(evp: pd.DataFrame, odp: pd.DataFrame) -> pd.DataFrame:
         if not len(evp) or not len(odp):
@@ -632,7 +646,9 @@ def s15e_cogrouped_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         evp = evp.sort_values(["ts", "event_id"])
         odp = odp.sort_values(["o_orderdate", "o_orderkey"])
-        m = pd.merge_asof(evp, odp, left_on="ts", right_on="o_orderdate")
+        m = pd.merge_asof(
+            evp, odp, left_on="ts", right_on="o_orderdate", by="user_id"
+        )
         m = m[m["o_orderkey"].notna()]
         # exact integer microsecond arithmetic — float total_seconds()
         # can land an epsilon under an exact day multiple and floor wrong
@@ -643,15 +659,15 @@ def s15e_cogrouped_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "event_id": m["event_id"],
-                "user_id": m["user_id_x"],
+                "user_id": m["user_id"],
                 "o_orderkey": m["o_orderkey"].astype("int64"),
                 "days_since_order": days,
             }
         )
 
     return (
-        ev.groupBy("user_id")
-        .cogroup(od.groupBy("user_id"))
+        ev.groupBy("bucket")
+        .cogroup(od.groupBy("bucket"))
         .applyInPandas(
             asof,
             "event_id bigint, user_id bigint, o_orderkey bigint, "
