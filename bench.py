@@ -62,6 +62,11 @@ def main() -> None:
             if i > 0:  # run 0 is the per-query warm-up
                 runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        # ~10 queries localCheckpoint intermediates; 4 runs each x 133
+        # queries accumulates blocks in the block manager for the whole
+        # session and degrades late-running queries — drop them now.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
 
     total = round(sum(timings.values()), 3)
     print(
