@@ -496,3 +496,56 @@ def x29_dedup_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("doc_id") != F.col("survivor_id")).select(
         "doc_id", "survivor_id", "group_size"
     )
+
+
+@register(
+    "x34_quality_aware_dedup",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(substr(text, 1, 64)) AS grp,
+         round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS alpha_ratio
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY alpha_ratio DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS group_size
+  FROM scored
+)
+SELECT doc_id, lang, source, alpha_ratio,
+       CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+""",
+    doc="X34: QUALITY-AWARE dedup survivor selection — where x01/x29 keep "
+    "a positional survivor (latest/lowest id), production curation keeps "
+    "the highest-QUALITY duplicate: groups share the x29 boilerplate-"
+    "prefix digest, the survivor maximizes alphabetic ratio (x09's "
+    "quality ingredient) with doc_id as the deterministic tiebreak. "
+    "Same one-shuffle row_number profile as x01 — the policy, not the "
+    "plan, changes; scoring is scan-side so the shuffle still moves "
+    "only digests and scalars.",
+)
+def x34_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    alpha = F.round(
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("grp"),
+        alpha.alias("alpha_ratio"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("alpha_ratio").desc(), "doc_id")
+    wc = Window.partitionBy("grp")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "alpha_ratio", "group_size")
+    )
