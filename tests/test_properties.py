@@ -178,3 +178,36 @@ def test_compression_ratio_gates_planted_repetition(spark):
     # bit-stable across runs
     res2 = {r["doc_id"]: r["compression_ratio"] for r in q.fn(spark, out).collect()}
     assert res2 == {k: r["compression_ratio"] for k, r in res.items()}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    # x27: spans tile the concatenated token stream exactly — offsets stay
+    # inside the context window, span counts match the doc's token mass,
+    # and the final cumulative end equals the total token count.
+    from presto_weather_spark.operators.text_analysis import CTX_TOKENS
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x27_sequence_packing"].fn(spark, sf_dir).collect()
+    assert rows
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert 0 <= r["offset_in_seq"] < CTX_TOKENS
+        assert r["end_seq"] >= r["start_seq"]
+        # a doc spanning s..e sequences must overlap each: its token mass
+        # plus its offset must reach into the last sequence
+        span_capacity = (r["n_seqs"] - 1) * CTX_TOKENS
+        assert r["offset_in_seq"] + r["n_tokens"] > span_capacity
+    last = max(rows, key=lambda r: (r["start_seq"], r["offset_in_seq"]))
+    assert last["end_seq"] == (total_tokens - 1) // CTX_TOKENS
+
+
+def test_mixture_weights_rebalance_to_target(spark, sf_dir):
+    # x28: shares sum to 1 and weight * corpus_share == the uniform target
+    # share for every cell (the defining property of the reweighting).
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x28_mixture_reweighting"].fn(spark, sf_dir).collect()
+    n_cells = len(rows)
+    assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["weight"] * r["corpus_share"] - 1.0 / n_cells) < 1e-4
