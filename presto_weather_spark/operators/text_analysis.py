@@ -1159,3 +1159,68 @@ def x33_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.md5(chunk.cast("binary")).alias("chunk_hash"),
     )
+
+
+RESAMPLE_DENOM = 10_000  # hash-bucket resolution for acceptance thresholds
+
+
+@register(
+    "x35_mixture_resample",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n_docs) AS total, count(*) AS n_cells FROM counts),
+thresh AS (
+  SELECT lang, source,
+         least(1.0, (1.0 / n_cells) / (n_docs * 1.0 / total)) AS keep_rate
+  FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thresh t USING (lang, source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':resample'), 1, 8)) AS BIGINT)
+      % {RESAMPLE_DENOM}
+      < CAST(round(t.keep_rate * {RESAMPLE_DENOM}) AS BIGINT)
+""",
+    doc="X35: mixture resampling — the EXECUTABLE form of x28: over-"
+    "represented (lang, source) cells are downsampled toward the uniform "
+    "target mixture by a content-hash acceptance test (keep when "
+    "hash(doc) mod 10k falls under the cell's keep-rate threshold). "
+    "Deterministic and reproducible like x07's split — never "
+    "rand()-based, so the same corpus yields the same sample on any "
+    "cluster layout; under-represented cells keep everything (rate "
+    "capped at 1; upweighting happens at training time via x28's "
+    "weights). One tiny aggregate + broadcast threshold join over the "
+    "scan — shuffle-free for the corpus side; the 32-bit md5 bucket is "
+    "identical in both engines (the x07 parity pattern).",
+)
+def x35_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    thresh = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(1.0) / F.col("n_cells")) / (F.col("n_docs") / F.col("total")),
+        ).alias("keep_rate"),
+    )
+    # same 32-bit md5 bucket in both engines (the x07 parity pattern)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("resample"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % RESAMPLE_DENOM
+    )
+    return (
+        d.join(F.broadcast(thresh), ["lang", "source"])
+        .filter(bucket < F.round(F.col("keep_rate") * RESAMPLE_DENOM).cast("bigint"))
+        .select("doc_id", "lang", "source")
+    )
