@@ -549,3 +549,80 @@ def x34_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "alpha_ratio", "group_size")
     )
+
+
+SEMDEDUP_TAU = 0.30  # within-orthant cosine threshold (driver embeddings
+# carry no true dups; 0.30 sits in the upper tail so ~100 pairs fire)
+SEMDEDUP_BITS = 4  # sign bits -> 2^4 coarse cells
+
+
+def _sign_bucket_sql() -> str:
+    terms = [
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << (SEMDEDUP_BITS - 1 - i)} ELSE 0 END)"
+        for i in range(SEMDEDUP_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "x36_semantic_dedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sign_bucket_sql()} AS bucket
+  FROM embeddings
+),
+dups AS (
+  SELECT a.vec_id,
+         COUNT(*) AS n_dups_below
+  FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_TAU}
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id, CAST(e.bucket AS INT) AS bucket,
+       CAST(COALESCE(d.n_dups_below, 0) AS INT) AS n_dups_below,
+       CAST(d.vec_id IS NULL AS BOOLEAN) AS kept
+FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id
+""",
+    doc="X36: SemDeDup-shaped semantic deduplication — embeddings are "
+    "blocked into coarse cells (here: the orthant sign-bits of the leading "
+    "dimensions, the axis-aligned special case of LSH hyperplanes; a "
+    "production run uses the x15 k-means centroids as cells), then only "
+    "intra-cell pairs are scored and a vector is dropped when any "
+    "lower-id cell-mate has cosine >= tau. One shuffle on the cell id; "
+    "each cell is scored as a single normalized matmul in applyInPandas "
+    "(Arrow-batched, BLAS) — the pair space is O(sum cell^2), never "
+    "O(n^2), and cells shrink as bits/centroids grow, which is the 100-TB "
+    "scale knob. Survivor rule (lowest vec_id wins) is deterministic and "
+    "order-free.",
+)
+def x36_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << (SEMDEDUP_BITS - 1 - i))).otherwise(F.lit(0))
+        for i in range(SEMDEDUP_BITS)
+    ).cast("int")
+    cells = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(unit @ unit.T, 6)
+        below = np.tril(sims >= SEMDEDUP_TAU, k=-1)  # strictly lower vec_id
+        n_dups = below.sum(axis=1).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "bucket": pdf["bucket"].astype(np.int32),
+                "n_dups_below": n_dups,
+                "kept": n_dups == 0,
+            }
+        )
+
+    return cells.groupBy("bucket").applyInPandas(
+        score_cell, "vec_id bigint, bucket int, n_dups_below int, kept boolean"
+    )

@@ -1779,3 +1779,116 @@ def s26_total_order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     ).orderBy("ts_str", "event_id")
+
+
+@register(
+    "s27_scd2_user_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, grp,
+         MIN(ts) AS valid_from_ts,
+         COUNT(*) AS n_events
+  FROM ordered GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(
+         lead(valid_from_ts) OVER (PARTITION BY user_id ORDER BY valid_from_ts),
+         '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(lead(valid_from_ts) OVER (PARTITION BY user_id ORDER BY valid_from_ts)
+              IS NULL AS BOOLEAN) AS is_current
+FROM runs
+""",
+    doc="S27: SCD Type-2 dimension history — gaps-and-islands (difference of "
+    "two row_numbers collapses consecutive equal event_type runs), then "
+    "MIN(ts)/COUNT per run and a lead() to close each validity interval; "
+    "the open interval is the current row. All windows share the one "
+    "hash-partitioning on user_id, so the whole history build is a single "
+    "shuffle; at 100 TB this is the standard dimension-build shape (the "
+    "reference's 'latest reading wins' board, weather.py:324-333, is the "
+    "degenerate one-row-per-key case of the same pattern).",
+)
+def s27_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("valid_from_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from_ts")
+    nxt = F.lead("valid_from_ts").over(w_hist)
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "s28_winsorized_stats",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       round(AVG(LEAST(GREATEST(e.value, q.lo), q.hi)), 6) AS winsorized_avg,
+       round(q.lo, 6) AS p05,
+       round(q.hi, 6) AS p95
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.lo, q.hi
+""",
+    doc="S28: winsorized statistics — exact per-group p05/p95 via "
+    "percentile() (continuous interpolation, identical to DuckDB's "
+    "quantile_cont), broadcast the tiny per-group bounds back onto the "
+    "fact table, clamp, and re-aggregate. Outlier-robust metric the "
+    "classic way: two shuffles, the second on a key whose cardinality is "
+    "the group count; the bounds table is O(groups) so the join is a "
+    "broadcast at any corpus size.",
+)
+def s28_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = e.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("wv"),
+    )
+    return clamped.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("wv"), 6).alias("winsorized_avg"),
+    ).select(
+        "event_type",
+        "n_events",
+        "winsorized_avg",
+        F.round("lo", 6).alias("p05"),
+        F.round("hi", 6).alias("p95"),
+    )
