@@ -943,3 +943,84 @@ def x31_hard_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "kind", "neighbor_id", "neighbor_label", "cosine_sim")
     )
+
+
+WHITEN_EPS = 1e-9  # eigenvalue floor for the inverse square root
+
+
+@register(
+    "x37_pca_whitening",
+    oracle=None,  # eigendecomposition is not SQL-expressible; pinned instead
+    # by tests/test_properties.py::test_whitening_mahalanobis_identity
+    # (sum of maha_sq over the corpus == dim * (n-1), an exact algebraic
+    # identity of the sample covariance).
+    doc="X37: ZCA whitening / Mahalanobis outlier score over the embedding "
+    "corpus. Pass 1 accumulates per-partition moment partials (count, "
+    "component sums, upper-tri raw second moments) via mapInPandas — one "
+    "BLAS syrk per Arrow batch, O(partitions * d^2) rows collected, "
+    "independent of corpus size (the x22 Gram shape). The driver "
+    "assembles the d x d sample covariance, eigendecomposes it (d=64 — "
+    "trivial), and broadcasts W = U diag(1/sqrt(l+eps)) U^T with the "
+    "mean. Pass 2 scores every vector x with ||W(x-mu)||^2 — the squared "
+    "Mahalanobis distance, the standard embedding-space outlier filter "
+    "for training-data curation — again one matmul per batch. Two scans, "
+    "zero shuffles of vector data.",
+)
+def x37_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    iu = np.triu_indices(64)
+
+    def moment_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            raw = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(m))] * (len(iu[0]) + 64),
+                    "idx": np.concatenate([np.arange(64), 64 + iu[0] * 64 + iu[1]]),
+                    "partial": np.concatenate([m.sum(axis=0), raw[iu]]),
+                }
+            )
+
+    # O(partitions * d^2 / 2) tiny rows; the reduce itself is distributed
+    # (groupBy idx) and only the d*(d+3)/2 aggregated cells are collected.
+    moments = (
+        e.select("embedding")
+        .mapInPandas(moment_partials, "n double, idx bigint, partial double")
+        .groupBy("idx")
+        .agg(F.sum("partial").alias("s"), F.max("n").alias("_"))
+        .collect()
+    )
+    n = e.count()
+    mean = np.zeros(64)
+    raw = np.zeros((64, 64))
+    for r in moments:
+        if r["idx"] < 64:
+            mean[r["idx"]] = r["s"] / n
+        else:
+            i, j = divmod(r["idx"] - 64, 64)
+            raw[i, j] = raw[j, i] = r["s"]
+    cov = (raw - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, WHITEN_EPS))) @ evecs.T
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            z = (m - mean) @ w.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "maha_sq": np.round((z * z).sum(axis=1), 3),
+                }
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        score, "vec_id bigint, label int, maha_sq double"
+    )

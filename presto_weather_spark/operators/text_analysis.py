@@ -1224,3 +1224,171 @@ def x35_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.round(F.col("keep_rate") * RESAMPLE_DENOM).cast("bigint"))
         .select("doc_id", "lang", "source")
     )
+
+
+VOCAB_K = 200  # induced-vocabulary size for the OOV-rate monitor
+
+
+@register(
+    "x38_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents) AS t
+  WHERE t.term <> ''
+),
+tf AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rk FROM tf
+  ) WHERE rk <= {VOCAB_K}
+),
+per_doc AS (
+  SELECT tok.doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok LEFT JOIN vocab v USING (term)
+  GROUP BY tok.doc_id
+)
+SELECT d.lang, d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS total_oov,
+       round(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tokens), 6) AS oov_rate
+FROM per_doc JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+""",
+    doc="X38: out-of-vocabulary rate against a corpus-induced top-K "
+    "vocabulary — the tokenizer-coverage monitor run before committing a "
+    "vocab to a training run. Vocabulary induction is rank-by-frequency "
+    "with a deterministic term tiebreak; the rank window runs on the "
+    "ALREADY-AGGREGATED term-frequency table (vocab-sized, not "
+    "corpus-sized), and at 100 TB the exact global rank is replaced by a "
+    "frequency threshold or approx_top_k — noted, same contract. The "
+    "vocab is broadcast back onto the token stream (no shuffle of the "
+    "big side); OOV mass aggregates per (lang, source) as ratios of "
+    "BIGINT sums, which are order-independent.",
+)
+def x38_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _spread(d).select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        tf.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("tf").desc(), F.col("term"))),
+        )
+        .filter(F.col("rk") <= VOCAB_K)
+        .select("term")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_oov").alias("total_oov"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_oov",
+            F.round(
+                F.col("total_oov").cast("double") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+BIGRAM_ALPHA = 0.5  # add-alpha smoothing for unseen-context robustness
+
+
+@register(
+    "x39_bigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term,
+           generate_subscripts({_SQL_TOKENS}, 1) AS pos
+    FROM documents
+  ) WHERE term <> ''
+),
+big AS (
+  SELECT doc_id, term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2),
+ug AS (SELECT w1, CAST(SUM(c12) AS DOUBLE) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs FROM tok)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(ln((bg.c12 + {BIGRAM_ALPHA}) / (ug.c1 + {BIGRAM_ALPHA} * v.vs))
+                          AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM big
+JOIN bg ON big.w1 = bg.w1 AND big.w2 = bg.w2
+JOIN ug ON big.w1 = ug.w1
+CROSS JOIN v
+WHERE big.w2 IS NOT NULL
+GROUP BY big.doc_id
+""",
+    doc="X39: bigram language-model quality score with add-alpha smoothing "
+    "— x20's unigram gate upgraded one Markov order: each document is "
+    "scored by its mean bigram log-probability under the corpus's own "
+    "bigram distribution. Bigrams form scan-side with a lead() over the "
+    "per-doc token positions (the tokens are already partitioned by "
+    "doc_id, so the window adds no extra exchange); the bigram LM table "
+    "aggregates once and joins back; per-bigram ln() goes through "
+    "DECIMAL(28,18) before summing so the score is independent of "
+    "partial-aggregation order. At 100 TB the LM table is pruned to "
+    "min-count >= t before the join (same contract, smaller broadcast).",
+)
+def x39_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select("doc_id", F.posexplode(_tokens()).alias("pos", "term"))
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.col("term").alias("w1"),
+        F.lead("term").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    big = big.localCheckpoint(eager=False)  # one tokenize+window pass feeds
+    # the LM build AND the scoring join
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ug = bg.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    vs = float(toks.select("term").distinct().count())
+    scored = (
+        big.join(bg, ["w1", "w2"])
+        .join(F.broadcast(ug), "w1")
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(BIGRAM_ALPHA))
+                / (F.col("c1") + F.lit(BIGRAM_ALPHA * vs))
+            )
+            .cast("decimal(28,18)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )

@@ -591,3 +591,72 @@ def s24_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(sink_dir).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+HOUR_SECONDS = 3600
+
+
+@register(
+    "s14k_stream_window_reagg",
+    oracle=f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+b AS (
+  SELECT CAST(floor(epoch(ts) / {WINDOW_SECONDS}) AS BIGINT) * {WINDOW_SECONDS} AS bucket,
+         CAST(floor(epoch(ts) / {HOUR_SECONDS}) AS BIGINT) AS hr,
+         event_type, value
+  FROM events
+)
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + bucket * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT hr) AS INT) AS n_hours_active,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM b CROSS JOIN m
+WHERE bucket + {WINDOW_SECONDS} <= epoch(mx)
+GROUP BY bucket, event_type
+""",
+    doc="S14: CHAINED streaming window aggregation (Spark >= 3.4 multiple "
+    "stateful operators): an hourly tumbling pre-aggregation feeds a "
+    "6-hour rollup in the SAME streaming query via "
+    "window(window_time(w1)) — the streaming form of the s05m batch "
+    "time-hierarchy rollup. Level 1 must run in append semantics, so "
+    "only windows the watermark has closed flow downstream; with a "
+    "0-second delay the final no-data micro-batch flushes every window "
+    "ending at or before max(ts), and the oracle applies exactly that "
+    "cutoff to the raw table. Scale: the rollup's input is one row per "
+    "(hour, type) — pre-aggregation shrinks the second shuffle by the "
+    "events-per-hour factor, the reason chained window aggs exist.",
+)
+def s14k_stream_window_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.window("ts", f"{HOUR_SECONDS} seconds").alias("w1"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("hour_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("hour_sum"),
+        )
+    )
+    six = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), f"{WINDOW_SECONDS} seconds").alias("w6"),
+            "event_type",
+        )
+        .agg(
+            F.sum("hour_events").alias("n_events"),
+            F.count(F.lit(1)).cast("int").alias("n_hours_active"),
+            F.sum("hour_sum").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w6.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_hours_active",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(six, "append")

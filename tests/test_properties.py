@@ -211,3 +211,19 @@ def test_mixture_weights_rebalance_to_target(spark, sf_dir):
     assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert abs(r["weight"] * r["corpus_share"] - 1.0 / n_cells) < 1e-4
+
+
+def test_whitening_mahalanobis_identity(spark, sf_dir):
+    # x37: with the sample covariance (1/(n-1)) and a full-rank spectrum,
+    # the Mahalanobis squared distances to the sample mean sum EXACTLY to
+    # dim * (n-1) — an algebraic identity, so it pins mean/cov/eigh/projection
+    # end-to-end without golden values.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x37_pca_whitening"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["maha_sq"] for r in rows)
+    assert math.isclose(total, 64 * (n - 1), rel_tol=1e-4)
+    # every score is a squared norm
+    assert all(r["maha_sq"] >= 0 for r in rows)
