@@ -208,3 +208,34 @@ def test_total_order_export_uses_range_partitioning(spark, sf_dir):
     plan = simple_plan(_df("s26_total_order_export", spark, sf_dir))
     assert "rangepartitioning" in plan, plan[:600]
     assert "SinglePartition" not in plan, plan[:600]
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """s27: gaps-and-islands windows + run agg + history lead all share
+    ONE hashpartitioning on user_id — the whole SCD2 build is a single
+    shuffle."""
+    plan = simple_plan(_df("s27_scd2_user_history", spark, sf_dir))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], exchanges
+
+
+def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
+    """x36: the only exchange is the cell-id partitioning feeding the
+    per-cell matmul — no all-pairs join, no vector shuffle beyond it."""
+    plan = simple_plan(_df("x36_semantic_dedup", spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1 and "bucket" in exchanges[0], exchanges
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """s28: the O(groups) percentile-bounds table broadcasts back onto
+    the fact side."""
+    assert has_broadcast_join(_df("s28_winsorized_stats", spark, sf_dir))
+
+
+def test_oov_vocab_broadcasts(spark, sf_dir):
+    """x38: the induced vocabulary joins the token stream as a
+    broadcast — the corpus-sized side never shuffles for the join."""
+    assert has_broadcast_join(_df("x38_oov_rate", spark, sf_dir))
