@@ -626,3 +626,132 @@ def x36_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("bucket").applyInPandas(
         score_cell, "vec_id bigint, bucket int, n_dups_below int, kept boolean"
     )
+
+
+CONTAIN_NGRAM = 8  # token-shingle width for containment sets
+CONTAIN_DF_MIN = 2  # a gram must repeat across docs to block a pair
+CONTAIN_DF_CAP = 16  # drop boilerplate grams (df > cap) from the sets
+
+
+@register(
+    "x40_ngram_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(CAST(len(t) AS INT) - {CONTAIN_NGRAM - 1}, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + {CONTAIN_NGRAM - 1}), ' '))) AS gram
+  FROM toks WHERE len(t) >= {CONTAIN_NGRAM}
+),
+df AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(*) BETWEEN {CONTAIN_DF_MIN} AND {CONTAIN_DF_CAP}
+),
+capped AS (SELECT grams.doc_id, grams.gram FROM grams JOIN df USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared,
+         round(CAST(p.n_shared AS DOUBLE) / sa.n_grams, 6) AS containment_a,
+         round(CAST(p.n_shared AS DOUBLE) / sb.n_grams, 6) AS containment_b
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_shared, containment_a, containment_b
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_a
+    ORDER BY containment_a DESC, n_shared DESC, doc_b) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    doc="X40: n-gram containment — the asymmetric cousin of Jaccard that "
+    "catches SUB-document duplication (quotes, syndicated passages, "
+    "wrapped boilerplate) which symmetric near-dup misses: "
+    "C(A,B) = |grams(A) n grams(B)| / |grams(A)|. Gram sets are "
+    "df-capped ([2,16]): singleton grams cannot block a pair and "
+    "boilerplate grams (df > cap) would explode the candidate space — "
+    "the cap is the 100-TB lever, bounding every gram's fan-out so the "
+    "gram self-join stays O(sum df^2) with df <= cap. Per doc, the "
+    "best containing candidate survives (deterministic tiebreaks). "
+    "Spark joins on xxhash64(gram) so 8-byte keys shuffle, never gram "
+    "strings; the oracle joins the strings — identical short of a "
+    "64-bit collision.",
+)
+def x40_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import _spread
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    th = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
+    ]
+    grams = (
+        th.select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds df, capped, and the self-join
+    )
+    df = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_CAP))
+        .select("gh")
+    )
+    capped = grams.join(F.broadcast(df), "gh").localCheckpoint(eager=False)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_grams", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_grams", "nb"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("na"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_shared").cast("double") / F.col("nb"), 6).alias(
+                "containment_b"
+            ),
+        )
+    )
+    rank = Window.partitionBy("doc_a").orderBy(
+        F.col("containment_a").desc(), F.col("n_shared").desc(), F.col("doc_b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_a", "doc_b", "n_shared", "containment_a", "containment_b")
+    )

@@ -1892,3 +1892,81 @@ def s28_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 6).alias("p05"),
         F.round("hi", 6).alias("p95"),
     )
+
+
+@register(
+    "s29_time_gapfill_locf",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+           AS day_avg
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, CAST(g.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds) g
+)
+SELECT grid.user_id, strftime(grid.day, '%Y-%m-%d') AS day,
+       CAST(daily.day_avg IS NOT NULL AS BOOLEAN) AS observed,
+       last_value(daily.day_avg IGNORE NULLS) OVER (
+         PARTITION BY grid.user_id ORDER BY grid.day
+         ROWS UNBOUNDED PRECEDING) AS value_filled
+FROM grid LEFT JOIN daily USING (user_id, day)
+""",
+    doc="S29: regular-time-grid gap-fill with last-observation-carried-"
+    "forward — the hypertable/time_bucket_gapfill shape: bucket the "
+    "event stream to daily per-key averages, densify onto the full "
+    "calendar grid (distinct keys x sequence(min_day, max_day), a "
+    "scan-side explode against a broadcast 1-row bounds table), and "
+    "fill holes with last(ignorenulls) over the per-key time order. "
+    "Days before a key's first observation stay NULL by construction. "
+    "One shuffle on user_id serves both the left join and the LOCF "
+    "window; grid size is keys x days, independent of event volume — "
+    "at 100 TB the daily pre-aggregation is what makes densification "
+    "affordable.",
+)
+def s29_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(
+            F.round(
+                dsum(F.col("value")) / F.count(F.lit(1)), 6
+            ).alias("day_avg")
+        )
+    )
+    bounds = e.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("d0"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("d1"),
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_avg").isNotNull().alias("observed"),
+        F.last("day_avg", ignorenulls=True).over(w).alias("value_filled"),
+    )
