@@ -1392,3 +1392,153 @@ def x39_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logprob"),
     )
+
+
+MASK_SPAN = 3  # tokens per corruption span
+MASK_PCT = 15  # percent of spans masked
+
+
+@register(
+    "x41_span_corruption",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, pos, (pos - 1) // {MASK_SPAN} AS span_id FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term,
+           generate_subscripts({_SQL_TOKENS}, 1) AS pos
+    FROM documents
+  ) WHERE term <> ''
+),
+flagged AS (
+  SELECT doc_id, pos, span_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                  CAST(span_id AS VARCHAR)), 1, 4)) AS INT)
+           % 100 < {MASK_PCT} AS masked
+  FROM tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(COUNT(DISTINCT CASE WHEN masked THEN span_id END) AS BIGINT)
+         AS n_spans_masked,
+       round(CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS mask_ratio
+FROM flagged
+GROUP BY doc_id
+""",
+    doc="X41: T5/BART-style span-corruption mask layout — tokens group into "
+    "fixed-width spans and each span is masked by a deterministic "
+    "content hash (first 16 md5 bits of doc_id:span_id mod 100 < pct), "
+    "the x07 pattern: stable under re-partitioning, re-runs, and corpus "
+    "growth, so a denoising dataset rebuild masks the same spans (no "
+    "rand(), which would change per run/partitioning). Pure codegen "
+    "expressions, scan-local; one shuffle on doc_id for the per-doc "
+    "layout summary. The span width / mask rate are the T5 knobs.",
+)
+def x41_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select("doc_id", F.posexplode(_tokens()).alias("pos0", "term"))
+        .filter(F.col("term") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))
+        .withColumn("span_id", ((F.col("pos") - 1) / MASK_SPAN).cast("bigint"))
+    )
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("span_id"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+        < MASK_PCT
+    )
+    flagged = toks.withColumn("masked", masked)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0)).alias("n_masked"),
+        F.count_distinct(
+            F.when(F.col("masked"), F.col("span_id"))
+        ).alias("n_spans_masked"),
+        F.round(
+            F.sum(F.when(F.col("masked"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mask_ratio"),
+    )
+
+
+FPRINT_PREFIX = 64  # chars of boilerplate prefix fingerprinted for x42
+
+
+@register(
+    "x42_cross_source_overlap",
+    oracle=f"""
+WITH fp AS (
+  SELECT DISTINCT source, md5(substring(text, 1, {FPRINT_PREFIX})) AS h
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n_fp FROM fp GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared,
+       round(CAST(COUNT(*) AS DOUBLE) / sa.n_fp, 6) AS overlap_a,
+       round(CAST(COUNT(*) AS DOUBLE) / sb.n_fp, 6) AS overlap_b
+FROM fp a
+JOIN fp b ON a.h = b.h AND a.source < b.source
+JOIN sizes sa ON a.source = sa.source
+JOIN sizes sb ON b.source = sb.source
+GROUP BY a.source, b.source, sa.n_fp, sb.n_fp
+""",
+    doc="X42: cross-source contamination matrix — for every source pair, "
+    "how many distinct content fingerprints (md5 of the leading "
+    "boilerplate prefix) appear in both: the corpus-governance view of "
+    "dedup, answering 'which ingestion pipelines copy from each other' "
+    "before any doc is dropped. Fingerprints distinct per source first, "
+    "so the self-join key fan-out is bounded by the SOURCE COUNT (a "
+    "fingerprint appears once per source), never by duplicate volume — "
+    "the pair space is O(n_fp * sources^2) worst case, and the tiny "
+    "per-source size table broadcasts for the ratios. md5 gives exact "
+    "two-engine parity.",
+)
+def x42_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source", F.md5(F.substring("text", 1, FPRINT_PREFIX)).alias("h")
+    ).distinct()
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a")), "source_a"
+        )
+        .withColumnRenamed("n_fp", "na")
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+                    "n_fp", "nb"
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("na"), 6).alias(
+                "overlap_a"
+            ),
+            F.round(F.col("n_shared").cast("double") / F.col("nb"), 6).alias(
+                "overlap_b"
+            ),
+        )
+    )

@@ -31,6 +31,14 @@ INVARIANT_QUERIES = [
     "x31_hard_pair_mining",
     "x27_sequence_packing",
     "x30_psi_drift_monitor",
+    # round-3 additions: per-cell matmul dedup, moment-partial whitening,
+    # DECIMAL ln-sum bigram scoring, LOCF gap-fill, containment ranking
+    "x36_semantic_dedup",
+    "x37_pca_whitening",
+    "x39_bigram_logprob",
+    "s29_time_gapfill_locf",
+    "x40_ngram_containment",
+    "s28_winsorized_stats",
 ]
 
 
