@@ -1542,3 +1542,179 @@ def x42_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "x44_js_divergence",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, t.term
+  FROM (SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents) AS t
+  WHERE t.term <> ''
+),
+tc AS (SELECT lang, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t FROM tc GROUP BY 1),
+p AS (SELECT tc.lang, tc.term, tc.c / tot.t AS p FROM tc JOIN tot USING (lang)),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(SUM(CAST(0.5 * a.p * ln(2 * a.p / (a.p + b.p))
+                     + 0.5 * b.p * ln(2 * b.p / (a.p + b.p))
+                     AS DECIMAL(28,18))) AS DOUBLE) AS shared_term,
+         CAST(SUM(CAST(a.p AS DECIMAL(28,18))) AS DOUBLE) AS pa_shared,
+         CAST(SUM(CAST(b.p AS DECIMAL(28,18))) AS DOUBLE) AS pb_shared,
+         COUNT(*) AS n_shared_terms
+  FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT lang_a, lang_b, n_shared_terms,
+       round(shared_term
+             + 0.5 * ln(2) * ((1 - pa_shared) + (1 - pb_shared)), 6)
+         AS js_divergence
+FROM pairs
+""",
+    doc="X44: Jensen-Shannon divergence between per-language unigram "
+    "distributions — the lexical-drift companion to x30's doc-level PSI: "
+    "JSD(P,Q) decomposes into a sum over SHARED terms plus "
+    "0.5*ln2*(disjoint mass), so only the term-level inner join is "
+    "needed — terms private to one side contribute through the exact "
+    "closed form (1 - shared mass), never a full-outer join over the "
+    "vocabulary union. Per-term ln() products and the mass sums go "
+    "through DECIMAL(28,18), making the divergence independent of "
+    "partial-aggregation order. Scale: the per-cell distribution tables "
+    "are vocab-sized aggregates; the pair join shuffles on term with "
+    "fan-out bounded by the cell count.",
+)
+def x44_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _spread(d).select("lang", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tc = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy("lang").agg(F.sum("c").cast("double").alias("t"))
+    p = tc.join(F.broadcast(tot), "lang").select(
+        "lang", "term", (F.col("c") / F.col("t")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    dec = "decimal(28,18)"
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a.lang") < F.col("b.lang"))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(
+            F.sum(
+                (
+                    0.5 * pa * F.log(2 * pa / (pa + pb))
+                    + 0.5 * pb * F.log(2 * pb / (pa + pb))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("shared_term"),
+            F.sum(pa.cast(dec)).cast("double").alias("pa_shared"),
+            F.sum(pb.cast(dec)).cast("double").alias("pb_shared"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    import math
+
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        "n_shared_terms",
+        F.round(
+            F.col("shared_term")
+            + 0.5
+            * math.log(2.0)
+            * ((1 - F.col("pa_shared")) + (1 - F.col("pb_shared"))),
+            6,
+        ).alias("js_divergence"),
+    )
+
+
+BPE_MERGES = 8  # merge-table prefix learned by x43
+
+
+def _bpe_apply(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a merge list to a symbol sequence, in learned order (the
+    standard greedy left-to-right BPE application)."""
+    for left, right in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register(
+    "x43_bpe_merges",
+    oracle=None,  # iterative argmax loop, not SQL-expressible; pinned by
+    # tests/test_properties.py::test_bpe_merges_match_reference_trainer
+    # (exact equality with a pure-Python BPE trainer on the same corpus).
+    doc="X43: byte-pair-encoding merge learning (Sennrich-style tokenizer "
+    "training) — the step that turns a raw corpus into a tokenizer "
+    "vocab. Key scale property: after ONE corpus-sized aggregation into "
+    "the word-frequency table, every merge iteration runs over that "
+    "VOCAB-sized table only (mapInPandas pair counting weighted by word "
+    "count, a tiny distributed argmax, deterministic count-then-lex "
+    "tiebreak) — corpus size never re-enters the loop, exactly how "
+    "production BPE trainers operate on word-count dictionaries. "
+    "k merges = k vocab-table scans; communication O(distinct pairs) "
+    "per round.",
+)
+def x43_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        _spread(d)
+        .select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .localCheckpoint(eager=False)  # corpus touched once; the merge loop
+        # below re-scans only this vocab-sized table
+    )
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(1, BPE_MERGES + 1):
+        frozen = list(merges)
+
+        def pair_counts(batches, frozen=frozen):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                from collections import Counter
+
+                cnt: Counter = Counter()
+                for word, wc in zip(pdf["word"], pdf["wc"]):
+                    syms = _bpe_apply(list(word), frozen)
+                    for x, y in zip(syms, syms[1:]):
+                        cnt[(x, y)] += int(wc)
+                if cnt:
+                    yield pd.DataFrame(
+                        {
+                            "left": [k[0] for k in cnt],
+                            "right": [k[1] for k in cnt],
+                            "c": list(cnt.values()),
+                        }
+                    )
+
+        top = (
+            words.mapInPandas(pair_counts, "left string, right string, c long")
+            .groupBy("left", "right")
+            .agg(F.sum("c").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merges.append((t["left"], t["right"]))
+        rows.append((rank, t["left"], t["right"], int(t["pair_count"])))
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count bigint"
+    )

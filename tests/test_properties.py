@@ -227,3 +227,45 @@ def test_whitening_mahalanobis_identity(spark, sf_dir):
     assert math.isclose(total, 64 * (n - 1), rel_tol=1e-4)
     # every score is a squared norm
     assert all(r["maha_sq"] >= 0 for r in rows)
+
+
+def test_bpe_merges_match_reference_trainer(spark, sf_dir):
+    # x43: the distributed trainer must reproduce, merge for merge, a
+    # pure-Python BPE trainer run on the same word counts with the same
+    # count-then-lexicographic tiebreak.
+    import re
+    from collections import Counter
+
+    from presto_weather_spark.operators.text_analysis import (
+        BPE_MERGES,
+        _bpe_apply,
+    )
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in sorted(
+            all_queries()["x43_bpe_merges"].fn(spark, sf_dir).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+
+    wc: Counter = Counter()
+    for row in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in re.split(r"\s+", row["text"].lower()):
+            if w:
+                wc[w] += 1
+    merges, want = [], []
+    for rank in range(1, BPE_MERGES + 1):
+        cnt: Counter = Counter()
+        for word, c in wc.items():
+            syms = _bpe_apply(list(word), merges)
+            for pair in zip(syms, syms[1:]):
+                cnt[pair] += c
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        want.append((rank, l, r, c))
+    assert got == want
