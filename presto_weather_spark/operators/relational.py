@@ -1970,3 +1970,168 @@ def s29_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_avg").isNotNull().alias("observed"),
         F.last("day_avg", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S30 — Z-order (Morton) clustering for multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16  # bits per dimension in the interleaved key (32-bit codes)
+
+
+def _morton_key(x: F.Column, y: F.Column) -> F.Column:
+    """Interleave the low Z_BITS of two non-negative ints into a Morton
+    (Z-order) code — pure Catalyst bit ops, whole-stage-codegen friendly."""
+    code = F.lit(0).cast("bigint")
+    for i in range(Z_BITS):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return code
+
+
+@register(
+    "s30_zorder_clustering",
+    oracle="""
+SELECT event_id, user_id, round(value, 6) AS value, event_type
+FROM events
+WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 40.0 AND 160.0
+""",
+    doc="S30: Z-ORDER clustered layout for multi-dimensional data skipping "
+    "— the Delta/Iceberg OPTIMIZE ZORDER shape built from Spark "
+    "primitives: a Morton key interleaves the bits of (user_id, "
+    "floor(value)), repartitionByRange + sortWithinPartitions on that "
+    "key lays rows out along the space-filling curve, and the parquet "
+    "writer's per-row-group min/max stats then become TIGHT IN BOTH "
+    "dimensions at once (a single-column sort gives tight stats in one "
+    "dimension only). The read-back query is a 2-D box predicate, which "
+    "the scan answers by pruning row groups on both columns' stats — at "
+    "100 TB this is the difference between scanning the whole table and "
+    "touching the handful of files whose curve segment crosses the box. "
+    "Result equality with the plain filtered scan is the correctness "
+    "contract (layout must never change query answers).",
+)
+def s30_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    zkeyed = e.withColumn(
+        "zkey",
+        _morton_key(
+            F.col("user_id").cast("bigint"),
+            F.floor(F.col("value")).cast("bigint"),
+        ),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_zorder",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    (
+        zkeyed.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.filter(
+        F.col("user_id").between(2, 9) & F.col("value").between(40.0, 160.0)
+    ).select("event_id", "user_id", F.round("value", 6).alias("value"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# S31 — LATERAL correlated subquery join (top-N per row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s31_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, c.c_name, t.o_orderkey,
+       round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+    doc="S31: LATERAL correlated subquery — each BUILDING customer is "
+    "joined to its own top-2 orders by price, the per-row-subquery "
+    "surface (Postgres/DuckDB LATERAL, Presto UNNEST-join cousin). "
+    "Catalyst decorrelates the LIMIT-ed correlated subquery into a "
+    "ranked window join rather than executing it per row — the plan is "
+    "a join + window, not N subquery executions, which is exactly the "
+    "rewrite that makes LATERAL survive 100 TB (per-row re-execution "
+    "would be O(customers) scans).",
+)
+def s31_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# S32 — observed metrics (zero-extra-pass pipeline counters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s32_observed_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+""",
+    doc="S32: observe()/Observation — accumulator-backed pipeline counters "
+    "collected DURING the main job, the data-quality-monitoring surface "
+    "(row counts, gate hit rates, control totals) without a second scan: "
+    "metrics ride the task completion events, so at 100 TB the audit "
+    "numbers are free while a separate COUNT pass would re-read the "
+    "table. The job itself runs to the noop sink (plan executes fully, "
+    "no result transfer); the observed values are then re-emitted as a "
+    "one-row frame whose oracle is the equivalent aggregate — equality "
+    "proves the counters saw every row exactly once. The quantity total "
+    "goes through DECIMAL inside the observe aggregate, same "
+    "order-independence contract as the query surface.",
+)
+def s32_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    obs = Observation("pipeline_counters")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_qty"]))],
+        "n_rows bigint, n_discounted bigint, total_qty double",
+    )

@@ -1718,3 +1718,277 @@ def x43_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# X45 — trained naive-Bayes language classifier (train + apply in one plan)
+# ---------------------------------------------------------------------------
+
+NB_ALPHA = 0.5  # add-alpha smoothing for unseen (term, class) pairs
+
+
+@register(
+    "x45_naive_bayes_lang",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+t AS (SELECT * FROM tok WHERE term <> ''),
+classes AS (
+  SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS docs_c
+  FROM t GROUP BY lang
+),
+d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM t),
+counts AS (SELECT lang AS c, term, COUNT(*) AS c_tc FROM t GROUP BY lang, term),
+tot AS (SELECT c, CAST(SUM(c_tc) AS DOUBLE) AS n_c FROM counts GROUP BY c),
+v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs FROM t),
+grid AS (
+  SELECT vt.term, cl.c,
+         CAST(ln((COALESCE(ct.c_tc, 0) + {NB_ALPHA}) / (tot.n_c + {NB_ALPHA} * v.vs))
+              AS DECIMAL(28,18)) AS lp
+  FROM (SELECT DISTINCT term FROM t) vt
+  CROSS JOIN classes cl
+  JOIN tot ON tot.c = cl.c
+  CROSS JOIN v
+  LEFT JOIN counts ct ON ct.term = vt.term AND ct.c = cl.c
+),
+sums AS (
+  SELECT t.doc_id, t.lang, g.c, SUM(g.lp) AS sum_lp
+  FROM t JOIN grid g ON g.term = t.term
+  GROUP BY t.doc_id, t.lang, g.c
+),
+scored AS (
+  SELECT s.doc_id, s.lang, s.c,
+         s.sum_lp + CAST(ln(cl.docs_c / d.n_docs) AS DECIMAL(28,18)) AS score
+  FROM sums s JOIN classes cl ON cl.c = s.c CROSS JOIN d
+),
+pred AS (
+  SELECT doc_id, lang, c AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+  FROM scored
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY lang, pred_lang
+""",
+    doc="X45: multinomial naive-Bayes language classifier, trained on the "
+    "corpus's own labels and applied in the SAME plan (the "
+    "model-based-filtering pattern: fastText-style quality/lang "
+    "classifiers trained on corpus statistics, then scored at scale). "
+    "Training is two aggregations — per-(class, term) counts and class "
+    "totals; the model is a V x C log-probability grid that BROADCASTS "
+    "onto the token stream (at 100 TB the grid is pruned to the top-K "
+    "vocabulary first, x38's contract, keeping the broadcast bounded). "
+    "Scoring is one hash aggregate per (doc, class); per-token ln() goes "
+    "through DECIMAL(28,18) so sums are exact and order-independent, "
+    "making the argmax (ties broken by class name) engine-identical. "
+    "Output is the confusion matrix of true vs predicted language.",
+)
+def x45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    classes = tok.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").cast("double").alias("docs_c")
+    )
+    d = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    counts = tok.groupBy(F.col("lang").alias("c"), "term").agg(
+        F.count(F.lit(1)).alias("c_tc")
+    )
+    tot = counts.groupBy("c").agg(F.sum("c_tc").cast("double").alias("n_c"))
+    v = tok.agg(F.countDistinct("term").cast("double").alias("vs"))
+    vocab = tok.select("term").distinct()
+    grid = (
+        vocab.crossJoin(F.broadcast(classes.select("c")))
+        .join(F.broadcast(tot), "c")
+        .crossJoin(F.broadcast(v))
+        .join(counts, ["term", "c"], "left")
+        .select(
+            "term",
+            "c",
+            F.log(
+                (F.coalesce(F.col("c_tc"), F.lit(0)) + F.lit(NB_ALPHA))
+                / (F.col("n_c") + F.lit(NB_ALPHA) * F.col("vs"))
+            )
+            .cast("decimal(28,18)")
+            .alias("lp"),
+        )
+    )
+    sums = (
+        tok.join(F.broadcast(grid), "term")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum("lp").alias("sum_lp"))
+    )
+    scored = (
+        sums.join(F.broadcast(classes), "c")
+        .crossJoin(F.broadcast(d))
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (
+                F.col("sum_lp")
+                + F.log(F.col("docs_c") / F.col("n_docs")).cast("decimal(28,18)")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "c")
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.groupBy("lang", F.col("c").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X46 — per-source token-budget cap (data-mixing curation)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 600  # per-source token budget for the capped mixture
+
+
+@register(
+    "x46_token_budget_cap",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS BIGINT) AS n_tok,
+         md5('budget:' || CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+""",
+    doc="X46: per-source token-budget cap — the mixture-curation step that "
+    "bounds each source's contribution to the training corpus by TOKENS, "
+    "not documents (a 100-doc source of novels outweighs a 100-doc "
+    "source of tweets otherwise). Docs are admitted in a deterministic "
+    "pseudo-random order (md5 priority — never rand(), so the cut is "
+    "stable under reruns and repartitioning, the x07 contract) until the "
+    "source's running token total exceeds the budget. One shuffle on "
+    "source; the running sum is a per-source window, which at 100 TB is "
+    "safe because the window key is the partition key (no global "
+    "ordering). Complements x28 (ratio reweighting) and x35 (bucket "
+    "resampling) with an absolute-budget form.",
+)
+def x46_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
+        F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
+    return c.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tok", "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X47 — duplicated-span removal with text reconstruction (C4-style scrub)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 8  # tokens per dedup span (C4 uses three-sentence spans)
+
+
+@register(
+    "x47_span_scrub",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tk
+),
+spans AS (
+  SELECT doc_id, span_id, string_agg(term, ' ' ORDER BY pos) AS span_text
+  FROM (SELECT doc_id, term, pos, (pos - 1) // {SPAN_TOKENS} AS span_id FROM tok)
+  GROUP BY doc_id, span_id
+),
+h AS (SELECT doc_id, span_id, span_text, md5(span_text) AS sh FROM spans),
+st AS (
+  SELECT sh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
+  FROM h GROUP BY sh
+),
+k AS (
+  SELECT h.doc_id, h.span_id, h.span_text,
+         (st.nd = 1 OR h.doc_id = st.keeper) AS keep
+  FROM h JOIN st ON h.sh = st.sh
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_scrubbed,
+       COALESCE(string_agg(CASE WHEN keep THEN span_text END, ' ' ORDER BY span_id),
+                '') AS clean_text
+FROM k GROUP BY doc_id
+""",
+    doc="X47: C4-style duplicated-span REMOVAL with text reconstruction — "
+    "unlike x19 (which only profiles duplicated chunks), this actually "
+    "scrubs: documents are cut into fixed 8-token spans, a span whose "
+    "md5 appears in more than one document survives only in the "
+    "lowest-doc_id holder (deterministic keeper, the C4 keep-one rule), "
+    "and each document's clean_text is reassembled from its surviving "
+    "spans in order. Three shuffles — spans (doc_id), span-hash stats "
+    "(md5 digests only, never span bodies twice), reassembly (doc_id); "
+    "the hash join ships 16-byte digests, so at 100 TB the heavy text "
+    "bytes cross the wire exactly once.",
+)
+def x47_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.posexplode(F.filter(_tokens(), lambda t: t != "")).alias("pos0", "term"),
+        )
+        .select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    )
+    spans = (
+        tok.withColumn("span_id", ((F.col("pos") - 1) / SPAN_TOKENS).cast("bigint"))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda p: p.term,
+                ),
+                " ",
+            ).alias("span_text")
+        )
+        .withColumn("sh", F.md5(F.col("span_text")))
+    )
+    st = spans.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keeper")
+    )
+    k = spans.join(st, "sh").withColumn(
+        "keep", (F.col("nd") == 1) | (F.col("doc_id") == F.col("keeper"))
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_scrubbed"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("span_id", "span_text"))
+                        )
+                    ),
+                    lambda p: p.span_text,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

@@ -660,3 +660,53 @@ def s14k_stream_window_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(six, "append")
+
+
+@register(
+    "s14l_stream_observed_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+""",
+    doc="S14l: STREAMING observed metrics — df.observe() on a streaming "
+    "frame publishes per-micro-batch counters through the progress "
+    "events (StreamingQueryProgress.observedMetrics), the production "
+    "stream-health surface: rows ingested, gate hit rates, control "
+    "totals per tick, with no second pass and no state store. The "
+    "stream runs availableNow to the noop sink; the counters are summed "
+    "across micro-batches (counts and DECIMAL sums are associative, so "
+    "the batch boundaries don't matter) and re-emitted as a one-row "
+    "frame whose oracle is the batch aggregate — equality proves every "
+    "row was observed exactly once across the whole run.",
+)
+def s14l_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    stream = events_stream(spark, sf_dir)
+    observed = stream.observe(
+        "tick_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/pws_obs_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    n_rows, n_high, total = 0, 0, Decimal(0)
+    for progress in q.recentProgress:
+        om = progress.observedMetrics.get("tick_metrics")
+        if om is None or om["total_value"] is None:
+            continue  # empty trailing micro-batch (count 0, null sums)
+        n_rows += int(om["n_rows"])
+        n_high += int(om["n_high"])
+        total += Decimal(str(om["total_value"]))
+    return spark.createDataFrame(
+        [(n_rows, n_high, float(total))],
+        "n_rows bigint, n_high bigint, total_value double",
+    )
