@@ -1976,12 +1976,16 @@ def s29_time_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S30 — Z-order (Morton) clustering for multi-dimensional data skipping
 # ---------------------------------------------------------------------------
 
-Z_BITS = 16  # bits per dimension in the interleaved key (32-bit codes)
+Z_BITS = 8  # bits per NORMALIZED dimension in the interleaved key
 
 
 def _morton_key(x: F.Column, y: F.Column) -> F.Column:
     """Interleave the low Z_BITS of two non-negative ints into a Morton
-    (Z-order) code — pure Catalyst bit ops, whole-stage-codegen friendly."""
+    (Z-order) code — pure Catalyst bit ops, whole-stage-codegen friendly.
+    Inputs MUST already be normalized to the same 0..2^Z_BITS-1 range:
+    with unequal bit widths the wider dimension owns every high bit of
+    the code and the curve degenerates into a single-column sort (the
+    reason Delta/Iceberg Z-order range-bucket each column first)."""
     code = F.lit(0).cast("bigint")
     for i in range(Z_BITS):
         code = code.bitwiseOR(
@@ -2016,12 +2020,22 @@ def s30_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = load_table(spark, sf_dir, "events")
+    # Normalize both dimensions to Z_BITS-wide buckets first (affine
+    # min/max scaling; one scalar-aggregate pass, the cheap part of any
+    # OPTIMIZE ZORDER job) so each contributes equally to every bit level
+    # of the interleaved code.
+    lo_u, hi_u, lo_v, hi_v = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    top = (1 << Z_BITS) - 1
+    xb = F.floor(
+        (F.col("user_id") - F.lit(lo_u)) * F.lit(top / max(hi_u - lo_u, 1))
+    ).cast("bigint")
+    yb = F.floor(
+        (F.col("value") - F.lit(lo_v)) * F.lit(top / max(hi_v - lo_v, 1e-9))
+    ).cast("bigint")
     zkeyed = e.withColumn(
-        "zkey",
-        _morton_key(
-            F.col("user_id").cast("bigint"),
-            F.floor(F.col("value")).cast("bigint"),
-        ),
+        "zkey", _morton_key(F.least(xb, F.lit(top)), F.least(yb, F.lit(top)))
     )
     out = os.path.join(
         tempfile.gettempdir(),

@@ -239,3 +239,52 @@ def test_oov_vocab_broadcasts(spark, sf_dir):
     """x38: the induced vocabulary joins the token stream as a
     broadcast — the corpus-sized side never shuffles for the join."""
     assert has_broadcast_join(_df("x38_oov_rate", spark, sf_dir))
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark, sf_dir):
+    # s31: the LIMIT-ed correlated subquery must decorrelate into a ranked
+    # window (WindowGroupLimit pre-filters to top-2 per key before the full
+    # window) + one join — NOT per-row subquery re-execution.
+    df = _df("s31_lateral_topk", spark, sf_dir)
+    plan = simple_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:800]
+    assert has_broadcast_join(df)
+
+
+def test_zorder_layout_tightens_both_dims(spark, sf_dir):
+    # s30: after Morton clustering, per-file user_id ranges must be strictly
+    # narrower than the table-wide range for most files — that tightness is
+    # what lets the 2-D box predicate skip row groups at scale. Also assert
+    # both box predicates reach the scan as PushedFilters.
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    df = _df("s30_zorder_clustering", spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("user_id" in l and "value" in l for l in pushed), pushed
+
+    out = os.path.join(
+        tempfile.gettempdir(), "pws_zorder", os.path.basename(os.path.normpath(sf_dir))
+    )
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) > 1
+    spans = []
+    gmin, gmax = None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "user_id"
+        )
+        lo = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        spans.append(hi - lo)
+        gmin = lo if gmin is None else min(gmin, lo)
+        gmax = hi if gmax is None else max(gmax, hi)
+    full = gmax - gmin
+    narrower = sum(1 for s in spans if s < full)
+    assert narrower >= len(spans) // 2, (spans, full)

@@ -269,3 +269,60 @@ def test_bpe_merges_match_reference_trainer(spark, sf_dir):
         merges.append((l, r))
         want.append((rank, l, r, c))
     assert got == want
+
+
+def test_token_budget_cap_invariants(spark, sf_dir):
+    # x46: per-source kept token mass never exceeds the budget; the running
+    # total is consistent (sorted cum diffs reproduce each doc's n_tok), so
+    # the kept set is exactly a prefix of the deterministic admission order.
+    from presto_weather_spark.operators.text_analysis import TOKEN_BUDGET
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x46_token_budget_cap"].fn(spark, sf_dir).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["cum_tokens"])
+        assert docs[-1]["cum_tokens"] <= TOKEN_BUDGET, source
+        prev = 0
+        for r in docs:
+            assert r["cum_tokens"] - prev == r["n_tok"], (source, r)
+            prev = r["cum_tokens"]
+
+
+def test_span_scrub_reconstructs_unscrubbed_docs(spark, sf_dir):
+    # x47: a document with zero scrubbed spans must reconstruct to its
+    # whitespace-normalized original text; scrub counts stay within bounds;
+    # and at least one duplicated span in the fixture corpus is removed
+    # somewhere (the fixture plants cross-doc duplicates).
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    out = {r["doc_id"]: r for r in
+           all_queries()["x47_span_scrub"].fn(spark, sf_dir).collect()}
+    originals = {
+        r["doc_id"]: " ".join(r["text"].lower().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(out) == set(originals)
+    for doc_id, r in out.items():
+        assert 0 <= r["n_scrubbed"] <= r["n_spans"]
+        if r["n_scrubbed"] == 0:
+            assert r["clean_text"] == originals[doc_id], doc_id
+
+
+def test_naive_bayes_covers_every_document(spark, sf_dir):
+    # x45: the confusion matrix partitions the corpus — every doc with at
+    # least one token gets exactly one prediction, and predictions only use
+    # observed class labels.
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    rows = all_queries()["x45_naive_bayes_lang"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    langs = {r["lang"] for r in docs}
+    n_docs_with_tokens = sum(1 for r in docs if r["text"].strip())
+    assert sum(r["n_docs"] for r in rows) == n_docs_with_tokens
+    assert {r["pred_lang"] for r in rows} <= langs
