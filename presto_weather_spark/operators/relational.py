@@ -2149,3 +2149,53 @@ def s32_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_qty"]))],
         "n_rows bigint, n_discounted bigint, total_qty double",
     )
+
+
+# ---------------------------------------------------------------------------
+# S33 — schema evolution across ingest batches (mergeSchema read)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s33_schema_evolution_merge",
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice, 2) AS price,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+FROM orders
+""",
+    doc="S33: SCHEMA EVOLUTION across ingest batches — batch 1 lands with "
+    "(o_orderkey, price), batch 2 adds o_orderpriority; a single "
+    "mergeSchema read reconciles both file schemas into their union, "
+    "null-filling the column where early files lack it. This is the "
+    "long-lived-table reality at 100 TB: producers add columns over "
+    "years and rewriting history is off the table, so the reader must "
+    "resolve by NAME against per-file footers (never by position). The "
+    "oracle replays the null-fill rule on the raw table. Scale note: "
+    "mergeSchema footer-reconciliation is a driver-side listing cost — "
+    "production tables pin the merged schema in a catalog instead of "
+    "re-deriving it per query; the read semantics are identical.",
+)
+def s33_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_schema_evo",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    batch1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    batch2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_orderpriority"
+    )
+    batch1.write.mode("overwrite").parquet(out)
+    batch2.write.mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("o_orderkey", "price", "o_orderpriority")
+    )

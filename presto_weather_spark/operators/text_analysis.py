@@ -1992,3 +1992,182 @@ def x47_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X48 — incremental dedup: new batch vs existing corpus (digest anti-join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x48_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 4
+),
+batch AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 5 = 4
+),
+in_batch AS (
+  SELECT doc_id, source, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT b.doc_id, b.source, b.h AS content_hash
+FROM in_batch b
+LEFT JOIN corpus c ON b.h = c.h
+WHERE c.h IS NULL AND b.rn = 1
+""",
+    doc="X48: INCREMENTAL dedup — the production ingest shape: a new batch "
+    "is deduplicated against the existing corpus WITHOUT rescanning "
+    "corpus text. The corpus side reduces to distinct 16-byte md5 "
+    "digests once (maintained as a digest table in production — append "
+    "new survivors' digests each ingest); the batch anti-joins on "
+    "digest, then keeps one survivor per within-batch duplicate group "
+    "(min doc_id). Two hash joins over digests — the 100 TB corpus's "
+    "text bytes never move, only its digest table does. Complements x01 "
+    "(full-corpus dedup) with the delta form every recurring crawl "
+    "needs.",
+)
+def x48_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "h", F.md5(F.col("text"))
+    )
+    corpus_digests = (
+        docs.filter(F.col("doc_id") % 5 != 4).select("h").distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "source", "h")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    survivors = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(corpus_digests, "h", "left_anti")
+    )
+    return survivors.select("doc_id", "source", F.col("h").alias("content_hash"))
+
+
+# ---------------------------------------------------------------------------
+# X49 — per-source corpus datasheet (one-pass reporting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x49_source_datasheet",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, lang,
+         CAST(len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS BIGINT) AS n_tok,
+         n_chars
+  FROM documents
+),
+per_lang AS (
+  SELECT source, lang, COUNT(*) AS n FROM d GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source, lang AS top_lang,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn
+  FROM per_lang
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       round(quantile_cont(n_tok, 0.50), 4) AS p50_tokens,
+       round(AVG(n_chars), 4) AS avg_chars,
+       ANY_VALUE(t.top_lang) AS top_lang
+FROM d JOIN top_lang t ON d.source = t.source AND t.rn = 1
+GROUP BY d.source
+""",
+    doc="X49: per-source corpus DATASHEET — the dataset-documentation "
+    "report (datasheets-for-datasets shape): document/token volumes, "
+    "median document length, language diversity and the dominant "
+    "language per source, in one aggregation pass plus a tiny "
+    "per-(source, lang) side aggregate for the mode. All counts are "
+    "per-source hash aggregates (one shuffle on source); the exact "
+    "median swaps to approx_percentile at 100 TB (the s05f contract). "
+    "This is the first artifact a data-governance review asks for.",
+)
+def x49_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
+        "n_chars",
+    )
+    per_lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+    top_lang = (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    sheet = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.50)), 4).alias("p50_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return sheet.join(F.broadcast(top_lang), "source").select(
+        "source", "n_docs", "n_langs", "total_tokens", "p50_tokens",
+        "avg_chars", "top_lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X50 — length-bucketed batching / padding-waste report
+# ---------------------------------------------------------------------------
+
+LEN_BUCKET = 16  # pad-to-multiple bucket width (tokens)
+
+
+@register(
+    "x50_length_bucket_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT n_tok,
+         CAST(((n_tok + {LEN_BUCKET} - 1) // {LEN_BUCKET}) * {LEN_BUCKET} AS BIGINT)
+           AS bucket
+  FROM d WHERE n_tok > 0
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       round(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket), 6)
+         AS waste_ratio
+FROM b GROUP BY bucket
+""",
+    doc="X50: length-bucketed batching report — the dynamic-padding "
+    "efficiency table: documents grouped into pad-to-multiple-of-16 "
+    "length buckets, with real vs padded token mass and the padding "
+    "waste ratio per bucket (what a training dataloader wastes if it "
+    "batches by bucket). One scan-side projection + one hash aggregate "
+    "on the bucket key — fully scan-parallel at any scale. The bucket "
+    "table is what drives sequence-bucketing samplers; pairs with x27 "
+    "(concat-and-chunk packing), the zero-padding alternative.",
+)
+def x50_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok")
+    )
+    b = d.filter(F.col("n_tok") > 0).withColumn(
+        "bucket",
+        (
+            F.floor((F.col("n_tok") + LEN_BUCKET - 1) / LEN_BUCKET) * LEN_BUCKET
+        ).cast("bigint"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            1.0 - F.sum("n_tok").cast("double") / (F.count(F.lit(1)) * F.col("bucket")),
+            6,
+        ).alias("waste_ratio"),
+    )
