@@ -2199,3 +2199,59 @@ def s33_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("o_orderkey", "price", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# S34 — small-file compaction (the object-store hygiene job)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 32 * 1024 * 1024  # target output file size
+
+
+@register(
+    "s34_small_file_compaction",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice, 2) AS l_extendedprice
+FROM lineitem
+""",
+    doc="S34: small-file COMPACTION — streaming/incremental ingest leaves "
+    "thousands of KB-scale files per partition; every later scan then "
+    "pays per-file open/footer costs and row groups too small for "
+    "effective stats pruning or vectorized reads. The job measures the "
+    "fragmented input's total bytes, computes ceil(bytes/target) output "
+    "files, and rewrites via repartition — the Delta OPTIMIZE / Iceberg "
+    "rewrite_data_files shape from Spark primitives. Compacted-read "
+    "equality with the source table is the correctness contract "
+    "(compaction must be a pure layout change); the file-count collapse "
+    "is asserted in tests/test_plans.py. At 100 TB this runs per "
+    "partition with bin-packing, never table-wide.",
+)
+def s34_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import math
+    import os
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "pws_compact",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    frag, compact = f"{base}/frag", f"{base}/compact"
+    # Simulate a fragmented ingest history: 64 shards of one table.
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    frag_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(frag, "*.parquet"))
+    )
+    n_out = max(1, math.ceil(frag_bytes / COMPACT_TARGET_BYTES))
+    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(
+        compact
+    )
+    return spark.read.parquet(compact)

@@ -2208,3 +2208,71 @@ def x50_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X51 — tokenizer application at scale (learned BPE merges over the corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x51_bpe_tokenize",
+    oracle=None,  # BPE segmentation is not SQL-expressible; pinned by
+    # tests/test_properties.py::test_bpe_tokenize_matches_local_apply
+    # (exact per-doc equality with a pure-Python application of the same
+    # merge table) plus monotonicity invariants.
+    doc="X51: tokenizer APPLICATION — the deploy half of x43: the learned "
+    "merge table (vocab-sized, collected once) broadcasts into a "
+    "mapInPandas pass that segments every document and reports per-doc "
+    "token counts under the learned vocab plus the chars-per-token "
+    "compression. Per-batch word-level memoization makes the cost "
+    "O(distinct words per batch), not O(tokens) — the standard trick, "
+    "since word frequency is Zipfian. One corpus scan, zero shuffles; "
+    "the merge table is the only broadcast state. This is the shape of "
+    "every production 'tokenize the corpus' job.",
+)
+def x51_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [
+        (r["left"], r["right"])
+        for r in x43_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+
+    def tokenize(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_words, n_tokens = [], []
+            for text in pdf["text"]:
+                words = [w for w in text.lower().split() if w]
+                total = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(_bpe_apply(list(w), merges))
+                    total += memo[w]
+                n_words.append(len(words))
+                n_tokens.append(total)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_tokens,
+                }
+            )
+            yield out
+
+    d = _spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = d.mapInPandas(
+        tokenize, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
+    )
+    return toks.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_words") / F.col("n_bpe_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("words_per_token"),
+    )

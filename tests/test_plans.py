@@ -288,3 +288,22 @@ def test_zorder_layout_tightens_both_dims(spark, sf_dir):
     full = gmax - gmin
     narrower = sum(1 for s in spans if s < full)
     assert narrower >= len(spans) // 2, (spans, full)
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    # s34: the compacted directory must hold far fewer files than the
+    # fragmented input (64 shards), and the same row count.
+    import glob
+    import os
+    import tempfile
+
+    df = _df("s34_small_file_compaction", spark, sf_dir)
+    n_rows = df.count()
+    base = os.path.join(
+        tempfile.gettempdir(), "pws_compact", os.path.basename(os.path.normpath(sf_dir))
+    )
+    frag = glob.glob(os.path.join(base, "frag", "*.parquet"))
+    compact = glob.glob(os.path.join(base, "compact", "*.parquet"))
+    assert len(frag) == 64
+    assert len(compact) <= 4, compact
+    assert n_rows == spark.read.parquet(os.path.join(base, "frag")).count()

@@ -326,3 +326,32 @@ def test_naive_bayes_covers_every_document(spark, sf_dir):
     n_docs_with_tokens = sum(1 for r in docs if r["text"].strip())
     assert sum(r["n_docs"] for r in rows) == n_docs_with_tokens
     assert {r["pred_lang"] for r in rows} <= langs
+
+
+def test_bpe_tokenize_matches_local_apply(spark, sf_dir):
+    # x51: per-doc token counts must equal a pure-Python application of the
+    # same learned merge table, and segmentation never increases token count
+    # beyond character count nor below word count.
+    from presto_weather_spark.operators.text_analysis import (
+        _bpe_apply,
+        x43_bpe_merges,
+    )
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    merges = [
+        (r["left"], r["right"])
+        for r in x43_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert merges
+    out = {r["doc_id"]: r for r in
+           all_queries()["x51_bpe_tokenize"].fn(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert set(out) == {r["doc_id"] for r in docs}
+    for r in docs:
+        words = [w for w in r["text"].lower().split() if w]
+        expected = sum(len(_bpe_apply(list(w), merges)) for w in words)
+        got = out[r["doc_id"]]
+        assert got["n_bpe_tokens"] == expected, r["doc_id"]
+        assert got["n_words"] == len(words)
+        assert got["n_words"] <= got["n_bpe_tokens"] <= sum(len(w) for w in words)
