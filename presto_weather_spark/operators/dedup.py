@@ -755,3 +755,58 @@ def x40_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_a", "doc_b", "n_shared", "containment_a", "containment_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# X53 — leakage-safe train/test split (split by near-dup cluster, not doc)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x53_leakage_safe_split",
+    oracle="WITH RECURSIVE " + _X02B_PAIRS_SQL + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc
+  UNION ALL
+  SELECT doc_b, doc_a FROM jacc
+),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4)) AS INT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split
+FROM clusters
+""",
+    doc="X53: LEAKAGE-SAFE train/test split — x07's md5-bucket split keyed "
+    "by NEAR-DUP CLUSTER id instead of document id, so near-duplicate "
+    "documents can never straddle the split boundary (per-doc splits "
+    "leak: a test doc's near-twin in train inflates eval). Composes "
+    "x02f's connected components with the deterministic hash-bucket "
+    "assignment; every member of a cluster inherits the cluster "
+    "representative's bucket. The same-cluster-same-split invariant is "
+    "asserted in tests/test_properties.py. Scale: adds one md5 over the "
+    "cluster id per doc on top of the clustering job — the split itself "
+    "is free.",
+)
+def x53_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = x02f_neardup_clusters(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("split"), F.col("cluster_id"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )

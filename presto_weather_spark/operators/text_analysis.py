@@ -2276,3 +2276,105 @@ def x51_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("words_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X52 — DSIR-style importance weighting toward a target domain
+# ---------------------------------------------------------------------------
+
+DSIR_ALPHA = 0.5  # add-alpha smoothing shared by target and corpus LMs
+DSIR_TARGET_SOURCE = "src0"  # the 'high-quality target domain' stand-in
+
+
+@register(
+    "x52_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+t AS (SELECT * FROM tok WHERE term <> ''),
+corpus AS (SELECT term, COUNT(*) AS cq FROM t GROUP BY term),
+target AS (
+  SELECT term, COUNT(*) AS cp FROM t WHERE source = '{DSIR_TARGET_SOURCE}'
+  GROUP BY term
+),
+nq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t WHERE source = '{DSIR_TARGET_SOURCE}'),
+v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs FROM t),
+lr AS (
+  SELECT c.term,
+         CAST(ln((COALESCE(tg.cp, 0) + {DSIR_ALPHA}) / (np.n + {DSIR_ALPHA} * v.vs))
+              AS DECIMAL(28,18))
+         - CAST(ln((c.cq + {DSIR_ALPHA}) / (nq.n + {DSIR_ALPHA} * v.vs))
+                AS DECIMAL(28,18)) AS llr
+  FROM corpus c
+  LEFT JOIN target tg ON tg.term = c.term
+  CROSS JOIN nq CROSS JOIN np CROSS JOIN v
+)
+SELECT t.doc_id,
+       ANY_VALUE(t.source) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       round(CAST(SUM(lr.llr) AS DOUBLE), 6) AS log_importance
+FROM t JOIN lr ON lr.term = t.term
+GROUP BY t.doc_id
+""",
+    doc="X52: DSIR-shaped importance weighting — data selection via "
+    "importance resampling (Xie et al. 2023): each document is scored by "
+    "the log-likelihood ratio of a target-domain unigram LM over the "
+    "raw-corpus LM, the score used to resample a raw crawl toward a "
+    "high-quality target distribution. Both LMs train in one token "
+    "aggregation each (target = one source, standing in for the quality "
+    "corpus); the per-term log-ratio table broadcasts onto the token "
+    "stream and each doc's score is one hash aggregate. ln values go "
+    "through DECIMAL(28,18) subtraction/summation — scores are exact "
+    "and partial-aggregation-order independent. Feed log_importance "
+    "into x35's deterministic bucket resampler to complete the DSIR "
+    "pipeline. At 100 TB the ratio table is hashed n-grams (fixed 10k "
+    "buckets) instead of raw vocab — same plan, bounded broadcast.",
+)
+def x52_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    corpus = t.groupBy("term").agg(F.count(F.lit(1)).alias("cq"))
+    target = (
+        t.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    nq = t.agg(F.count(F.lit(1)).cast("double").alias("nq"))
+    np_ = t.filter(F.col("source") == DSIR_TARGET_SOURCE).agg(
+        F.count(F.lit(1)).cast("double").alias("np")
+    )
+    v = t.agg(F.countDistinct("term").cast("double").alias("vs"))
+    dec = "decimal(28,18)"
+    lr = (
+        corpus.join(target, "term", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(DSIR_ALPHA))
+                    / (F.col("np") + F.lit(DSIR_ALPHA) * F.col("vs"))
+                ).cast(dec)
+                - F.log(
+                    (F.col("cq") + F.lit(DSIR_ALPHA))
+                    / (F.col("nq") + F.lit(DSIR_ALPHA) * F.col("vs"))
+                ).cast(dec)
+            ).alias("llr"),
+        )
+    )
+    return (
+        t.join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum("llr").cast("double"), 6).alias("log_importance"),
+        )
+    )

@@ -355,3 +355,18 @@ def test_bpe_tokenize_matches_local_apply(spark, sf_dir):
         assert got["n_bpe_tokens"] == expected, r["doc_id"]
         assert got["n_words"] == len(words)
         assert got["n_words"] <= got["n_bpe_tokens"] <= sum(len(w) for w in words)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    # x53: every member of a near-dup cluster must land on the same side of
+    # the split, and both sides must be non-trivial at fixture scale.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x53_leakage_safe_split"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "test"}
