@@ -1781,6 +1781,36 @@ def s26_total_order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ts_str", "event_id")
 
 
+def _scd2_history(e: DataFrame) -> DataFrame:
+    """Gaps-and-islands SCD2 build shared by s27 (the history report) and
+    s35 (the point-in-time enrichment join): one row per (user_id,
+    event_type run) with [valid_from_ts, valid_to_ts) interval columns
+    (valid_to_ts NULL = current)."""
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("valid_from_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from_ts")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_ts",
+        F.lead("valid_from_ts").over(w_hist).alias("valid_to_ts"),
+        "n_events",
+    )
+
+
 @register(
     "s27_scd2_user_history",
     oracle="""
@@ -1817,31 +1847,14 @@ FROM runs
     "degenerate one-row-per-key case of the same pattern).",
 )
 def s27_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    runs = (
-        e.select(
-            "user_id",
-            "event_type",
-            "ts",
-            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
-        )
-        .groupBy("user_id", "event_type", "grp")
-        .agg(
-            F.min("ts").alias("valid_from_ts"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-    w_hist = Window.partitionBy("user_id").orderBy("valid_from_ts")
-    nxt = F.lead("valid_from_ts").over(w_hist)
-    return runs.select(
+    hist = _scd2_history(load_table(spark, sf_dir, "events"))
+    return hist.select(
         "user_id",
         "event_type",
         F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "n_events",
-        nxt.isNull().alias("is_current"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
     )
 
 
@@ -2255,3 +2268,79 @@ def s34_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact
     )
     return spark.read.parquet(compact)
+
+
+# ---------------------------------------------------------------------------
+# S35 — point-in-time (as-of interval) join against SCD2 history
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s35_point_in_time_join",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, grp, MIN(ts) AS valid_from_ts
+  FROM ordered GROUP BY user_id, event_type, grp
+),
+hist AS (
+  SELECT user_id, event_type, valid_from_ts,
+         lead(valid_from_ts) OVER (PARTITION BY user_id ORDER BY valid_from_ts)
+           AS valid_to_ts
+  FROM runs
+)
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(f.value, 6) AS value,
+       h.event_type AS state_at_purchase,
+       strftime(h.valid_from_ts, '%Y-%m-%d %H:%M:%S') AS state_since
+FROM events f
+JOIN hist h
+  ON f.user_id = h.user_id
+ AND f.ts >= h.valid_from_ts
+ AND (h.valid_to_ts IS NULL OR f.ts < h.valid_to_ts)
+WHERE f.event_type = 'purchase'
+""",
+    doc="S35: POINT-IN-TIME join — the feature-store / warehouse 'dimension "
+    "as of event time' lookup: each purchase event joins the SCD2 state "
+    "interval (s27's history) that was valid AT ITS TIMESTAMP, never a "
+    "later one — exactly the leakage rule training-data assembly must "
+    "obey (a feature computed after the label event may not leak "
+    "backward). Intervals are disjoint per user, so each fact row "
+    "matches exactly once. Plan: history and facts share the user_id "
+    "hash partitioning; the interval predicate evaluates inside the "
+    "join. At 100 TB the dimension side is bucketed on the key and the "
+    "interval predicate prunes via the sort order within buckets (the "
+    "s04e as-of pattern generalized from latest-row to interval).",
+)
+def s35_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hist = _scd2_history(e).select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("event_type").alias("state_at_purchase"),
+        "valid_from_ts",
+        "valid_to_ts",
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = facts.join(
+        hist,
+        (facts.user_id == hist.h_user_id)
+        & (facts.ts >= hist.valid_from_ts)
+        & (hist.valid_to_ts.isNull() | (facts.ts < hist.valid_to_ts)),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("value", 6).alias("value"),
+        "state_at_purchase",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias("state_since"),
+    )

@@ -674,3 +674,41 @@ def s15e_cogrouped_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_order bigint",
         )
     )
+
+
+@register(
+    "s15f_grouped_agg_udaf",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+FROM events GROUP BY event_type
+""",
+    doc="S15: grouped-aggregate pandas UDF (the UDAF surface) — per-group "
+    "Series-to-scalar aggregates (median, interquartile range) computed "
+    "in Arrow-batched numpy, completing the UDF matrix: scalar UDF "
+    "(s15), scalar pandas UDF (s15b), grouped map (s15c), UDTF (s15d), "
+    "cogrouped map (s15e), grouped agg (here). The oracle is the "
+    "equivalent quantile_cont SQL — both engines define the same linear "
+    "interpolation, so results hash-match. Scale note: a grouped-agg "
+    "pandas UDF buffers each group on one executor (no partial "
+    "aggregation), so it's for bounded groups; unbounded keys use "
+    "approx_percentile or the s05h salted two-phase shape instead.",
+)
+def s15f_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @F.pandas_udf("double")
+    def iqr_udaf(v: pd.Series) -> float:
+        a = v.to_numpy(dtype="float64")
+        return float(np.percentile(a, 75) - np.percentile(a, 25))
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 6).alias("median_value"),
+        F.round(iqr_udaf("value"), 6).alias("iqr"),
+    )
