@@ -399,3 +399,62 @@ def s01c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "s36_custom_sink_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       round(value, 6) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM events
+WHERE event_type IN ('click', 'purchase')
+""",
+    doc="S2/S36: custom Python DataSource WRITER roundtrip — the "
+    "reference's display render path (weather.py:214-273) as a real V2 "
+    "sink connector: format('weather_board') writes JSON-lines display "
+    "frames with the two-phase task-commit protocol (temp file per "
+    "task, driver-side rename-on-commit, delete-on-abort), so readers "
+    "never see a torn write. Read-back equality with the source "
+    "projection proves the sink is lossless and the commit published "
+    "every task's output exactly once. Completes the connector matrix: "
+    "custom batch reader (r01/r02), custom stream reader (r21), custom "
+    "batch writer (here).",
+)
+def s36_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from presto_weather_spark.sources.board_sink import register_board_sink
+
+    register_board_sink(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_board_sink",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    frames = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+    frames.write.format("weather_board").mode("append").option("path", out).save()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_str", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(f"{out}/*.jsonl")

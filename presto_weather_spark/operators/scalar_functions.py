@@ -712,3 +712,41 @@ def s15f_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(median_udaf("value"), 6).alias("median_value"),
         F.round(iqr_udaf("value"), 6).alias("iqr"),
     )
+
+
+@register(
+    "s15g_map_in_arrow",
+    oracle="""
+SELECT event_id, upper(event_type) AS event_type_uc,
+       CAST(length(event_type) AS INT) AS type_len
+FROM events
+""",
+    doc="S15: mapInArrow — the zero-copy Arrow RecordBatch surface below "
+    "pandas UDFs: the transform receives raw Arrow batches and applies "
+    "pyarrow.compute kernels (utf8_upper, utf8_length) with no "
+    "pandas materialization at all, the cheapest Python hop that "
+    "exists (no Series boxing, no object dtype). Use it when the "
+    "kernel is expressible in Arrow compute; pandas UDFs when you need "
+    "numpy/pandas semantics; builtins when Catalyst has the function "
+    "(this one does — the oracle IS the builtin form, proving parity).",
+)
+def s15g_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def transform(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pc.utf8_upper(batch.column("event_type")),
+                    pc.cast(pc.utf8_length(batch.column("event_type")), pa.int32()),
+                ],
+                ["event_id", "event_type_uc", "type_len"],
+            )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    return e.mapInArrow(
+        transform, "event_id bigint, event_type_uc string, type_len int"
+    )
