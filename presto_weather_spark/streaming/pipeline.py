@@ -710,3 +710,32 @@ def s14l_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, n_high, float(total))],
         "n_rows bigint, n_high bigint, total_value double",
     )
+
+
+@register(
+    "s14m_dedup_within_watermark_ttl",
+    oracle=None,  # which duplicate survives is arrival-order dependent (no
+    # engine-stable tiebreak exists for streaming dedup); pytest pins key-set
+    # equality with batch dropDuplicates in tests/test_watermark_drop.py.
+    doc="S14: dropDuplicatesWithinWatermark (Spark 3.5+) — dedup state "
+    "with an explicit event-time TTL: unlike s14c's dropDuplicates "
+    "(whose per-key state lives for the life of the query unless the "
+    "key columns include the event-time column), this variant evicts a "
+    "key's state once the watermark passes its event time + delay, so "
+    "duplicates are only suppressed within the deduplication window — "
+    "the at-least-once-ingest contract (retries land within seconds, "
+    "not days). At 100 TB this is THE streaming dedup to run: state is "
+    "bounded by (keys per watermark horizon), not (all keys ever).",
+)
+def s14m_dedup_within_watermark_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("seen_at"),
+        )
+    )
+    return _run_to_memory(deduped, "append")

@@ -98,3 +98,23 @@ def test_late_rows_dropped_across_checkpointed_runs(spark):
         assert hour0_start not in got, got
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_within_watermark_matches_batch_keyset(spark, sf_dir):
+    # s14m: with a single micro-batch the surviving key set must equal the
+    # batch distinct key set (which row survives per key is arrival-order
+    # dependent; the KEY SET is the invariant).
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    out = all_queries()["s14m_dedup_within_watermark_ttl"].fn(spark, sf_dir)
+    stream_keys = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert stream_keys == batch_keys
+    assert out.count() == len(stream_keys)  # exactly one survivor per key
