@@ -2344,3 +2344,159 @@ def s35_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_at_purchase",
         F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss").alias("state_since"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S37 — incremental materialized-view refresh (continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+MV_DELTA_DAYS = 3  # the "newly arrived" tail refreshed incrementally
+
+
+@register(
+    "s37_incremental_mv_refresh",
+    oracle=f"""
+WITH m AS (SELECT date_trunc('day', MAX(ts)) - INTERVAL {MV_DELTA_DAYS} DAY AS cutoff
+           FROM events)
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e CROSS JOIN m
+GROUP BY 1, 2
+""",
+    doc="S37: INCREMENTAL materialized-view refresh — the "
+    "hypertable-continuous-aggregate / warehouse-MV maintenance shape: "
+    "the historical MV (daily counts + DECIMAL sums by (day, type)) is "
+    "materialized once; when a new delta of events arrives, the refresh "
+    "aggregates ONLY the delta partition (ts >= cutoff pushed into the "
+    "scan — asserted in tests/test_plans.py) and merges it with the "
+    "stored MV by re-aggregating partials: COUNT and DECIMAL SUM are "
+    "algebraic, so merge(old, agg(delta)) == agg(all), which the oracle "
+    "(a full re-aggregation) proves exactly. At 100 TB the refresh cost "
+    "is O(delta) + O(MV rows), never a history rescan — the entire "
+    "point of maintaining the MV. Non-algebraic aggregates (exact "
+    "median) need the s05e/x14 sketch route instead.",
+)
+def s37_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr(f"INTERVAL {MV_DELTA_DAYS} DAY"))
+        .alias("c")
+    ).first()["c"]
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+
+    mv_path = os.path.join(
+        tempfile.gettempdir(), "pws_mv", os.path.basename(os.path.normpath(sf_dir))
+    )
+    # Initial materialization: history only (everything before the cutoff).
+    day_agg(e.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(mv_path)
+    # Incremental refresh: aggregate the delta ONLY, merge with stored MV.
+    delta_mv = day_agg(e.filter(F.col("ts") >= cutoff))
+    merged = (
+        spark.read.parquet(mv_path)
+        .unionByName(delta_mv)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# S38 — funnel analysis (ordered event-sequence conversion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s38_funnel_analysis",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         (SELECT COUNT(*) FROM c) AS n_click,
+         (SELECT COUNT(*) FROM p) AS n_purchase
+)
+SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+       round(conversion, 6) AS conversion
+FROM (
+  SELECT 1 AS ord, 'view' AS stage, n_view AS n_users, 1.0 AS conversion
+  FROM counts
+  UNION ALL
+  SELECT 2, 'view>click', n_click,
+         CAST(n_click AS DOUBLE) / n_view FROM counts
+  UNION ALL
+  SELECT 3, 'view>click>purchase', n_purchase,
+         CAST(n_purchase AS DOUBLE) / n_click FROM counts
+) ORDER BY ord
+""",
+    doc="S38: FUNNEL analysis — ordered event-sequence conversion (the "
+    "product-analytics staple: view -> click -> purchase, each stage "
+    "STRICTLY AFTER the previous one for the same user): stage k's "
+    "earliest qualifying timestamp is a conditional MIN over events "
+    "later than stage k-1's, built as a chain of per-user aggregates — "
+    "every stage reuses the SAME user_id hash partitioning, so the "
+    "whole funnel is one logical shuffle reused three times, never a "
+    "per-user sort. Output is the per-stage user count and step "
+    "conversion rate. At 100 TB this beats sequence-matching windows "
+    "(no per-user event buffering) and is the decomposed form of "
+    "MATCH_RECOGNIZE for monotone funnels.",
+)
+def s38_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_view, n_click, n_purchase = v.count(), c.count(), p.count()
+    return spark.createDataFrame(
+        [
+            ("view", n_view, 1.0),
+            ("view>click", n_click, round(n_click / n_view, 6)),
+            ("view>click>purchase", n_purchase, round(n_purchase / n_click, 6)),
+        ],
+        "stage string, n_users bigint, conversion double",
+    )

@@ -307,3 +307,13 @@ def test_compaction_collapses_file_count(spark, sf_dir):
     assert len(frag) == 64
     assert len(compact) <= 4, compact
     assert n_rows == spark.read.parquet(os.path.join(base, "frag")).count()
+
+
+def test_mv_refresh_scans_delta_only(spark, sf_dir):
+    # s37: the refresh-side events scan must carry the ts >= cutoff filter
+    # into the parquet scan (PushedFilters) — proof the refresh reads the
+    # delta, not the history. The MV side reads the materialized parquet.
+    df = _df("s37_incremental_mv_refresh", spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "ts" in l]
+    assert any("GreaterThanOrEqual(ts" in l for l in pushed), pushed
