@@ -2378,3 +2378,140 @@ def x52_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("llr").cast("double"), 6).alias("log_importance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X54 — skip-gram pair generation (embedding training data)
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_MIN_COUNT = 2  # emit pairs seen at least twice corpus-wide
+
+
+@register(
+    "x54_skipgram_pairs",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tk
+),
+ahead AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER w AS n1,
+         lead(term, 2) OVER w AS n2
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+pairs AS (
+  SELECT term AS center, n1 AS context FROM ahead WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT n1, term FROM ahead WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT term, n2 FROM ahead WHERE n2 IS NOT NULL
+  UNION ALL
+  SELECT n2, term FROM ahead WHERE n2 IS NOT NULL
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY center, context
+HAVING COUNT(*) >= {SKIPGRAM_MIN_COUNT}
+""",
+    doc="X54: SKIP-GRAM pair generation — the word2vec/embedding "
+    "training-data extraction: (center, context) co-occurrence pairs "
+    "within a +/-2 token window, aggregated to weighted pair counts "
+    "(the input to SGNS or GloVe-style training). Forward offsets come "
+    "from lead(1)/lead(2) over the per-doc token order — already "
+    "partitioned by doc_id, so the window adds no extra exchange — and "
+    "the backward directions are the mirrored projections of the SAME "
+    "lead columns (no lag pass, no self-join: each undirected "
+    "co-occurrence is materialized once and emitted twice). One "
+    "shuffle on the pair key; the min-count gate bounds the output "
+    "vocabulary exactly like word2vec's min_count. Differs from x23 "
+    "(document-level PMI): this is positional, windowed, and directed.",
+)
+def x54_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.posexplode(F.filter(_tokens(), lambda t: t != "")).alias("pos", "term"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ahead = tok.select(
+        "term",
+        F.lead("term", 1).over(w).alias("n1"),
+        F.lead("term", 2).over(w).alias("n2"),
+    )
+    fwd1 = ahead.filter(F.col("n1").isNotNull())
+    fwd2 = ahead.filter(F.col("n2").isNotNull())
+    pairs = (
+        fwd1.select(F.col("term").alias("center"), F.col("n1").alias("context"))
+        .unionAll(fwd1.select(F.col("n1").alias("center"), F.col("term").alias("context")))
+        .unionAll(fwd2.select(F.col("term").alias("center"), F.col("n2").alias("context")))
+        .unionAll(fwd2.select(F.col("n2").alias("center"), F.col("term").alias("context")))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= SKIPGRAM_MIN_COUNT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X55 — time-decayed feature aggregates (recency-weighted user features)
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+@register(
+    "x55_time_decayed_features",
+    oracle=f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(
+           e.value * exp(-(ln(2) / {DECAY_HALF_LIFE_DAYS})
+                         * (epoch_us(m.mx) - epoch_us(e.ts)) / 86400000000.0)
+         AS DECIMAL(28,18))) AS DOUBLE), 6) AS decayed_value,
+       round(CAST(SUM(CAST(
+           exp(-(ln(2) / {DECAY_HALF_LIFE_DAYS})
+               * (epoch_us(m.mx) - epoch_us(e.ts)) / 86400000000.0)
+         AS DECIMAL(28,18))) AS DOUBLE), 6) AS decayed_count
+FROM events e CROSS JOIN m
+GROUP BY e.user_id
+""",
+    doc="X55: TIME-DECAYED feature aggregates — recency-weighted per-user "
+    "features as of the corpus watermark (exponential decay, 7-day "
+    "half-life): the standard feature-engineering shape for churn/CTR "
+    "training sets, where yesterday's event should outweigh last "
+    "month's. Each event's weight exp(-lambda * age) is computed "
+    "scan-side and cast to DECIMAL(28,18) before summing, so the "
+    "per-user totals are exact and independent of partial-aggregation "
+    "order (the x20 ln-sum contract applied to exp). One scalar "
+    "max(ts) pass + one hash aggregate on user_id. Key property vs a "
+    "windowed 'last N days' feature: decay never forgets abruptly, and "
+    "the SAME aggregate is incrementally maintainable (multiply the "
+    "stored sum by the inter-refresh decay factor, then add the "
+    "delta's sum — the s37 merge with one extra scalar multiply).",
+)
+def x55_time_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx")).first()["mx"]
+    lam = math.log(2) / DECAY_HALF_LIFE_DAYS
+    age_days = (
+        F.unix_micros(F.lit(mx)) - F.unix_micros(F.col("ts"))
+    ) / 86400000000.0
+    weight = F.exp(-F.lit(lam) * age_days).cast("decimal(28,18)")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum((F.col("value") * F.exp(-F.lit(lam) * age_days)).cast("decimal(28,18)"))
+            .cast("double"),
+            6,
+        ).alias("decayed_value"),
+        F.round(F.sum(weight).cast("double"), 6).alias("decayed_count"),
+    )
