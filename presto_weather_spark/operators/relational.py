@@ -2500,3 +2500,58 @@ def s38_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage string, n_users bigint, conversion double",
     )
+
+
+# ---------------------------------------------------------------------------
+# S39 — join strategy hints (explicit physical-strategy control)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s39_join_strategy_hints",
+    oracle="""
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="S39: JOIN STRATEGY HINTS — the explicit physical-plan override "
+    "surface (hint('merge') forces sort-merge, hint('shuffle_hash') a "
+    "shuffled hash join, broadcast() a map-side join) for when the "
+    "optimizer's estimate is wrong: a dimension that LOOKS big from "
+    "stale stats but fits memory, or a provably-skewed build side. All "
+    "three strategies run here against the same join and must agree "
+    "with the single oracle — the result is strategy-invariant by "
+    "construction, which is the safety property that makes hints safe "
+    "to deploy. The hinted plans (SortMergeJoin, ShuffledHashJoin, "
+    "BroadcastHashJoin) are asserted in tests/test_plans.py. The "
+    "returned frame is the broadcast variant (the right answer for a "
+    "25-row dim at any corpus scale).",
+)
+def s39_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+    merge_j = agg(c.join(n.hint("merge"), c.c_nationkey == n.n_nationkey))
+    hash_j = agg(c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey))
+    bcast_j = agg(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    # All three must agree row-for-row — checked eagerly so a strategy
+    # divergence fails loudly rather than silently returning one variant.
+    rows_m = {tuple(r) for r in merge_j.collect()}
+    rows_h = {tuple(r) for r in hash_j.collect()}
+    rows_b = {tuple(r) for r in bcast_j.collect()}
+    assert rows_m == rows_h == rows_b, "join strategies disagreed"
+    return bcast_j
+
+
+def s39_hinted_variants(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Plan-test helper: the three hinted joins before aggregation."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return {
+        "merge": c.join(n.hint("merge"), c.c_nationkey == n.n_nationkey),
+        "shuffle_hash": c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey),
+        "broadcast": c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
+    }

@@ -2515,3 +2515,61 @@ def x55_time_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decayed_value"),
         F.round(F.sum(weight).cast("double"), 6).alias("decayed_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X56 — corpus version diff (dataset-versioning changelog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x56_corpus_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN md5('rev2:' || text) ELSE md5(text) END AS h
+  FROM documents WHERE doc_id >= 50
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.h = v2.h THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+""",
+    doc="X56: CORPUS VERSION DIFF — the dataset-versioning changelog "
+    "between two corpus snapshots: added / removed / changed / "
+    "unchanged per document, decided by full-outer-joining the two "
+    "versions' (doc_id, content-md5) manifests. Only 16-byte digests "
+    "and ids cross the wire — text bytes are hashed scan-side in each "
+    "version's own scan, so diffing two 100 TB snapshots moves two "
+    "digest tables, not two corpora (the same manifest trick as x48's "
+    "incremental dedup, applied to auditing instead of filtering). The "
+    "fixture simulates v2 by dropping the head, appending a tail, and "
+    "revising every 10th doc.",
+)
+def x56_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    v1 = docs.filter(F.col("doc_id") < 450).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("id2"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.md5(F.concat_ws(":", F.lit("rev2"), F.col("text"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h2"),
+    )
+    return v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -739,3 +739,92 @@ def s14m_dedup_within_watermark_ttl(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return _run_to_memory(deduped, "append")
+
+
+MV_DELTA_DAYS = 3  # matches the batch MV (s37) refresh horizon
+
+
+@register(
+    "s14n_stream_mv_maintenance",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="S14n: STREAMING materialized-view maintenance — the streaming "
+    "twin of s37, killing the lambda-architecture split: each "
+    "micro-batch aggregates its own rows by (day, type) in "
+    "foreachBatch, then merges the algebraic partials (COUNT, DECIMAL "
+    "SUM) into the stored MV parquet by re-aggregating MV UNION delta. "
+    "Because the merge is associative, ANY micro-batch slicing yields "
+    "the same final MV as one batch pass — which the batch-aggregate "
+    "oracle proves exactly. foreachBatch is the right tool because MV "
+    "maintenance needs read-modify-write of an external table, which "
+    "no streaming sink mode expresses. At 100 TB the rewrite narrows "
+    "to only the (day, type) cells present in the delta — days outside "
+    "the micro-batch are untouched partitions.",
+)
+def s14n_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    stream = events_stream(spark, sf_dir)
+    base = _os.path.join(
+        tempfile.gettempdir(),
+        "pws_stream_mv",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    mv_path = _os.path.join(base, "mv")
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+
+    def merge_into_mv(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = day_agg(batch_df)
+        if _os.path.isdir(mv_path):
+            merged = (
+                spark.read.parquet(mv_path)
+                .unionByName(delta)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value_dec").alias("sum_value_dec"),
+                )
+            )
+        else:
+            merged = delta
+        # Write-new-then-swap: readers never see a half-written MV.
+        tmp = f"{mv_path}_epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.isdir(mv_path):
+            shutil.rmtree(mv_path)
+        _os.replace(tmp, mv_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_into_mv)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(mv_path)
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        .localCheckpoint()
+    )

@@ -317,3 +317,15 @@ def test_mv_refresh_scans_delta_only(spark, sf_dir):
     plan = formatted_plan(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "ts" in l]
     assert any("GreaterThanOrEqual(ts" in l for l in pushed), pushed
+
+
+def test_join_hints_force_each_strategy(spark, sf_dir):
+    # s39: each hint must surface its physical join in the plan.
+    from presto_weather_spark.operators.relational import s39_hinted_variants
+
+    plans = {
+        k: simple_plan(df) for k, df in s39_hinted_variants(spark, sf_dir).items()
+    }
+    assert "SortMergeJoin" in plans["merge"], plans["merge"][:400]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"], plans["shuffle_hash"][:400]
+    assert "BroadcastHashJoin" in plans["broadcast"], plans["broadcast"][:400]
