@@ -2555,3 +2555,200 @@ def s39_hinted_variants(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
         "shuffle_hash": c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey),
         "broadcast": c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
     }
+
+
+# ---------------------------------------------------------------------------
+# S40 — declarative data-quality checks (the expectations gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s40_data_quality_checks",
+    oracle="""
+SELECT 1 AS rule_id, 'orders.o_custkey references customer' AS rule,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 2, 'lineitem.l_quantity in [1, 50]',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_quantity IS NULL
+                OR l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+UNION ALL
+SELECT 3, 'customer.c_custkey unique',
+       CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+             (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey)
+             WHERE cnt > 1) AS BIGINT)
+UNION ALL
+SELECT 4, 'lineitem.l_shipdate not null',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+UNION ALL
+SELECT 5, 'events.value non-negative',
+       CAST((SELECT COUNT(*) FROM events
+             WHERE value IS NULL OR value < 0) AS BIGINT)
+""",
+    doc="S40: declarative DATA-QUALITY checks — the expectations gate every "
+    "ingest runs before publishing a partition (dbt-test / "
+    "Great-Expectations shape): referential integrity (orders -> "
+    "customer, an anti-join that broadcasts the key side), range and "
+    "null-rate assertions (scan-side predicates with pushed filters), "
+    "and key uniqueness (one hash aggregate). Each rule reduces to a "
+    "violation COUNT, so the whole suite is a handful of independent "
+    "aggregates unioned into one report — at 100 TB rules over the "
+    "same table fuse into one scan via shared filter projection (the "
+    "s32 observe() route runs them DURING the main job instead). A "
+    "publish gate then requires n_violations = 0 on blocking rules.",
+)
+def s40_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    orphans = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == c.c_custkey,
+        "left_anti",
+    ).count()
+    qty_bad = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+    ).count()
+    dup_keys = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("d"))
+        .first()["d"]
+    )
+    null_ship = li.filter(F.col("l_shipdate").isNull()).count()
+    neg_vals = e.filter(F.col("value").isNull() | (F.col("value") < 0)).count()
+    return spark.createDataFrame(
+        [
+            (1, "orders.o_custkey references customer", orphans),
+            (2, "lineitem.l_quantity in [1, 50]", qty_bad),
+            (3, "customer.c_custkey unique", int(dup_keys)),
+            (4, "lineitem.l_shipdate not null", null_ship),
+            (5, "events.value non-negative", neg_vals),
+        ],
+        "rule_id int, rule string, n_violations bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S41 — write-audit-publish (staged partition promotion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s41_write_audit_publish",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+WHERE value IS NOT NULL AND value >= 0
+""",
+    doc="S41: WRITE-AUDIT-PUBLISH — the safe-publication protocol for "
+    "ingest at scale (the Iceberg WAP / staging-table pattern from "
+    "Spark primitives): (1) WRITE the candidate partition to a staging "
+    "path invisible to consumers; (2) AUDIT the staged files with the "
+    "s40-style quality gate (here: no null/negative values — enforced "
+    "by the upstream filter, re-verified on the staged bytes, so the "
+    "gate checks what was actually written, not what was intended); "
+    "(3) PUBLISH atomically by directory rename only if the audit "
+    "passes — a failed audit leaves the previous published version "
+    "untouched and the staging dir for forensics. Consumers only ever "
+    "read the published path, so they see the old version or the new "
+    "one, never a mix. Read-back equality with the source filter is "
+    "the lossless-publication proof.",
+)
+def s41_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "pws_wap",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    staging, published = f"{base}/staging", f"{base}/published"
+    shutil.rmtree(base, ignore_errors=True)
+
+    candidate = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(
+            "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+        )
+    )
+    # 1. WRITE to staging.
+    candidate.write.mode("overwrite").parquet(staging)
+    # 2. AUDIT the staged bytes (not the logical plan that produced them).
+    staged = spark.read.parquet(staging)
+    violations = staged.filter(
+        F.col("value").isNull() | (F.col("value") < 0)
+    ).count()
+    if violations:
+        raise ValueError(f"audit failed: {violations} violations; not publishing")
+    # 3. PUBLISH atomically.
+    os.replace(staging, published)
+    return spark.read.parquet(published)
+
+
+# ---------------------------------------------------------------------------
+# S42 — dynamic partition overwrite (incremental ETL restatement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s42_dynamic_partition_overwrite",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_id, user_id,
+       CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d')
+                 = (SELECT strftime(date_trunc('day', MAX(ts)), '%Y-%m-%d')
+                    FROM events)
+            THEN round(round(value, 6) * 2, 6) ELSE round(value, 6) END AS value
+FROM events
+""",
+    doc="S42: DYNAMIC partition overwrite — partitionOverwriteMode=dynamic "
+    "replaces ONLY the partitions present in the incoming write, the "
+    "restatement primitive every incremental ETL needs (re-run one bad "
+    "day without touching the other 3 years; static mode would drop "
+    "the whole table first). The fixture publishes the full "
+    "day-partitioned table, then restates just the last day with "
+    "revised values (x2); read-back must show untouched history + the "
+    "revised day, which the oracle replays. At 100 TB this is a "
+    "per-partition commit — the write's cost is the restated day's "
+    "bytes, not the table's.",
+)
+def s42_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_dyn_overwrite",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+    )
+    e.write.mode("overwrite").partitionBy("day").parquet(out)
+    last_day = e.agg(F.max("day").alias("d")).first()["d"]
+    restated = e.filter(F.col("day") == last_day).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.select("day", "event_id", "user_id", "value")

@@ -2573,3 +2573,49 @@ def x56_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X57 — per-cell document cap (crawl-domination guard)
+# ---------------------------------------------------------------------------
+
+CELL_DOC_CAP = 10  # max docs admitted per (lang, source) cell
+
+
+@register(
+    "x57_per_cell_doc_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {CELL_DOC_CAP}
+""",
+    doc="X57: PER-CELL document cap — at most K documents admitted per "
+    "(lang, source) cell, in deterministic md5-priority order: the "
+    "guard against one crawl domain or language flooding the mixture "
+    "(x46 caps token mass; this caps document count — both are used, "
+    "token caps for volume balance, doc caps for per-source diversity "
+    "limits). One shuffle on the cell key; at 100 TB the rank is "
+    "cheaper than a sort because WindowGroupLimit prunes each "
+    "partition to its top-K before the final rank (same plan shape the "
+    "s31 LATERAL decorrelation produces).",
+)
+def x57_per_cell_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat_ws(":", F.lit("cap"), F.col("doc_id"))).alias("pri"),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("pri", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= CELL_DOC_CAP)
+        .select("doc_id", "lang", "source", "rk")
+    )
