@@ -312,3 +312,103 @@ FROM dims
 def x05d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image/png")
     return resize_media(media.select("doc_id", "media_type", "n_bytes"))
+
+
+# ---------------------------------------------------------------------------
+# X58 — cross-modal pair-alignment gate (LAION/CLIP-style pair filtering)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 64  # feature-hashing buckets == embedding dimensionality
+ALIGN_THRESHOLD = 0.0  # keep pairs with non-negative alignment
+
+
+@register(
+    "x58_pair_alignment_gate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents WHERE doc_id < 200
+),
+tb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {HASH_DIM} AS dim,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM tok WHERE term <> ''
+  GROUP BY doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {HASH_DIM}
+),
+tnorm AS (
+  SELECT doc_id, sqrt(SUM(w * w)) AS tn FROM tb GROUP BY doc_id
+),
+ev AS (
+  SELECT vec_id, CAST(e AS DOUBLE) AS v, gs - 1 AS dim
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS gs
+    FROM embeddings WHERE vec_id < 200
+  )
+),
+enorm AS (
+  SELECT vec_id, sqrt(SUM(v * v)) AS en FROM ev GROUP BY vec_id
+),
+dots AS (
+  SELECT tb.doc_id, SUM(tb.w * ev.v) AS dot
+  FROM tb JOIN ev ON tb.doc_id = ev.vec_id AND tb.dim = ev.dim
+  GROUP BY tb.doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(d.dot, 0) / (t.tn * e.en), 6) AS alignment,
+       COALESCE(d.dot, 0) / (t.tn * e.en) >= {ALIGN_THRESHOLD} AS keep
+FROM dots d
+JOIN tnorm t ON t.doc_id = d.doc_id
+JOIN enorm e ON e.vec_id = d.doc_id
+""",
+    doc="X58: CROSS-MODAL pair-alignment gate — the LAION/CLIP-filtering "
+    "shape: every (caption, image) pair is scored by the cosine between "
+    "a text-side feature vector and the image-side embedding, and "
+    "low-alignment pairs are dropped before training. The text side is "
+    "FEATURE-HASHED bag-of-words (term -> md5 % 64 bucket, the "
+    "Weinberger hashing trick — vocabulary-free, so the featurizer "
+    "needs no fitted state and parallelizes scan-side); the 'image' "
+    "side reuses the embeddings table. The sparse-dense dot product is "
+    "relational: explode the embedding to (dim, value) rows and join "
+    "on (pair_id, dim) — no UDF, full codegen, one shuffle on the "
+    "pair id. At 100 TB the alignment model is a real dual encoder, "
+    "but the gating plan is exactly this.",
+)
+def x58_pair_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8, "doc_id")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tb = tok.groupBy(
+        "doc_id",
+        (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % HASH_DIM)
+        .alias("dim"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    tnorm = tb.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("tn"))
+    ev = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.posexplode("embedding").alias("dim", "e"))
+        .select("vec_id", "dim", F.col("e").cast("double").alias("v"))
+    )
+    enorm = ev.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("en"))
+    dots = (
+        tb.join(ev, (tb.doc_id == ev.vec_id) & (tb.dim == ev.dim))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("v")).alias("dot"))
+    )
+    sim = F.coalesce(F.col("dot"), F.lit(0.0)) / (F.col("tn") * F.col("en"))
+    return (
+        dots.join(tnorm, "doc_id")
+        .join(enorm, dots.doc_id == enorm.vec_id)
+        .select(
+            "doc_id",
+            F.round(sim, 6).alias("alignment"),
+            (sim >= ALIGN_THRESHOLD).alias("keep"),
+        )
+    )

@@ -458,3 +458,136 @@ def s36_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(f"{out}/*.jsonl")
+
+
+@register(
+    "s43_format_federated_union",
+    oracle="""
+SELECT o_orderkey AS record_key, 'parquet' AS fmt, round(o_totalprice, 2) AS amount
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, 'csv', round(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 3 = 1
+UNION ALL
+SELECT o_orderkey, 'orc', round(o_totalprice, 2)
+FROM orders WHERE o_orderkey % 3 = 2
+""",
+    doc="S43: FORMAT-FEDERATED union — one logical table whose shards live "
+    "in three physical formats (parquet, CSV, ORC), read through their "
+    "own connectors and unioned by name into a single frame: the "
+    "data-lake reality where history sits in legacy CSV exports, the "
+    "warm tier in ORC from an old Hive pipeline, and the current tier "
+    "in parquet. Each branch keeps its own pushdown capabilities "
+    "(parquet/ORC prune + push predicates; CSV at least prunes "
+    "columns), and Catalyst plans the union's branches independently — "
+    "adding a format never rewrites the query. The oracle replays the "
+    "three-way split from the source table.",
+)
+def s43_format_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "pws_federated",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("record_key"),
+        F.round("o_totalprice", 2).alias("amount"),
+    )
+    shards = {
+        "parquet": o.filter(F.col("record_key") % 3 == 0),
+        "csv": o.filter(F.col("record_key") % 3 == 1),
+        "orc": o.filter(F.col("record_key") % 3 == 2),
+    }
+    shards["parquet"].write.mode("overwrite").parquet(f"{base}/parquet")
+    shards["csv"].write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    shards["orc"].write.mode("overwrite").orc(f"{base}/orc")
+    pq = spark.read.parquet(f"{base}/parquet").withColumn("fmt", F.lit("parquet"))
+    cs = (
+        spark.read.schema("record_key bigint, amount double")
+        .option("header", True)
+        .csv(f"{base}/csv")
+        .withColumn("fmt", F.lit("csv"))
+    )
+    oc = spark.read.orc(f"{base}/orc").withColumn("fmt", F.lit("orc"))
+    return pq.unionByName(cs).unionByName(oc).select("record_key", "fmt", "amount")
+
+
+@register(
+    "s44_csv_malformed_modes",
+    oracle="""
+WITH rows(line_no, record_key, amount, corrupt) AS (
+  VALUES (1, 101, 12.5, FALSE),
+         (2, NULL, NULL, TRUE),
+         (3, 103, 7.25, FALSE),
+         (4, NULL, NULL, TRUE),
+         (5, 105, 99.0, FALSE)
+)
+SELECT CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN NOT corrupt THEN amount ELSE 0 END)
+            AS DECIMAL(18,2)) AS good_amount
+FROM rows
+""",
+    doc="S44: MALFORMED-RECORD handling — the ingest-robustness contract "
+    "for text formats: a CSV with planted corrupt lines is read in "
+    "PERMISSIVE mode (bad rows null-filled and captured verbatim in "
+    "_corrupt_record for a quarantine table) and cross-checked against "
+    "DROPMALFORMED (bad rows silently gone — good count must agree). "
+    "The report is good/corrupt counts plus the good-row control "
+    "total; at 100 TB the quarantine column is what makes bad input "
+    "debuggable without re-reading the source (the badRecordsPath "
+    "pattern with the same semantics). The reference's equivalent is "
+    "absorbing malformed JSON per tick (weather.py:325-331, r13's "
+    "batch twin).",
+)
+def s44_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw_dir = os.path.join(
+        tempfile.gettempdir(),
+        "pws_malformed",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(raw_dir, exist_ok=True)
+    with open(os.path.join(raw_dir, "feed.csv"), "w") as f:
+        f.write(
+            "record_key,amount\n"
+            "101,12.5\n"
+            "not-a-number,oops,extra\n"
+            "103,7.25\n"
+            "garbage-line-without-comma-value\n"
+            "105,99.0\n"
+        )
+    schema = "record_key bigint, amount double, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(raw_dir)
+        .cache()  # one pass feeds both counts; Spark requires caching when
+        # filtering on the corrupt-record column alone (SPARK-21610)
+    )
+    n_good = permissive.filter(F.col("_corrupt_record").isNull()).count()
+    n_corrupt = permissive.filter(F.col("_corrupt_record").isNotNull()).count()
+    dropped = (
+        spark.read.schema("record_key bigint, amount double")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(raw_dir)
+    )
+    # A bare count() short-circuits CSV parsing (rows are counted without
+    # being parsed, so DROPMALFORMED never fires — a classic CSV-mode
+    # trap); referencing a data column forces the parse.
+    n_dropped_mode = dropped.filter(
+        F.col("record_key").isNotNull() | F.col("amount").isNotNull()
+    ).count()
+    assert n_dropped_mode == n_good, "PERMISSIVE and DROPMALFORMED disagree"
+    good_amount = (
+        permissive.filter(F.col("_corrupt_record").isNull())
+        .agg(F.sum(F.col("amount").cast("decimal(18,2)")).alias("s"))
+        .first()["s"]
+    )
+    permissive.unpersist()
+    return spark.createDataFrame(
+        [(n_good, n_corrupt, good_amount)],
+        "n_good bigint, n_corrupt bigint, good_amount decimal(18,2)",
+    )
