@@ -750,3 +750,41 @@ def s15g_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         transform, "event_id bigint, event_type_uc string, type_len int"
     )
+
+
+@register(
+    "s45_sql_registered_udf",
+    oracle="""
+SELECT event_id, value,
+       CASE WHEN value >= 100 THEN 'high'
+            WHEN value >= 10 THEN 'mid'
+            ELSE 'low' END AS band
+FROM events
+""",
+    doc="S45: SQL-REGISTERED Python UDF — spark.udf.register makes a "
+    "Python function callable from SQL TEXT (the escape hatch for "
+    "SQL-first users and BI tools that can't call the DataFrame API), "
+    "here banding values through a registered classifier invoked from "
+    "spark.sql(). The oracle is the pure-SQL CASE — proving the "
+    "registered form agrees with the relational form, the same parity "
+    "contract as s15. Production note: a registered scalar Python UDF "
+    "is row-at-a-time (ser/de per row); register the pandas_udf form "
+    "for hot paths — registration works identically for both.",
+)
+def s45_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    def band(v: float) -> str:
+        if v is None:
+            return None
+        if v >= 100:
+            return "high"
+        if v >= 10:
+            return "mid"
+        return "low"
+
+    spark.udf.register("pws_band", band, T.StringType())
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_id, value, pws_band(value) AS band FROM events"
+    )

@@ -1024,3 +1024,90 @@ def x37_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", "embedding").mapInPandas(
         score, "vec_id bigint, label int, maha_sq double"
     )
+
+
+# ---------------------------------------------------------------------------
+# X59 — random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 16  # projected dimensionality (64 -> 16)
+
+
+@register(
+    "x59_random_projection",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, CAST(e AS DOUBLE) AS v, gs - 1 AS dim_in
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS gs
+    FROM embeddings
+  )
+),
+proj AS (
+  SELECT din.d AS dim_in, dout.d AS dim_out,
+         CASE WHEN CAST(('0x' || substr(md5('rp:' || CAST(din.d AS VARCHAR)
+                          || ':' || CAST(dout.d AS VARCHAR)), 1, 4)) AS INT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM (SELECT unnest(range(0, 64)) AS d) din
+  CROSS JOIN (SELECT unnest(range(0, {RP_OUT_DIM})) AS d) dout
+)
+SELECT ev.vec_id, proj.dim_out,
+       round(CAST(SUM(CAST(ev.v * proj.sign AS DECIMAL(28,12))) AS DOUBLE)
+             / sqrt({RP_OUT_DIM}.0), 6) AS component
+FROM ev JOIN proj ON ev.dim_in = proj.dim_in
+GROUP BY ev.vec_id, proj.dim_out
+""",
+    doc="X59: RANDOM-PROJECTION dimensionality reduction — the "
+    "Johnson-Lindenstrauss / Achlioptas sign-matrix projection "
+    "(64 -> 16 dims, entries +/-1 scaled by 1/sqrt(k)): the cheap, "
+    "training-free complement to x37's PCA for shrinking embeddings "
+    "before ANN or clustering, with distance preservation guaranteed "
+    "in expectation rather than learned. The projection matrix is "
+    "DERIVED, not stored: entry (i,j)'s sign comes from md5('rp:i:j') "
+    "— every executor regenerates it identically, so nothing ships "
+    "but the query (the seed IS the model). Relationally it's the "
+    "x58 sparse-dense join: explode embeddings to (dim, v), join the "
+    "64x16 sign table (broadcast), one (vec, dim_out) aggregate; "
+    "products go through DECIMAL so components are "
+    "partial-agg-order-exact. JL distance preservation is pinned in "
+    "tests/test_properties.py.",
+)
+def x59_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim_in", "e")
+    ).select("vec_id", "dim_in", F.col("e").cast("double").alias("v"))
+    dims_in = spark.range(64).select(F.col("id").cast("int").alias("dim_in"))
+    dims_out = spark.range(RP_OUT_DIM).select(F.col("id").cast("int").alias("dim_out"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("rp"), F.col("dim_in"), F.col("dim_out")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        1.0,
+    ).otherwise(-1.0)
+    proj = dims_in.crossJoin(dims_out).select("dim_in", "dim_out", sign.alias("sign"))
+    return (
+        ev.join(F.broadcast(proj), "dim_in")
+        .groupBy("vec_id", "dim_out")
+        .agg(
+            F.round(
+                F.sum((F.col("v") * F.col("sign")).cast("decimal(28,12)"))
+                .cast("double")
+                / float(RP_OUT_DIM) ** 0.5,
+                6,
+            ).alias("component")
+        )
+    )

@@ -370,3 +370,38 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     assert all(len(s) == 1 for s in by_cluster.values())
     splits = {r["split"] for r in rows}
     assert splits == {"train", "test"}
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    # x59: JL projection with +/-1 signs and 1/sqrt(k) scaling preserves
+    # pairwise squared distances in expectation — check the mean relative
+    # distortion over a sample of pairs is modest (k=16 gives coarse but
+    # bounded distortion), and every vector got exactly RP_OUT_DIM dims.
+    import itertools
+    import math
+
+    from presto_weather_spark.operators.similarity import RP_OUT_DIM
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    rows = all_queries()["x59_random_projection"].fn(spark, sf_dir).collect()
+    proj: dict[int, dict[int, float]] = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], {})[r["dim_out"]] = r["component"]
+    assert all(len(v) == RP_OUT_DIM for v in proj.values())
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(proj)[:12]
+    distortions = []
+    for a, b in itertools.combinations(ids, 2):
+        d_orig = math.dist(orig[a], orig[b])
+        pv_a = [proj[a][d] for d in range(RP_OUT_DIM)]
+        pv_b = [proj[b][d] for d in range(RP_OUT_DIM)]
+        d_proj = math.dist(pv_a, pv_b)
+        if d_orig > 0:
+            distortions.append(abs(d_proj - d_orig) / d_orig)
+    assert distortions
+    mean_distortion = sum(distortions) / len(distortions)
+    assert mean_distortion < 0.5, mean_distortion
