@@ -119,3 +119,137 @@ def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X60 — curation pipeline v2 (round-3 stages fused into one plan)
+# ---------------------------------------------------------------------------
+
+V2_MIN_CHARS = 50
+V2_CELL_CAP = 10
+V2_TOKEN_BUDGET = 600
+
+
+@register(
+    "x60_curation_pipeline_v2",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars, text,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+quality AS (SELECT * FROM base WHERE n_chars >= {V2_MIN_CHARS}),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang, source
+      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS cap_rk
+    FROM dedup
+  ) WHERE cap_rk <= {V2_CELL_CAP}
+),
+budgeted AS (
+  SELECT * FROM (
+    SELECT *, SUM(n_tok) OVER (
+      PARTITION BY source
+      ORDER BY md5('budget:' || CAST(doc_id AS VARCHAR)), doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM capped
+  ) WHERE cum_tok <= {V2_TOKEN_BUDGET}
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dedup,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped,
+       CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_budgeted
+FROM base b
+LEFT JOIN quality q ON q.doc_id = b.doc_id
+LEFT JOIN dedup d ON d.doc_id = b.doc_id
+LEFT JOIN capped c ON c.doc_id = b.doc_id
+LEFT JOIN budgeted g ON g.doc_id = b.doc_id
+GROUP BY b.source
+""",
+    doc="X60: CURATION PIPELINE v2 — the round-3 stages composed into one "
+    "fused plan with per-stage yield accounting: quality gate "
+    "(min-chars) -> exact dedup (md5 keep-lowest, x34's survivor rule "
+    "simplified) -> per-cell doc cap (x57) -> per-source token budget "
+    "(x46), reported as a per-source funnel (n_input -> n_quality -> "
+    "n_dedup -> n_capped -> n_budgeted). The yield report is how a "
+    "curation run is actually reviewed — which stage costs which "
+    "source how much — and the funnel monotonicity is asserted in "
+    "tests/test_properties.py. Plan: stages chain window/agg steps "
+    "that all key on source-derived partitions; Catalyst fuses the "
+    "projections, and the accounting joins ship doc_ids only. "
+    "Companion to x21 (round-1 pipeline: quality/dup-span/lang "
+    "yield).",
+)
+def x60_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    quality = base.filter(F.col("n_chars") >= V2_MIN_CHARS)
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        quality.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_cap = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat_ws(":", F.lit("cap"), F.col("doc_id"))), "doc_id"
+    )
+    capped = (
+        dedup.withColumn("cap_rk", F.row_number().over(w_cap))
+        .filter(F.col("cap_rk") <= V2_CELL_CAP)
+        .drop("cap_rk")
+    )
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = capped.withColumn("cum_tok", F.sum("n_tok").over(w_budget)).filter(
+        F.col("cum_tok") <= V2_TOKEN_BUDGET
+    )
+
+    def stage_flag(stage_df: DataFrame, name: str) -> DataFrame:
+        return stage_df.select("doc_id").withColumn(name, F.lit(1))
+
+    report = (
+        base.select("doc_id", "source")
+        .join(stage_flag(quality, "q"), "doc_id", "left")
+        .join(stage_flag(dedup, "d"), "doc_id", "left")
+        .join(stage_flag(capped, "c"), "doc_id", "left")
+        .join(stage_flag(budgeted, "g"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.coalesce(F.col("q"), F.lit(0))).alias("n_quality"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("n_dedup"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_capped"),
+            F.sum(F.coalesce(F.col("g"), F.lit(0))).alias("n_budgeted"),
+        )
+    )
+    return report

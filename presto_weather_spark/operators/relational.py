@@ -2752,3 +2752,45 @@ def s42_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(out)
     return back.select("day", "event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# S46 — timezone-aware local-day rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s46_local_day_rollup",
+    oracle="""
+SELECT strftime(date_trunc('day',
+                timezone('America/New_York', ts::TIMESTAMPTZ)), '%Y-%m-%d')
+         AS local_day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="S46: TIMEZONE-AWARE local-day rollup — daily aggregates bucketed "
+    "by the observer's LOCAL calendar day (America/New_York), not UTC: "
+    "the daily-report correctness issue every global analytics stack "
+    "hits, because a UTC midnight cut splits local evenings across two "
+    "report rows (an 03:00 UTC event is 22:00 the PREVIOUS day in New "
+    "York). from_utc_timestamp shifts event time into the target zone "
+    "before the date_trunc, DST transitions included via the IANA "
+    "rules both engines share; the oracle is DuckDB's "
+    "timezone()-over-TIMESTAMPTZ equivalent under a pinned UTC session "
+    "zone. Same single-shuffle profile as a UTC rollup — the zone "
+    "shift is a scan-side expression, so correctness here is free at "
+    "100 TB.",
+)
+def s46_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    local_ts = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", local_ts), "yyyy-MM-dd").alias("local_day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

@@ -405,3 +405,17 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     assert distortions
     mean_distortion = sum(distortions) / len(distortions)
     assert mean_distortion < 0.5, mean_distortion
+
+
+def test_curation_v2_funnel_monotone(spark, sf_dir):
+    # x60: each stage can only shrink every source's cohort, and the global
+    # budgeted token mass respects the per-source budget by construction.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x60_curation_pipeline_v2"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_input"] >= r["n_quality"] >= r["n_dedup"]
+            >= r["n_capped"] >= r["n_budgeted"] >= 0
+        ), r
