@@ -810,3 +810,40 @@ def x53_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(bucket < 8, "train").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X61 — LSH banding quality evaluation (candidate set vs exact pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x61_lsh_banding_eval",
+    oracle=None,  # the MinHash side hinges on xxhash64 (engine-specific) ->
+    # rows-only; precision/recall floors pinned in tests/test_properties.py.
+    doc="X61: LSH BANDING EVALUATION — the self-audit every MinHash "
+    "deployment needs: the banded candidate pairs (x02) are scored "
+    "against the exact n-gram Jaccard pairs (x02b) on the same doc "
+    "subset, reporting candidate/exact/hit counts and the "
+    "precision/recall of the banding scheme. This is how band/row "
+    "parameters are tuned in practice: recall too low -> more bands "
+    "(catch more of the S-curve's left tail); precision too low -> "
+    "longer rows. Both inputs are deterministic, so the eval is "
+    "reproducible; at 100 TB the exact side runs on a small audit "
+    "SAMPLE (as here) because exact all-pairs is exactly what LSH "
+    "exists to avoid.",
+)
+def x61_lsh_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    cand = minhash_near_dup_pairs(d).select("doc_a", "doc_b")
+    exact = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    n_cand = cand.count()
+    n_exact = exact.count()
+    n_hits = cand.join(exact, ["doc_a", "doc_b"]).count()
+    precision = round(n_hits / n_cand, 6) if n_cand else 1.0
+    recall = round(n_hits / n_exact, 6) if n_exact else 1.0
+    return spark.createDataFrame(
+        [(n_cand, n_exact, n_hits, precision, recall)],
+        "n_candidates bigint, n_exact bigint, n_hits bigint, "
+        "precision double, recall double",
+    )

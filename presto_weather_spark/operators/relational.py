@@ -2794,3 +2794,100 @@ def s46_local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S47 — keyset pagination (the OFFSET-free page fetch)
+# ---------------------------------------------------------------------------
+
+PAGE_SIZE = 20
+
+
+@register(
+    "s47_keyset_pagination",
+    oracle=f"""
+WITH ranked AS (
+  SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM ranked WHERE rk > {2 * PAGE_SIZE} AND rk <= {3 * PAGE_SIZE}
+""",
+    doc="S47: KEYSET pagination — page 3 of the balance leaderboard "
+    "fetched WITHOUT OFFSET: the previous page's last (c_acctbal, "
+    "c_custkey) becomes a composite-key predicate, so the engine "
+    "top-k's only rows BEYOND the boundary (TakeOrderedAndProject over "
+    "a pushed filter) instead of sorting and discarding 2 pages "
+    "(OFFSET's cost grows linearly with page number — at page 10,000 "
+    "of a 100 TB table OFFSET is a disaster, keyset is constant). The "
+    "boundary itself comes from a PAGE_SIZE*2 top-k (what serving the "
+    "prior page already computed). Oracle: the equivalent rank-window "
+    "slice.",
+)
+def s47_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    # The client already holds page 2's tail — recompute it as a top-k.
+    boundary = c.orderBy(*order).limit(2 * PAGE_SIZE).orderBy(*order).collect()[-1]
+    b_bal, b_key = boundary["c_acctbal"], boundary["c_custkey"]
+    page3 = (
+        c.filter(
+            (F.col("c_acctbal") < b_bal)
+            | ((F.col("c_acctbal") == b_bal) & (F.col("c_custkey") > b_key))
+        )
+        .orderBy(*order)
+        .limit(PAGE_SIZE)
+    )
+    return page3
+
+
+# ---------------------------------------------------------------------------
+# X62 — sketch set operations (HLL inclusion-exclusion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x62_sketch_set_ops",
+    oracle=None,  # sketch estimates are engine-specific -> rows-only;
+    # accuracy vs exact counts pinned in tests/test_properties.py.
+    doc="X62: SKETCH SET OPERATIONS — audience-overlap estimation from "
+    "mergeable HLL sketches: |users(click)|, |users(purchase)|, their "
+    "union via hll_union_agg, and the INTERSECTION by "
+    "inclusion-exclusion (|A| + |B| - |A u B|) — the only way HLL "
+    "answers overlap questions, and the standard one (theta sketches "
+    "intersect natively; HLL trades that for smaller, simpler state). "
+    "At 100 TB the sketches are built once per segment partition and "
+    "merged associatively — overlap questions across ANY segment "
+    "combination then cost sketch-merge time, never a rescan; "
+    "x14 is the rollup cousin, this is the set-algebra cousin. "
+    "Estimate error vs exact is pinned in tests.",
+)
+def x62_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sketches = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_type = sketches.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    ).collect()
+    est = {r["event_type"]: int(r["est"]) for r in per_type}
+    union_est = int(
+        sketches.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+        ).first()["u"]
+    )
+    inter_est = est["click"] + est["purchase"] - union_est
+    return spark.createDataFrame(
+        [
+            ("click", est["click"]),
+            ("purchase", est["purchase"]),
+            ("union", union_est),
+            ("intersection", inter_est),
+        ],
+        "set_op string, est_users bigint",
+    )

@@ -419,3 +419,45 @@ def test_curation_v2_funnel_monotone(spark, sf_dir):
             r["n_input"] >= r["n_quality"] >= r["n_dedup"]
             >= r["n_capped"] >= r["n_budgeted"] >= 0
         ), r
+
+
+def test_lsh_banding_eval_floors(spark, sf_dir):
+    # x61: the banding scheme must keep recall high (that's its job) and
+    # precision non-degenerate on the audit subset.
+    from presto_weather_spark.registry import all_queries
+
+    r = all_queries()["x61_lsh_banding_eval"].fn(spark, sf_dir).collect()[0]
+    assert r["n_hits"] <= min(r["n_candidates"], r["n_exact"])
+    if r["n_exact"]:
+        assert r["recall"] >= 0.8, r
+    if r["n_candidates"]:
+        assert r["precision"] >= 0.5, r
+
+
+def test_sketch_set_ops_accuracy(spark, sf_dir):
+    # x62: every HLL estimate (including the inclusion-exclusion
+    # intersection) must sit within 10% of the exact cardinality.
+    import pyspark.sql.functions as F
+
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    est = {
+        r["set_op"]: r["est_users"]
+        for r in all_queries()["x62_sketch_set_ops"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["union"] = e.select("user_id").distinct().count()
+    exact["intersection"] = (
+        exact["click"] + exact["purchase"] - exact["union"]
+    )
+    for k in ("click", "purchase", "union", "intersection"):
+        assert abs(est[k] - exact[k]) <= max(1, 0.1 * exact[k]), (k, est[k], exact[k])
