@@ -2891,3 +2891,76 @@ def x62_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "set_op string, est_users bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# S48 — bucketized interval join (the scalable range-join rewrite)
+# ---------------------------------------------------------------------------
+
+IJ_BUCKET_SECONDS = 3600  # bucket width == interval length (1 covering hop)
+IJ_WINDOW_SECONDS = 3600
+
+
+@register(
+    "s48_bucketized_interval_join",
+    oracle=f"""
+SELECT c.event_id AS click_id,
+       e.event_id AS other_id,
+       c.user_id,
+       e.event_type AS other_type
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND e.event_id <> c.event_id
+ AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL {IJ_WINDOW_SECONDS} SECOND
+""",
+    doc="S48: BUCKETIZED interval join — the rewrite that makes range "
+    "joins survive scale: a plain (key, t BETWEEN a AND b) join gives "
+    "the planner only the equality on user_id, so every user's events "
+    "cross-pair before the time filter (quadratic in per-user events "
+    "— fatal for hot users at 100 TB). Here each click EXPLODES to "
+    "the hour buckets its 1-hour window covers (exactly 2) and each "
+    "event maps to its own bucket, turning the join key into (user_id, "
+    "bucket) — a plain hash join whose per-group size is bounded by "
+    "events-per-user-HOUR, followed by the exact interval filter. A "
+    "pair can only meet in the probe event's single home bucket, so "
+    "no post-join dedup is needed. The oracle is the plain range join "
+    "— identical results, different asymptotics; the equi-key is "
+    "asserted in tests/test_plans.py.",
+)
+def s48_bucketized_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts")) / (IJ_BUCKET_SECONDS * 1_000_000)).cast(
+        "bigint"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            bucket.alias("b0"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    others = e.select(
+        F.col("event_id").alias("other_id"),
+        F.col("user_id").alias("o_user_id"),
+        F.col("event_type").alias("other_type"),
+        F.col("ts").alias("other_ts"),
+        bucket.alias("bucket"),
+    )
+    joined = clicks.join(
+        others,
+        (clicks.user_id == others.o_user_id) & (clicks.bucket == others.bucket),
+    ).filter(
+        (F.col("other_id") != F.col("click_id"))
+        & (F.col("other_ts") >= F.col("click_ts"))
+        & (
+            F.unix_micros(F.col("other_ts"))
+            < F.unix_micros(F.col("click_ts")) + IJ_WINDOW_SECONDS * 1_000_000
+        )
+    )
+    return joined.select("click_id", "other_id", "user_id", "other_type")

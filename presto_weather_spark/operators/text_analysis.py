@@ -2619,3 +2619,98 @@ def x57_per_cell_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CELL_DOC_CAP)
         .select("doc_id", "lang", "source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X63 — curation-signal cross-calibration (quality deciles vs duplication)
+# ---------------------------------------------------------------------------
+
+X63_CHUNK = 16  # same aligned-chunk scheme as x19
+
+
+@register(
+    "x63_signal_correlation",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS DOUBLE) AS n_tok,
+         CAST(len(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+  FROM documents
+),
+qual AS (
+  SELECT doc_id, n_letters / greatest(n_tok, 1) AS mean_tok_len FROM q
+),
+ch AS (
+  SELECT doc_id, md5(substr(text, CAST(s AS INT), {X63_CHUNK})) AS h
+  FROM documents,
+       unnest(generate_series(1, greatest(len(text), 1), {X63_CHUNK})) AS t(s)
+),
+freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+dup AS (
+  SELECT ch.doc_id,
+         count(*) FILTER (freq.nd > 1) * 1.0 / count(*) AS dup_ratio
+  FROM ch JOIN freq USING (h) GROUP BY ch.doc_id
+),
+deciled AS (
+  SELECT qual.doc_id, qual.mean_tok_len, dup.dup_ratio,
+         ntile(10) OVER (ORDER BY qual.mean_tok_len, qual.doc_id) AS decile
+  FROM qual JOIN dup ON qual.doc_id = dup.doc_id
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(mean_tok_len), 6) AS avg_quality,
+       round(AVG(dup_ratio), 6) AS avg_dup_ratio
+FROM deciled GROUP BY decile
+""",
+    doc="X63: SIGNAL CROSS-CALIBRATION — does the cheap quality signal "
+    "(mean token length, an x09 component) predict the expensive one "
+    "(x19's duplicated-chunk ratio)? Documents are ntile(10)-deciled "
+    "by quality and each decile reports its average duplication — the "
+    "calibration curve a curation team reads before deciding which "
+    "signal gates at which threshold (if low-quality deciles carry "
+    "most duplication, the cheap gate can run FIRST and shrink the "
+    "corpus before the chunk-hash pass pays its shuffles — signal "
+    "ordering is a real 100 TB cost decision). The global ntile is "
+    "the one scale caveat: at 100 TB swap it for fixed quantile "
+    "boundaries from approx_percentile (same report, no global sort).",
+)
+def x63_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    qual = d.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.greatest(
+                F.size(F.filter(_tokens(), lambda t: t != "")).cast("double"),
+                F.lit(1.0),
+            )
+        ).alias("mean_tok_len"),
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(X63_CHUNK)
+    )
+    ch = d.select("doc_id", "text", F.explode(starts).alias("s")).select(
+        "doc_id",
+        F.md5(F.col("text").substr(F.col("s"), F.lit(X63_CHUNK))).alias("h"),
+    )
+    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_ratio")
+        )
+    )
+    w = Window.orderBy("mean_tok_len", "doc_id")
+    deciled = (
+        qual.join(dup, "doc_id")
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_tok_len"), 6).alias("avg_quality"),
+        F.round(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
+    )

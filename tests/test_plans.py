@@ -329,3 +329,14 @@ def test_join_hints_force_each_strategy(spark, sf_dir):
     assert "SortMergeJoin" in plans["merge"], plans["merge"][:400]
     assert "ShuffledHashJoin" in plans["shuffle_hash"], plans["shuffle_hash"][:400]
     assert "BroadcastHashJoin" in plans["broadcast"], plans["broadcast"][:400]
+
+
+def test_bucketized_interval_join_uses_equi_key(spark, sf_dir):
+    # s48: the join must be a hash/sort-merge join on (user_id, bucket) —
+    # never a broadcast-nested-loop over the inequality predicate.
+    df = _df("s48_bucketized_interval_join", spark, sf_dir)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:600]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:600]
