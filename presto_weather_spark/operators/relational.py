@@ -2964,3 +2964,75 @@ def s48_bucketized_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.select("click_id", "other_id", "user_id", "other_type")
+
+
+# ---------------------------------------------------------------------------
+# S49 — nested array-of-struct algebra (collect, sort, slice, reduce)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s49_array_of_struct_algebra",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         list(struct_pack(ts := ts, event_id := event_id, value := value)
+              ORDER BY value DESC, event_id) AS evs,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(list_sum(list_transform(evs[1:3], e -> round(e.value, 6))), 6)
+         AS top3_sum,
+       strftime(evs[1].ts, '%Y-%m-%d %H:%M:%S') AS best_ts,
+       evs[1].event_id AS best_event_id
+FROM per_user
+""",
+    doc="S49: ARRAY-OF-STRUCT algebra — the nested-type surface beyond "
+    "flat arrays (s12) and maps/JSON (s13): per-user events collected "
+    "into an array of structs, ordered INSIDE the array (array_sort "
+    "with a descending-value, event-id-tiebreak comparator), sliced to "
+    "the top 3, and reduced with higher-order aggregate — the "
+    "document-model shape (one row per entity, events nested) that "
+    "Dremel-style engines made standard. Collect_list is "
+    "order-nondeterministic, so the in-array comparator — not the "
+    "collection order — defines the result; that discipline is what "
+    "makes nested pipelines reproducible. Scale: one shuffle to nest; "
+    "array ops are per-row and stay scan-parallel, but unbounded "
+    "per-entity arrays must be capped (slice after sort) exactly as "
+    "done here.",
+)
+def s49_array_of_struct_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    nested = e.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_id", "value")).alias("raw"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # Order inside the array: value DESC, event_id ASC (comparator, since
+    # collect_list order is nondeterministic).
+    cmp = (
+        lambda a, b: F.when(a.value > b.value, -1)
+        .when(a.value < b.value, 1)
+        .when(a.event_id < b.event_id, -1)
+        .when(a.event_id > b.event_id, 1)
+        .otherwise(0)
+    )
+    sorted_evs = F.array_sort(F.col("raw"), cmp)
+    top3 = F.slice(sorted_evs, 1, 3)
+    return nested.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.aggregate(
+                F.transform(top3, lambda s: F.round(s.value, 6)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("top3_sum"),
+        F.date_format(F.element_at(sorted_evs, 1).ts, "yyyy-MM-dd HH:mm:ss").alias(
+            "best_ts"
+        ),
+        F.element_at(sorted_evs, 1).event_id.alias("best_event_id"),
+    )

@@ -1111,3 +1111,98 @@ def x59_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("component")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X65 — k-center coreset selection (greedy farthest-point diversity sample)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+KCENTER_LOCAL_LIMIT = 100_000  # collect-and-solve below this corpus size
+
+
+@register(
+    "x65_kcenter_coreset",
+    oracle=None,  # iterative greedy argmax, not SQL-expressible; the
+    # 2-approximation's monotone-radius property and exact determinism are
+    # pinned in tests/test_properties.py.
+    doc="X65: K-CENTER CORESET — greedy farthest-point selection (the "
+    "Gonzalez 2-approximation): start from the lowest-id vector, then "
+    "k-1 times add the point farthest from the current center set — "
+    "the classic DIVERSITY sampling for training data (cover the "
+    "embedding space with few exemplars; complements x15's k-means, "
+    "which finds dense centers, by finding SPREAD ones; outliers and "
+    "rare modes are exactly what it keeps). Each round is one "
+    "distributed pass: a vectorized pandas_udf computes every point's "
+    "distance to the NEWEST center only, a running min_dist column "
+    "keeps the center-set distance incrementally (no k-fold "
+    "recompute), and a deterministic (max dist, min vec_id) argmax "
+    "picks the next center — k rounds = k scans, communication is one "
+    "row per round. Output: each selected center with its selection "
+    "rank and the coverage radius when it was picked (non-increasing "
+    "— the property test's invariant).",
+)
+def x65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    if emb.count() <= KCENTER_LOCAL_LIMIT:
+        # Same greedy, driver-local on the collected matrix (the x43
+        # hybrid contract: tiny-data iterations skip per-round job
+        # latency; path equivalence pinned in tests/test_properties.py).
+        return _kcenter_greedy_local(emb)
+    return _kcenter_greedy_distributed(emb)
+
+
+def _kcenter_greedy_local(emb: DataFrame) -> DataFrame:
+    import numpy as np
+
+    rows_in = emb.orderBy("vec_id").collect()
+    ids = np.asarray([r["vec_id"] for r in rows_in], dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows_in]
+    )
+    rows = [(1, int(ids[0]), 0.0)]
+    min_dist = np.sqrt(((mat - mat[0][None, :]) ** 2).sum(axis=1))
+    for rank in range(2, KCENTER_K + 1):
+        # deterministic (max dist, min vec_id) argmax
+        best = np.lexsort((ids, -min_dist))[0]
+        rows.append((rank, int(ids[best]), round(float(min_dist[best]), 6)))
+        d_new = np.sqrt(((mat - mat[best][None, :]) ** 2).sum(axis=1))
+        min_dist = np.minimum(min_dist, d_new)
+    return emb.sparkSession.createDataFrame(
+        rows, "selection_rank int, vec_id bigint, radius_at_selection double"
+    )
+
+
+def _kcenter_greedy_distributed(emb: DataFrame) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    first = emb.orderBy("vec_id").first()
+    centers = [(int(first["vec_id"]), [float(x) for x in first["embedding"]])]
+    rows = [(1, centers[0][0], 0.0)]
+    # min_dist starts as distance to the first center, computed in round 1.
+    current = emb.withColumn("min_dist", F.lit(float("inf")))
+    for rank in range(2, KCENTER_K + 1):
+        c_vec = np.asarray(centers[-1][1], dtype=np.float64)
+
+        @F.pandas_udf(T.DoubleType())
+        def dist_to_new(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+            return pd.Series(np.sqrt(((mat - c_vec[None, :]) ** 2).sum(axis=1)))
+
+        current = current.withColumn(
+            "min_dist",
+            F.least(F.col("min_dist"), dist_to_new("embedding")),
+        ).localCheckpoint()  # k rounds: truncate lineage each round
+        far = (
+            current.orderBy(F.col("min_dist").desc(), F.col("vec_id"))
+            .select("vec_id", "embedding", "min_dist")
+            .first()
+        )
+        centers.append((int(far["vec_id"]), [float(x) for x in far["embedding"]]))
+        rows.append((rank, int(far["vec_id"]), round(float(far["min_dist"]), 6)))
+    return emb.sparkSession.createDataFrame(
+        rows, "selection_rank int, vec_id bigint, radius_at_selection double"
+    )

@@ -2714,3 +2714,74 @@ def x63_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_tok_len"), 6).alias("avg_quality"),
         F.round(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X64 — training-epoch shard assignment with balance audit
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+N_EPOCHS = 2
+
+
+@register(
+    "x64_epoch_shards",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+epochs AS (SELECT unnest(range(0, {N_EPOCHS})) AS epoch),
+assigned AS (
+  SELECT d.doc_id, d.n_tok, e.epoch,
+         CAST(('0x' || substr(md5('shard:' || CAST(e.epoch AS VARCHAR)
+                  || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {N_SHARDS} AS shard
+  FROM d CROSS JOIN epochs e
+)
+SELECT epoch, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY epoch, shard
+""",
+    doc="X64: EPOCH SHARD assignment — the distributed-training data "
+    "layout: every document is assigned to one of 8 worker shards per "
+    "epoch by md5(epoch, doc_id), so (a) each epoch reshuffles the "
+    "data (the hash keys on epoch — different epoch, independent "
+    "assignment, the reshuffle-between-epochs training requirement) "
+    "while (b) staying fully deterministic and resumable (a preempted "
+    "job recomputes the same shards — rand() could not). The report "
+    "is the per-(epoch, shard) doc/token balance a training launch "
+    "checks before committing GPUs: hash sharding balances counts to "
+    "within sampling noise without any coordination, versus "
+    "bin-packing which balances better but serializes. One shuffle "
+    "on (epoch, shard).",
+)
+def x64_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
+    )
+    epochs = d.sparkSession.range(N_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("shard"), F.col("epoch"), F.col("doc_id"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % N_SHARDS
+    )
+    assigned = d.crossJoin(F.broadcast(epochs)).select(
+        "doc_id", "n_tok", "epoch", shard.alias("shard")
+    )
+    return assigned.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )

@@ -461,3 +461,27 @@ def test_sketch_set_ops_accuracy(spark, sf_dir):
     )
     for k in ("click", "purchase", "union", "intersection"):
         assert abs(est[k] - exact[k]) <= max(1, 0.1 * exact[k]), (k, est[k], exact[k])
+
+
+def test_kcenter_radius_monotone_and_deterministic(spark, sf_dir):
+    # x65: greedy farthest-point selection — the radius at each pick never
+    # increases (each new center is the farthest remaining point from a
+    # GROWING center set), ranks are 1..k, centers are distinct, and a
+    # second run reproduces the selection exactly.
+    from presto_weather_spark.operators.similarity import KCENTER_K
+    from presto_weather_spark.registry import all_queries
+
+    fn = all_queries()["x65_kcenter_coreset"].fn
+    rows = sorted(
+        (r["selection_rank"], r["vec_id"], r["radius_at_selection"])
+        for r in fn(spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, KCENTER_K + 1))
+    assert len({r[1] for r in rows}) == KCENTER_K
+    radii = [r[2] for r in rows[1:]]  # rank 1 has radius 0 by convention
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    rows2 = sorted(
+        (r["selection_rank"], r["vec_id"], r["radius_at_selection"])
+        for r in fn(spark, sf_dir).collect()
+    )
+    assert rows == rows2
