@@ -3036,3 +3036,56 @@ def s49_array_of_struct_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(sorted_evs, 1).event_id.alias("best_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S50 — exchange reuse (shared subplan computed once)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s50_exchange_reuse",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT AVG(n_events) AS avg_n, AVG(sum_value) AS avg_v FROM daily
+)
+SELECT d.day, d.n_events, d.sum_value,
+       CAST(d.n_events > s.avg_n AS BOOLEAN) AS above_avg_count,
+       CAST(d.sum_value > s.avg_v AS BOOLEAN) AS above_avg_value
+FROM daily d CROSS JOIN stats s
+""",
+    doc="S50: EXCHANGE REUSE — one aggregate consumed twice (the daily "
+    "rollup feeds both the detail rows and the corpus-average scalar "
+    "it's compared against). Spark plans the shared shuffle ONCE and "
+    "wires a ReusedExchange into the second consumer — asserted in "
+    "tests/test_plans.py — so the self-referential 'compare each group "
+    "to the average of all groups' query costs one aggregation, not "
+    "two. This reuse is Catalyst's, not the author's: write the "
+    "natural WITH-clause plan and the engine deduplicates the work — "
+    "at 100 TB the difference between one shuffle of the fact table "
+    "and two.",
+)
+def s50_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    stats = daily.agg(
+        F.avg("n_events").alias("avg_n"), F.avg("sum_value").alias("avg_v")
+    )
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        "sum_value",
+        (F.col("n_events") > F.col("avg_n")).alias("above_avg_count"),
+        (F.col("sum_value") > F.col("avg_v")).alias("above_avg_value"),
+    )

@@ -2785,3 +2785,88 @@ def x64_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X66 — deterministic token-dropout augmentation
+# ---------------------------------------------------------------------------
+
+DROPOUT_RATE_PCT = 10  # drop ~10% of tokens, chosen by hash
+
+
+@register(
+    "x66_token_dropout_augment",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tk
+),
+flagged AS (
+  SELECT doc_id, term, pos,
+         CAST(('0x' || substr(md5('aug:' || CAST(doc_id AS VARCHAR)
+                 || ':' || CAST(pos AS VARCHAR)), 1, 4)) AS INT) % 100
+           < {DROPOUT_RATE_PCT} AS dropped
+  FROM tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN term END, ' ' ORDER BY pos),
+                '') AS augmented_text
+FROM flagged GROUP BY doc_id
+""",
+    doc="X66: deterministic TOKEN-DROPOUT augmentation — the "
+    "data-augmentation shape (word dropout regularization for "
+    "embedding/LM training) made REPRODUCIBLE: each (doc, position) "
+    "decides its own fate from md5('aug:doc:pos') rather than a rand() "
+    "stream, so the augmented corpus is stable across reruns, "
+    "repartitionings, and cluster sizes (the x07/x46 hash contract "
+    "applied to augmentation — a retried task regenerates byte-equal "
+    "output, which exactly-once sinks require). Varying the salt "
+    "string ('aug2:', 'aug3:') yields independent augmentation "
+    "epochs. Scan-side flagging plus one per-doc reassembly "
+    "aggregate; same two-shuffle profile as x47.",
+)
+def x66_token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.posexplode(F.filter(_tokens(), lambda t: t != "")).alias("pos0", "term"),
+        )
+        .select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    )
+    dropped = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("aug"), F.col("doc_id"), F.col("pos"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+        < DROPOUT_RATE_PCT
+    )
+    flagged = tok.withColumn("dropped", dropped)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("dropped"), F.struct("pos", "term"))
+                        )
+                    ),
+                    lambda p: p.term,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("augmented_text"),
+    )

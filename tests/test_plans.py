@@ -340,3 +340,13 @@ def test_bucketized_interval_join_uses_equi_key(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan[:600]
+
+
+def test_exchange_reuse_plans_once(spark, sf_dir):
+    # s50: the daily aggregate must appear once + a ReusedExchange, not two
+    # independent aggregation subtrees. AQE materializes exchange reuse at
+    # execution, so run the query first and read the FINAL plan.
+    df = _df("s50_exchange_reuse", spark, sf_dir)
+    df.collect()
+    plan = simple_plan(df)
+    assert "ReusedExchange" in plan, plan[:800]
