@@ -2870,3 +2870,139 @@ def x66_token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("augmented_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X67 — vocabulary coverage curve (tokenizer vocab-size selection)
+# ---------------------------------------------------------------------------
+
+VOCAB_CURVE_POINTS = (5, 10, 15, 20, 25, 30)
+
+
+@register(
+    "x67_vocab_coverage_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+),
+t AS (SELECT term FROM tok WHERE term <> ''),
+freq AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term),
+ranked AS (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term) AS rk,
+         SUM(tf) OVER (ORDER BY tf DESC, term ROWS UNBOUNDED PRECEDING)
+           AS cum_tf
+  FROM freq
+),
+total AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM freq),
+points AS (SELECT unnest([{", ".join(str(p) for p in VOCAB_CURVE_POINTS)}]) AS k)
+SELECT p.k AS vocab_size,
+       CAST(MAX(r.cum_tf) AS BIGINT) AS tokens_covered,
+       round(MAX(r.cum_tf) / t.n, 6) AS coverage
+FROM points p
+JOIN ranked r ON r.rk <= p.k
+CROSS JOIN total t
+GROUP BY p.k, t.n
+""",
+    doc="X67: VOCABULARY COVERAGE CURVE — the tokenizer-design report: "
+    "for each candidate vocab size K, what fraction of corpus token "
+    "mass do the top-K terms (by frequency, lexicographic tiebreak) "
+    "cover? The Zipfian knee of this curve is where vocab growth stops "
+    "paying — the empirical basis for choosing |V| before x43 trains "
+    "merges, and the corpus-side complement of x38's OOV monitor "
+    "(which fixes K and watches drift). One term aggregate + a "
+    "vocab-sized rank/cumsum window + a tiny broadcast of the K "
+    "points; the corpus is touched once.",
+)
+def x67_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    freq = t.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    w_rank = Window.orderBy(F.col("tf").desc(), "term")
+    ranked = freq.select(
+        "tf",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("tf")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tf"),
+    )
+    total = freq.agg(F.sum("tf").cast("double").alias("n"))
+    points = t.sparkSession.createDataFrame(
+        [(k,) for k in VOCAB_CURVE_POINTS], "k int"
+    )
+    return (
+        F.broadcast(points)
+        .join(ranked, ranked.rk <= points.k)
+        .crossJoin(F.broadcast(total))
+        .groupBy(F.col("k").alias("vocab_size"), "n")
+        .agg(
+            F.max("cum_tf").alias("tokens_covered"),
+            F.round(F.max("cum_tf") / F.first("n"), 6).alias("coverage"),
+        )
+        .drop("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X68 — context/continuation pair assembly (LM eval-data construction)
+# ---------------------------------------------------------------------------
+
+CTX_FRACTION_PCT = 75  # leading share of tokens used as context
+
+
+@register(
+    "x68_context_continuation_pairs",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS toks FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         CAST(floor(len(toks) * {CTX_FRACTION_PCT} / 100.0) AS BIGINT) AS n_ctx
+  FROM tk WHERE len(toks) >= 4
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       n_ctx,
+       array_to_string(toks[1:n_ctx], ' ') AS context,
+       array_to_string(toks[n_ctx+1:], ' ') AS continuation
+FROM sized
+""",
+    doc="X68: CONTEXT/CONTINUATION pair assembly — LM evaluation data "
+    "construction: each document splits at the 75% token mark into a "
+    "(context, continuation) pair, the input shape for held-out "
+    "perplexity and continuation-match evals (and for distillation "
+    "prompt/target pairs). Pure scan-side array slicing — split point "
+    "derived from the doc itself, zero shuffles, trivially "
+    "100-TB-parallel. Pairs with x41 (span-corruption layout) and x33 "
+    "(RAG chunks) as the third training-example-assembly geometry; "
+    "docs under 4 tokens are dropped (no meaningful continuation).",
+)
+def x68_context_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.filter(_tokens(), lambda t: t != "").alias("toks")
+    )
+    sized = d.withColumn("n_tok", F.size("toks").cast("bigint")).filter(
+        F.col("n_tok") >= 4
+    ).withColumn(
+        "n_ctx", F.floor(F.col("n_tok") * CTX_FRACTION_PCT / 100.0).cast("bigint")
+    )
+    return sized.select(
+        "doc_id",
+        "n_tok",
+        "n_ctx",
+        F.array_join(
+            F.slice(F.col("toks"), 1, F.col("n_ctx").cast("int")), " "
+        ).alias("context"),
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("n_ctx") + 1).cast("int"),
+                (F.col("n_tok") - F.col("n_ctx")).cast("int"),
+            ),
+            " ",
+        ).alias("continuation"),
+    )
