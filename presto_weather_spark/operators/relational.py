@@ -3089,3 +3089,39 @@ def s50_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") > F.col("avg_n")).alias("above_avg_count"),
         (F.col("sum_value") > F.col("avg_v")).alias("above_avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S51 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s51_bag_set_operations",
+    oracle="""
+WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+views AS (SELECT user_id FROM events WHERE event_type = 'view')
+SELECT 'intersect_all' AS op, user_id
+FROM (SELECT user_id FROM clicks INTERSECT ALL SELECT user_id FROM views)
+UNION ALL
+SELECT 'except_all', user_id
+FROM (SELECT user_id FROM clicks EXCEPT ALL SELECT user_id FROM views)
+""",
+    doc="S51: BAG-semantics set operations — INTERSECT ALL / EXCEPT ALL "
+    "preserve MULTIPLICITY (a user with 5 clicks and 3 views "
+    "intersects 3 times and excepts 2), the semantics set-difference "
+    "accounting actually needs ('how many click events lack a matching "
+    "view event per user') where the distinct forms (s08) collapse to "
+    "membership. Spark's intersectAll/exceptAll plan as counted "
+    "aggregates + a generate — one shuffle each, no join explosion. "
+    "Completes the set-operator family: UNION/UNION ALL/INTERSECT/"
+    "EXCEPT (s08) + the ALL bag forms (here).",
+)
+def s51_bag_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "user_id")  # noqa: E731
+    return tag(clicks.intersectAll(views), "intersect_all").unionByName(
+        tag(clicks.exceptAll(views), "except_all")
+    )

@@ -3006,3 +3006,68 @@ def x68_context_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             " ",
         ).alias("continuation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X69 — tail-loop detection (generation-artifact filter)
+# ---------------------------------------------------------------------------
+
+TAIL_WINDOW = 8  # compare the final 8 tokens against the preceding 8
+
+
+@register(
+    "x69_tail_loop_filter",
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_SQL_TOKENS}, t -> t <> '') AS toks FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= {2 * TAIL_WINDOW}),
+tails AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+         toks[n - {TAIL_WINDOW} + 1:] AS tail,
+         toks[n - {2 * TAIL_WINDOW} + 1:n - {TAIL_WINDOW}] AS prev
+  FROM sized
+)
+SELECT doc_id, n_tok,
+       CAST(len(list_filter(range(1, {TAIL_WINDOW} + 1),
+                            i -> tail[i] = prev[i])) AS BIGINT) AS n_echoed,
+       len(list_filter(range(1, {TAIL_WINDOW} + 1),
+                       i -> tail[i] = prev[i])) * 2 >= {TAIL_WINDOW} AS looping
+FROM tails
+""",
+    doc="X69: TAIL-LOOP detection — the generation-artifact filter for "
+    "synthetic/model-written data: degenerate decodes end in a "
+    "repeating cycle, so the final 8 tokens are compared positionally "
+    "against the preceding 8 and a doc is flagged when at least half "
+    "echo (period-8-or-divisor loops light up; x17's top-bigram "
+    "fraction catches short cycles anywhere, this targets "
+    "END-of-sequence periodicity, where decode loops live). Pure "
+    "scan-side array slicing + a positional zip compare, zero "
+    "shuffles — the cheapest pre-filter in a synthetic-data intake "
+    "pipeline, run before any hashing pass.",
+)
+def x69_tail_loop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.filter(_tokens(), lambda t: t != "").alias("toks")
+    )
+    sized = d.withColumn("n", F.size("toks")).filter(F.col("n") >= 2 * TAIL_WINDOW)
+    tails = sized.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tok"),
+        F.slice(F.col("toks"), F.col("n") - TAIL_WINDOW + 1, TAIL_WINDOW).alias("tail"),
+        F.slice(
+            F.col("toks"), F.col("n") - 2 * TAIL_WINDOW + 1, TAIL_WINDOW
+        ).alias("prev"),
+    )
+    n_echoed = F.size(
+        F.filter(
+            F.zip_with(F.col("tail"), F.col("prev"), lambda a, b: a == b),
+            lambda m: m,
+        )
+    ).cast("bigint")
+    return tails.select(
+        "doc_id",
+        "n_tok",
+        n_echoed.alias("n_echoed"),
+        (n_echoed * 2 >= TAIL_WINDOW).alias("looping"),
+    )
