@@ -847,3 +847,56 @@ def x61_lsh_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_candidates bigint, n_exact bigint, n_hits bigint, "
         "precision double, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# X70 — near-dup graph degree histogram (duplication topology)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x70_neardup_degree_histogram",
+    oracle="WITH " + _X02B_PAIRS_SQL + """,
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM jacc
+    UNION ALL
+    SELECT doc_b FROM jacc
+  ) GROUP BY doc_id
+),
+all_docs AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+SELECT COALESCE(deg.degree, 0) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM all_docs LEFT JOIN deg USING (doc_id)
+GROUP BY 1
+""",
+    doc="X70: NEAR-DUP GRAPH TOPOLOGY — the degree histogram of the "
+    "near-duplicate graph (how many docs have 0, 1, 2... near-twins): "
+    "the shape that distinguishes isolated copy-pairs (degree 1 "
+    "spikes) from template explosions (heavy tail — one boilerplate "
+    "page with thousands of twins), which need different treatment "
+    "(pair dedup vs template removal) and different cluster-budget "
+    "planning for x02f's label propagation (max degree bounds the "
+    "join fan-out per round). Degree-0 docs are counted via the "
+    "left join, so the histogram partitions the corpus. Runs on the "
+    "same audit subset as x02b/x61.",
+)
+def x70_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    all_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+    return (
+        all_docs.join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

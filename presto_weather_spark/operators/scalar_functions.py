@@ -788,3 +788,55 @@ def s45_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT event_id, value, pws_band(value) AS band FROM events"
     )
+
+
+@register(
+    "s15h_polymorphic_udtf",
+    oracle="""
+SELECT doc_id, 'lang' AS field, lang AS value FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id, 'source', source FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT doc_id, 'n_chars', CAST(n_chars AS VARCHAR) FROM documents WHERE doc_id < 100
+""",
+    doc="S15: POLYMORPHIC UDTF — a Python table function whose OUTPUT "
+    "SCHEMA is computed at analysis time by a static analyze() method "
+    "from its call-site arguments (Spark 4 surface): here a generic "
+    "melt/unpivot-to-rows UDTF that reads WHICH fields to emit from "
+    "the constant argument list at plan time. The planner calls "
+    "analyze() once, gets the row type, and the relational layer "
+    "above sees an ordinary table — the mechanism behind reusable "
+    "table functions that adapt to their inputs (one UDTF serves any "
+    "field list, no per-shape copies). The oracle is the static "
+    "UNION-ALL melt of the same three fields.",
+)
+def s15h_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class Melt:
+        @staticmethod
+        def analyze(*args: AnalyzeArgument) -> AnalyzeResult:
+            # args[0] is the doc_id, args[1:] the fields to melt; schema is
+            # derived from the call site at plan time.
+            schema = StructType()
+            schema = schema.add("doc_id", "long").add("field", "string").add(
+                "value", "string"
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, lang, source, n_chars):
+            yield (doc_id, "lang", lang)
+            yield (doc_id, "source", source)
+            yield (doc_id, "n_chars", str(n_chars))
+
+    spark.udtf.register("pws_melt", udtf(Melt))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("pws_docs_melt")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.field, t.value
+        FROM pws_docs_melt d, LATERAL pws_melt(d.doc_id, d.lang, d.source, d.n_chars) t
+        WHERE d.doc_id < 100
+        """
+    )
