@@ -3071,3 +3071,67 @@ def x69_tail_loop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_echoed.alias("n_echoed"),
         (n_echoed * 2 >= TAIL_WINDOW).alias("looping"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X71 — split balance audit (does the held-out split look like train?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x71_split_balance_audit",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS DOUBLE) AS n_tok,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4))
+                   AS INT) % 10 < 8
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(n_tok), 6) AS avg_tokens,
+       round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(COUNT(*) FILTER (lang = 'en') * 1.0 / COUNT(*), 6) AS en_share
+FROM assigned GROUP BY split
+""",
+    doc="X71: SPLIT BALANCE AUDIT — the check that a hash-based held-out "
+    "split (x07's assignment, reproduced bit-exactly here) actually "
+    "resembles the training side: per-split doc counts, token-length "
+    "mean/median, language coverage, and majority-language share. "
+    "Hash splits are unbiased in expectation but any SPECIFIC split "
+    "can land skewed — and an eval set that is longer, more English, "
+    "or shorter-tailed than train silently miscalibrates every metric "
+    "derived from it, which is why the audit gates eval-set "
+    "publication (pairs with x53, which fixes WHERE near-dups land; "
+    "this checks WHAT the sides look like). One scan + a two-group "
+    "aggregate; the exact median swaps for approx_percentile at "
+    "scale (s05f contract).",
+)
+def x71_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    assigned = d.select(
+        "lang",
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("double").alias("n_tok"),
+        F.when(bucket < 8, "train").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / F.count(F.lit(1)),
+            6,
+        ).alias("en_share"),
+    )
