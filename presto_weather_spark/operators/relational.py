@@ -3210,3 +3210,52 @@ def s52_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, n_nulls bigint, n_distinct bigint, "
         "min_value string, max_value string",
     )
+
+
+# ---------------------------------------------------------------------------
+# S53 — nested schema pruning (struct subfield projection into the scan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s53_nested_schema_pruning",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderstatus = 'O'
+""",
+    doc="S53: NESTED SCHEMA PRUNING — a document-model table (each order "
+    "nested into a details STRUCT with status/price/priority) read "
+    "back selecting ONE subfield: Spark's nested-column pruning "
+    "pushes the subfield projection into the parquet scan, so "
+    "ReadSchema carries struct<price:double> only — the other "
+    "subfields' pages are never decoded (asserted in "
+    "tests/test_plans.py). This is what makes wide document models "
+    "(s49's shape, Dremel's premise) viable at 100 TB: storing 50 "
+    "fields in a struct costs a query exactly the subfields it "
+    "touches. The status filter also prunes via the nested field, "
+    "proving predicates reach through the struct too.",
+)
+def s53_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pws_nested",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("details"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("details.status") == "O").select(
+        "o_orderkey", F.col("details.price").alias("price")
+    )

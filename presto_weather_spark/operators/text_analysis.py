@@ -3135,3 +3135,55 @@ def x71_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("en_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X72 — mixture entropy monitor (corpus diversity summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x72_mixture_entropy",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cells)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(CAST(SUM(CAST(-(n / t.t) * ln(n / t.t) AS DECIMAL(28,18)))
+                  AS DOUBLE), 6) AS entropy_nats,
+       round(exp(CAST(SUM(CAST(-(n / t.t) * ln(n / t.t) AS DECIMAL(28,18)))
+                      AS DOUBLE)), 6) AS effective_cells,
+       round(MAX(n) / t.t, 6) AS max_cell_share
+FROM cells CROSS JOIN tot t
+GROUP BY t.t
+""",
+    doc="X72: MIXTURE ENTROPY — the one-number diversity summary of the "
+    "(lang, source) mixture: Shannon entropy of cell shares, its "
+    "exponential (the EFFECTIVE number of cells — 100 cells at "
+    "entropy 3.2 nats behave like ~25 balanced ones), and the largest "
+    "single cell's share. This is the monitoring scalar over x06's "
+    "full profile and x28/x35's rebalancing target: a curation run "
+    "that silently collapses the mixture shows up as effective_cells "
+    "dropping long before any per-cell table is eyeballed. Per-term "
+    "entropy contributions go through DECIMAL so the scalar is "
+    "bit-stable across partitionings (the x20 contract). One "
+    "aggregate over the cell table — free at any scale.",
+)
+def x72_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").cast("double").alias("t"))
+    share = F.col("n") / F.col("t")
+    ent = F.sum((-share * F.log(share)).cast("decimal(28,18)")).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(F.exp(ent), 6).alias("effective_cells"),
+            F.round(F.max("n") / F.first("t"), 6).alias("max_cell_share"),
+        )
+        .drop("t")
+    )

@@ -350,3 +350,13 @@ def test_exchange_reuse_plans_once(spark, sf_dir):
     df.collect()
     plan = simple_plan(df)
     assert "ReusedExchange" in plan, plan[:800]
+
+
+def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
+    # s53: the read-back scan must decode only details.price (+ the
+    # filtering subfield), never the full struct.
+    df = _df("s53_nested_schema_pruning", spark, sf_dir)
+    plan = formatted_plan(df)
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas
+    assert all("priority" not in l for l in schemas), schemas
