@@ -900,3 +900,115 @@ def x70_neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X73 — content-defined chunking (rolling-hash boundaries, CDC dedup)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8  # rolling window width (chars)
+CDC_MODULUS = 32  # expected chunk length ~= modulus chars
+
+
+@register(
+    "x73_content_defined_chunking",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series({CDC_WINDOW}, len(text), 1)) AS s
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, text, s
+  FROM pos
+  WHERE CAST(('0x' || substr(md5(substr(text, CAST(s - {CDC_WINDOW} + 1 AS INT),
+                                        {CDC_WINDOW})), 1, 8)) AS BIGINT)
+          % {CDC_MODULUS} = 0
+),
+ends AS (
+  SELECT DISTINCT doc_id, text, s FROM (
+    SELECT doc_id, text, s FROM bounds
+    UNION ALL
+    SELECT doc_id, text, len(text) AS s FROM documents
+  )
+),
+chunks AS (
+  SELECT doc_id,
+         substr(text,
+                CAST(COALESCE(lag(s) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                     + 1 AS INT),
+                CAST(s - COALESCE(lag(s) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                     AS INT)) AS chunk
+  FROM ends
+),
+hashed AS (SELECT doc_id, md5(chunk) AS h, len(chunk) AS clen FROM chunks),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h)
+SELECT hashed.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       round(AVG(clen), 4) AS avg_chunk_len,
+       CAST(COUNT(*) FILTER (freq.nd > 1) AS BIGINT) AS dup_chunks,
+       round(COUNT(*) FILTER (freq.nd > 1) * 1.0 / COUNT(*), 4) AS dup_ratio
+FROM hashed JOIN freq USING (h)
+GROUP BY hashed.doc_id
+""",
+    doc="X73: CONTENT-DEFINED CHUNKING — rolling-hash boundary selection "
+    "(the LBFS/restic/borg CDC scheme): a position ends a chunk when "
+    "the hash of the trailing 8-char window hits 0 mod 32, so chunk "
+    "boundaries are decided by CONTENT, not offsets — after an "
+    "insertion the boundaries downstream RESYNchronize, which is "
+    "exactly what x19's fixed-offset grid cannot do (one inserted "
+    "character shifts every later fixed chunk and destroys all its "
+    "matches). The dedup profile over CDC chunks therefore survives "
+    "edit drift between near-copies. Plan: boundary detection is a "
+    "scan-side explode+filter (corpus-parallel); chunk assembly is "
+    "one lag() window per doc; then the x19 two-shuffle hash-dedup "
+    "profile. The rolling window here is hash-per-window rather than "
+    "a true O(1) rolling update — the boundary RULE and chunk "
+    "semantics are identical, which is what the oracle checks; a "
+    "production kernel computes the same windows incrementally in a "
+    "pandas UDF.",
+)
+def x73_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(CDC_WINDOW), F.length("text"), F.lit(1))
+        ).alias("s"),
+    )
+    window = F.col("text").substr(
+        F.col("s") - CDC_WINDOW + 1, F.lit(CDC_WINDOW)
+    )
+    bounds = pos.filter(
+        F.conv(F.substring(F.md5(window), 1, 8), 16, 10).cast("bigint")
+        % CDC_MODULUS
+        == 0
+    ).select("doc_id", "text", "s")
+    ends = bounds.unionAll(
+        d.select("doc_id", "text", F.length("text").alias("s"))
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev = F.coalesce(F.lag("s").over(w), F.lit(0))
+    chunks = ends.select(
+        "doc_id",
+        F.col("text").substr(prev + 1, (F.col("s") - prev)).alias("chunk"),
+    )
+    hashed = chunks.select(
+        "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
+    )
+    freq = hashed.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        hashed.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("clen"), 4).alias("avg_chunk_len"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup_chunks"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) / F.count(F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
