@@ -1012,3 +1012,73 @@ def x73_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X74 — dedup savings accounting (what deduplication buys, in tokens)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x74_dedup_savings",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM sized
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS unique_tokens,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS saved_tokens,
+       round(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) * 1.0
+             / SUM(n_tok), 6) AS savings_ratio
+FROM ranked GROUP BY source
+""",
+    doc="X74: DEDUP SAVINGS accounting — the cost-benefit report behind "
+    "every dedup decision: per source, raw token mass vs the mass "
+    "surviving exact dedup (x01's min-doc_id survivor rule) and the "
+    "fraction deduplication saves. This number is what justifies (or "
+    "kills) running the heavier near-dup passes on a source — a "
+    "source saving 0.1% does not earn a MinHash pass, one saving 30% "
+    "does; it is also the compute-budget forecast, since downstream "
+    "cost scales with unique_tokens, not raw_tokens. One hash window "
+    "over content digests + one source aggregate.",
+)
+def x74_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )  # fixture is one row group; spread the tokenize+hash CPU
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = sized.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("raw_tokens"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0)).alias(
+            "unique_tokens"
+        ),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0)).alias(
+            "saved_tokens"
+        ),
+        F.round(
+            F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0))
+            / F.sum("n_tok"),
+            6,
+        ).alias("savings_ratio"),
+    )

@@ -3259,3 +3259,48 @@ def s53_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("details.status") == "O").select(
         "o_orderkey", F.col("details.price").alias("price")
     )
+
+
+# ---------------------------------------------------------------------------
+# S54 — FILTER-clause aggregates (per-aggregate predicates, one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s54_filtered_aggregates",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(COUNT(*) FILTER (event_type = 'purchase' AND value > 50)
+            AS BIGINT) AS n_big_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase')
+            AS DOUBLE) AS purchase_value,
+       CAST(COUNT(*) FILTER (event_type = 'error') > 0 AS BOOLEAN) AS any_error
+FROM events
+GROUP BY user_id
+""",
+    doc="S54: FILTER-clause aggregates — per-aggregate predicates inside "
+    "ONE grouping pass (SQL:2003 FILTER (WHERE ...), plus the "
+    "count_if/bool_or shorthands): five differently-conditioned "
+    "metrics per user from a single scan and a single shuffle, where "
+    "the naive form is five filtered subqueries re-joined on user_id "
+    "(five scans, four joins). This is the workhorse of metric "
+    "fan-out queries — every dashboard tile over the same grouping "
+    "folds into one aggregate this way; s05g's pivot is its "
+    "column-per-value cousin. Null-safety note: SUM FILTER over an "
+    "empty match set yields NULL, not 0, in both engines — preserved "
+    "as-is so the semantics stay standard.",
+)
+def s54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.count_if(is_purchase & (F.col("value") > 50)).alias("n_big_purchases"),
+        F.sum(F.when(is_purchase, F.col("value").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("purchase_value"),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+    )
