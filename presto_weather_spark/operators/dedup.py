@@ -357,23 +357,31 @@ def x02f_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
     edges = edges.persist()
+    n_edges = edges.count()  # materializes the cache; one pass over pairs
     nodes = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 60)
         .select("doc_id")
     )
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    if n_edges == 0:  # edgeless graph: every node is its own fixpoint
+        edges.unpersist()
+        return labels
     # Min-label propagation to fixpoint: label(v) <- min(label(v),
     # min(label(u) for u~v)). Converges in <= diameter rounds; the loop is
     # driver-side control flow only — every round is one shuffle join +
-    # one min-aggregate, fully distributed.
+    # one min-aggregate, fully distributed. Convergence check: labels only
+    # ever decrease, so sum(cluster_id) strictly drops iff any label
+    # changed — one scalar agg over the just-checkpointed frame instead of
+    # a labels-vs-labels join.
+    prev_sum = None
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -383,15 +391,10 @@ def x02f_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 

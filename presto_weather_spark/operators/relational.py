@@ -3190,9 +3190,14 @@ def s52_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiple exact distincts in a single agg plan through Expand (rows x
     # N) and one giant mixed-column distinct shuffle — measured 7x slower
     # than N independent single-distinct jobs, each of which keeps
-    # partial-distinct aggregation on its own narrow column.
-    rows = []
-    for col, kind in PROFILE_COLUMNS:
+    # partial-distinct aggregation on its own narrow column. The N jobs
+    # are submitted CONCURRENTLY (Spark's scheduler interleaves their
+    # stages across the executor cores) — the profile is scheduler-bound,
+    # not core-bound, so overlapping the scans roughly halves wall time.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def profile_one(col_kind):
+        col, kind = col_kind
         stats = li.agg(
             (F.count(F.lit(1)) - F.count(col)).alias("nulls"),
             F.countDistinct(col).alias("distinct"),
@@ -3204,7 +3209,10 @@ def s52_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             mn, mx = mn.strftime("%Y-%m-%d %H:%M:%S"), mx.strftime("%Y-%m-%d %H:%M:%S")
         else:
             mn, mx = str(mn), str(mx)
-        rows.append((col, int(stats["nulls"]), int(stats["distinct"]), mn, mx))
+        return (col, int(stats["nulls"]), int(stats["distinct"]), mn, mx)
+
+    with ThreadPoolExecutor(max_workers=len(PROFILE_COLUMNS)) as pool:
+        rows = list(pool.map(profile_one, PROFILE_COLUMNS))
     return spark.createDataFrame(
         rows,
         "column_name string, n_nulls bigint, n_distinct bigint, "

@@ -1066,51 +1066,60 @@ GROUP BY ev.vec_id, proj.dim_out
     "in expectation rather than learned. The projection matrix is "
     "DERIVED, not stored: entry (i,j)'s sign comes from md5('rp:i:j') "
     "— every executor regenerates it identically, so nothing ships "
-    "but the query (the seed IS the model). Relationally it's the "
-    "x58 sparse-dense join: explode embeddings to (dim, v), join the "
-    "64x16 sign table (broadcast), one (vec, dim_out) aggregate; "
-    "products go through DECIMAL so components are "
-    "partial-agg-order-exact. JL distance preservation is pinned in "
-    "tests/test_properties.py.",
+    "but the query (the seed IS the model). Plan shape: explode "
+    "embeddings to (dim, v), then ONE vec_id aggregate computing all "
+    "16 components as conditional +/- DECIMAL sums (the sign matrix "
+    "is folded into 16 isin sets driver-side — no join, no 16x row "
+    "fan-out), unpivoted to rows with stack(); DECIMAL keeps "
+    "components partial-agg-order-exact. JL distance preservation is "
+    "pinned in tests/test_properties.py.",
 )
 def x59_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 64x16 sign matrix is pre-derived driver-side (same md5 recipe as
+    # the oracle: sign(i,j) = +1 iff int(md5('rp:i:j')[:4], 16) is even)
+    # and embedded as 16 literal 64-element arrays. This replaces the
+    # earlier broadcast-join shape (explode -> join 1024-row sign table ->
+    # 16x row fan-out -> group by (vec, dim_out)) with ONE aggregate per
+    # vec_id computing all 16 components as parallel conditional sums —
+    # same exact DECIMAL arithmetic, 16x fewer rows through the pipeline.
+    import hashlib
+
+    def _sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[:4], 16) % 2 == 0 else -1.0
+
+    plus_sets = [
+        [i for i in range(64) if _sign(i, j) > 0] for j in range(RP_OUT_DIM)
+    ]
     emb = load_table(spark, sf_dir, "embeddings")
     ev = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim_in", "e")
     ).select("vec_id", "dim_in", F.col("e").cast("double").alias("v"))
-    dims_in = spark.range(64).select(F.col("id").cast("int").alias("dim_in"))
-    dims_out = spark.range(RP_OUT_DIM).select(F.col("id").cast("int").alias("dim_out"))
-    sign = F.when(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.lit("rp"), F.col("dim_in"), F.col("dim_out")
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 2
-        == 0,
-        1.0,
-    ).otherwise(-1.0)
-    proj = dims_in.crossJoin(dims_out).select("dim_in", "dim_out", sign.alias("sign"))
-    return (
-        ev.join(F.broadcast(proj), "dim_in")
-        .groupBy("vec_id", "dim_out")
-        .agg(
+    # sign is +/-1, so v*sign needs no multiply: cast v once to DECIMAL and
+    # negate for the minus rows (HALF_UP rounds away from zero, so
+    # cast(-v) == -cast(v) — bit-identical to the (v*sign).cast original).
+    vdec = F.col("v").cast("decimal(28,12)")
+    scale = float(RP_OUT_DIM) ** 0.5
+    agg = ev.groupBy("vec_id").agg(
+        *[
             F.round(
-                F.sum((F.col("v") * F.col("sign")).cast("decimal(28,12)"))
+                F.sum(
+                    F.when(F.col("dim_in").isin(plus_sets[j]), vdec).otherwise(-vdec)
+                )
                 .cast("double")
-                / float(RP_OUT_DIM) ** 0.5,
+                / scale,
                 6,
-            ).alias("component")
-        )
+            ).alias(f"c{j}")
+            for j in range(RP_OUT_DIM)
+        ]
     )
+    stack_expr = ", ".join(f"{j}, c{j}" for j in range(RP_OUT_DIM))
+    return agg.select(
+        "vec_id",
+        F.expr(
+            f"stack({RP_OUT_DIM}, {stack_expr}) AS (dim_out, component)"
+        ),
+    ).select("vec_id", F.col("dim_out").cast("int").alias("dim_out"), "component")
 
 
 # ---------------------------------------------------------------------------
