@@ -3312,3 +3312,172 @@ def s54_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purchase_value"),
         F.bool_or(F.col("event_type") == "error").alias("any_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S55 — correlated scalar-average subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s55_small_quantity_revenue",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l
+JOIN pq ON l.l_partkey = pq.l_partkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(38,2)) * 5 * pq.n_lines
+      < CAST(pq.qty_sum AS DECIMAL(38,2))
+GROUP BY p.p_brand
+""",
+    doc="S55: CORRELATED SCALAR-AVERAGE subquery — the TPC-H Q17 shape "
+    "(revenue from lines ordering less than 20% of their part's average "
+    "quantity), the canonical 'compare each row against its group's "
+    "aggregate' pattern. Catalyst decorrelates `l_quantity < (SELECT "
+    "0.2*AVG(..) WHERE l2.l_partkey = l.l_partkey)` into exactly the "
+    "aggregate-then-rejoin written here; doing it explicitly keeps the "
+    "threshold in exact DECIMAL arithmetic via the multiply form "
+    "(qty*5*n < sum <=> qty < 0.2*sum/n), so the boundary filter is "
+    "bit-identical across engines and partial-agg orders — a double "
+    "AVG would make near-threshold rows engine-dependent. Scale: the "
+    "per-part aggregate shuffles on l_partkey, the rejoin reuses that "
+    "partitioning (co-located), and the part dim broadcasts; no row "
+    "ever compares against more than its own group's two scalars.",
+)
+def s55_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    small = (
+        li.join(pq, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(38,2)") * 5 * F.col("n_lines")
+            < F.col("qty_sum").cast("decimal(38,2)")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("small_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S56 — double aggregation with ON-clause outer-join predicate (Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s56_order_count_histogram",
+    oracle="""
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority NOT LIKE '3%'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY n_orders
+""",
+    doc="S56: DOUBLE AGGREGATION over an outer join — the TPC-H Q13 "
+    "customer-distribution shape: count orders per customer (keeping "
+    "zero-order customers via LEFT JOIN + null-skipping COUNT(col)), "
+    "then histogram customers by that count. The join predicate lives "
+    "in the ON clause, not WHERE — on an outer join those are NOT "
+    "equivalent (a WHERE filter on the right side would silently turn "
+    "the join inner and drop the zero bucket), the classic Q13 trap. "
+    "Scale: first agg shuffles on c_custkey (same key as the join — "
+    "one exchange serves both), second agg shuffles tiny "
+    "(distinct-count-many) rows; the histogram is the mergeable "
+    "summary a 1000-executor run reduces cheaply.",
+)
+def s56_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (~F.col("o_orderpriority").startswith("3")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S57 — above-average balance + never-ordered anti join (Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s57_dormant_rich_customers",
+    oracle="""
+WITH bal AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+         COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer c, bal
+WHERE CAST(c.c_acctbal AS DECIMAL(38,2)) * bal.n_pos
+        > CAST(bal.bal_sum AS DECIMAL(38,2))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice >= 400000.0)
+GROUP BY c.c_mktsegment
+""",
+    doc="S57: GLOBAL-AVERAGE scalar subquery + NOT EXISTS anti join — the "
+    "TPC-H Q22 shape: customers with above-average (positive) balance "
+    "who never placed a HIGH-VALUE (>=400k) order, grouped by market "
+    "segment (in this synthetic corpus every customer has ordered, so "
+    "the literal never-ordered predicate is vacuous; the filtered "
+    "NOT EXISTS keeps the anti join non-degenerate at every SF). The "
+    "above-average filter uses the exact multiply form (bal*n > sum "
+    "<=> bal > avg) in DECIMAL so the threshold is engine- and "
+    "order-independent; the never-ordered predicate is a left-anti "
+    "join on o_custkey. Scale: the balance scalar is a 2-value "
+    "broadcast; the anti join shuffles on custkey (or broadcasts the "
+    "distinct custkey set when the order side is the small one); the "
+    "final segment rollup is a handful of groups.",
+)
+def s57_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = c.join(F.broadcast(bal)).filter(
+        F.col("c_acctbal").cast("decimal(38,2)") * F.col("n_pos")
+        > F.col("bal_sum").cast("decimal(38,2)")
+    )
+    big_orders = o.filter(F.col("o_totalprice") >= 400000.0)
+    dormant = rich.join(big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_balance"),
+    )
