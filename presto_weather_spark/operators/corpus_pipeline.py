@@ -188,18 +188,21 @@ GROUP BY b.source
     "n_dedup -> n_capped -> n_budgeted). The yield report is how a "
     "curation run is actually reviewed — which stage costs which "
     "source how much — and the funnel monotonicity is asserted in "
-    "tests/test_properties.py. Plan: stages chain window/agg steps "
-    "that all key on source-derived partitions; Catalyst fuses the "
-    "projections, and the accounting joins ship doc_ids only. "
+    "tests/test_properties.py. Plan: because the stages NEST "
+    "(budgeted c= capped c= dedup c= quality), each stage's "
+    "membership is a conditional cumulative window over the previous "
+    "stage's flag — no row is ever filtered out and no stage is "
+    "re-computed, so the whole funnel is ONE linear plan: a single "
+    "scan, three window shuffles (dup-key, cell, source), one final "
+    "rollup, zero joins (the earlier stage-flag formulation re-ran "
+    "the chain once per accounting join — 5 scans + 4 joins). "
     "Companion to x21 (round-1 pipeline: quality/dup-span/lang "
     "yield).",
 )
 def x60_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         "source",
@@ -210,46 +213,249 @@ def x60_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tok"),
     )
-    quality = base.filter(F.col("n_chars") >= V2_MIN_CHARS)
-    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    dedup = (
-        quality.withColumn("rn", F.row_number().over(w_dup))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    q = (F.col("n_chars") >= V2_MIN_CHARS).cast("int")
+    # Survivor rank among quality rows only = cumulative sum of the q flag
+    # in doc_id order; the first quality row of a text-hash partition has
+    # rank 1 — identical to row_number over the quality-filtered frame.
+    w_dup = (
+        Window.partitionBy(F.md5("text"))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_cap = Window.partitionBy("lang", "source").orderBy(
-        F.md5(F.concat_ws(":", F.lit("cap"), F.col("doc_id"))), "doc_id"
+    flagged = base.withColumn("q", q).withColumn(
+        "d", ((F.col("q") == 1) & (F.sum("q").over(w_dup) == 1)).cast("int")
     )
-    capped = (
-        dedup.withColumn("cap_rk", F.row_number().over(w_cap))
-        .filter(F.col("cap_rk") <= V2_CELL_CAP)
-        .drop("cap_rk")
+    w_cap = (
+        Window.partitionBy("lang", "source")
+        .orderBy(F.md5(F.concat_ws(":", F.lit("cap"), F.col("doc_id"))), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = flagged.withColumn(
+        "c",
+        (
+            (F.col("d") == 1) & (F.sum("d").over(w_cap) <= V2_CELL_CAP)
+        ).cast("int"),
     )
     w_budget = (
         Window.partitionBy("source")
         .orderBy(F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    budgeted = capped.withColumn("cum_tok", F.sum("n_tok").over(w_budget)).filter(
-        F.col("cum_tok") <= V2_TOKEN_BUDGET
+    cum_tok_c = F.sum(F.when(F.col("c") == 1, F.col("n_tok")).otherwise(F.lit(0))).over(
+        w_budget
+    )
+    flagged = flagged.withColumn(
+        "g", ((F.col("c") == 1) & (cum_tok_c <= V2_TOKEN_BUDGET)).cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("q").alias("n_quality"),
+        F.sum("d").alias("n_dedup"),
+        F.sum("c").alias("n_capped"),
+        F.sum("g").alias("n_budgeted"),
     )
 
-    def stage_flag(stage_df: DataFrame, name: str) -> DataFrame:
-        return stage_df.select("doc_id").withColumn(name, F.lit(1))
 
-    report = (
-        base.select("doc_id", "source")
-        .join(stage_flag(quality, "q"), "doc_id", "left")
-        .join(stage_flag(dedup, "d"), "doc_id", "left")
-        .join(stage_flag(capped, "c"), "doc_id", "left")
-        .join(stage_flag(budgeted, "g"), "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_input"),
-            F.sum(F.coalesce(F.col("q"), F.lit(0))).alias("n_quality"),
-            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("n_dedup"),
-            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_capped"),
-            F.sum(F.coalesce(F.col("g"), F.lit(0))).alias("n_budgeted"),
+# ---------------------------------------------------------------------------
+# X75 — chat-template assembly (SFT record rendering)
+# ---------------------------------------------------------------------------
+
+SFT_SYSTEM = "You are a helpful assistant."
+SFT_COMPLETION_CHARS = 200
+
+
+@register(
+    "x75_chat_template_assembly",
+    oracle=f"""
+SELECT doc_id,
+       3 AS n_turns,
+       '<|system|>' || chr(10) || '{SFT_SYSTEM}' || chr(10) ||
+       '<|user|>' || chr(10) ||
+         'Summarize the following ' || lang || ' document from ' || source
+         || '.' || chr(10) ||
+       '<|assistant|>' || chr(10) || substr(text, 1, {SFT_COMPLETION_CHARS})
+         AS rendered,
+       CAST(len('<|system|>' || chr(10) || '{SFT_SYSTEM}' || chr(10) ||
+       '<|user|>' || chr(10) ||
+         'Summarize the following ' || lang || ' document from ' || source
+         || '.' || chr(10) ||
+       '<|assistant|>' || chr(10) || substr(text, 1, {SFT_COMPLETION_CHARS}))
+         AS BIGINT) AS rendered_chars
+FROM documents
+WHERE n_chars >= 50
+""",
+    doc="X75: CHAT-TEMPLATE ASSEMBLY — render supervised-fine-tuning "
+    "records from raw corpus rows: a fixed system turn, a metadata-"
+    "derived user instruction, and a truncated document body as the "
+    "assistant completion, joined with role sentinel tokens into the "
+    "flat string a tokenizer consumes. This is the format boundary "
+    "between data curation and training — every SFT/chat corpus ships "
+    "through a deterministic renderer exactly like this, and template "
+    "drift (a stray space after a sentinel) silently changes every "
+    "token id downstream, which is why the render is pure column "
+    "concatenation, byte-stable across engines and partitionings. "
+    "Scale: scan-side projection only — no shuffle, no UDF; the "
+    "template literals fold into codegen constants.",
+)
+def x75_chat_template_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 50)
+    nl = F.lit("\n")
+    rendered = F.concat(
+        F.lit("<|system|>"), nl, F.lit(SFT_SYSTEM), nl,
+        F.lit("<|user|>"), nl,
+        F.lit("Summarize the following "), F.col("lang"),
+        F.lit(" document from "), F.col("source"), F.lit("."), nl,
+        F.lit("<|assistant|>"), nl,
+        F.substring("text", 1, SFT_COMPLETION_CHARS),
+    )
+    return d.select(
+        "doc_id",
+        F.lit(3).alias("n_turns"),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("bigint").alias("rendered_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X76 — curriculum ordering (difficulty phases for staged training)
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "x76_curriculum_ordering",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(CAST(n_chars AS DOUBLE) /
+               greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')), 1), 4) AS difficulty
+  FROM documents
+)
+SELECT doc_id, source, difficulty,
+       CAST(ntile({CURRICULUM_PHASES})
+              OVER (ORDER BY difficulty, doc_id) AS INT) AS phase,
+       CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+         AS train_order
+FROM scored
+""",
+    doc="X76: CURRICULUM ORDERING — stage training data easy-to-hard: "
+    "score each document's difficulty (mean chars per token — longer "
+    "words read harder; any scalar difficulty model drops in), assign "
+    "a global easy-first train_order, and cut the corpus into "
+    "equal-size curriculum phases with ntile. Ties break on doc_id so "
+    "the ordering is total and reproducible — a curriculum that "
+    "reshuffles between runs invalidates checkpoint comparisons. "
+    "Scale note: the global ORDER BY is a total sort (range "
+    "partitioner, no single-reducer bottleneck), the honest cost of a "
+    "global curriculum; per-shard curricula (ntile per source) drop "
+    "the global sort — at 100 TB phase boundaries would come from a "
+    "sampled quantile sketch instead, same output contract.",
+)
+def x76_curriculum_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.greatest(
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")),
+        F.lit(1),
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("difficulty"),
+    )
+    w = Window.orderBy("difficulty", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "difficulty",
+        F.ntile(CURRICULUM_PHASES).over(w).cast("int").alias("phase"),
+        F.row_number().over(w).cast("bigint").alias("train_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X77 — preference-pair assembly (DPO/RLHF chosen-vs-rejected construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x77_preference_pairs",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, lang,
+         round(CAST(len(list_distinct(list_filter(
+                 string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+               AS DOUBLE) /
+               greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')), 1), 6) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY score DESC, doc_id) AS rk_best,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY score ASC, doc_id) AS rk_worst
+  FROM scored
+)
+SELECT b.source, b.lang,
+       b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+       b.score AS chosen_score, w.score AS rejected_score,
+       round(b.score - w.score, 6) AS score_gap
+FROM ranked b
+JOIN ranked w ON b.source = w.source AND b.lang = w.lang
+WHERE b.rk_best = 1 AND w.rk_worst = 1 AND b.doc_id <> w.doc_id
+""",
+    doc="X77: PREFERENCE-PAIR ASSEMBLY — construct DPO/RLHF-style "
+    "(chosen, rejected) training pairs from a scored corpus: within "
+    "each (source, lang) cell, pair the highest-scoring document "
+    "(lexical diversity — distinct/total token ratio — standing in "
+    "for any reward model) against the lowest-scoring one, emitting "
+    "the pair plus its score gap (pairs with tiny gaps carry weak "
+    "preference signal and get filtered or down-weighted). "
+    "Single-member cells produce no pair (a doc can't be preferred "
+    "over itself). Plan: one scan computes scores, two window ranks "
+    "over the same (source, lang) shuffle, and a cell-key self-join "
+    "of two 1-row-per-cell extremes — the join input is |cells| "
+    "rows, not |corpus|, so the pair assembly is free at any scale.",
+)
+def x77_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = d.select("doc_id", "source", "lang", score.alias("score"))
+    w_best = Window.partitionBy("source", "lang").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w_worst = Window.partitionBy("source", "lang").orderBy(
+        F.col("score").asc(), "doc_id"
+    )
+    ranked = scored.withColumn("rk_best", F.row_number().over(w_best)).withColumn(
+        "rk_worst", F.row_number().over(w_worst)
+    )
+    best = ranked.filter(F.col("rk_best") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.filter(F.col("rk_worst") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["source", "lang"])
+        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .select(
+            "source", "lang", "chosen_doc_id", "rejected_doc_id",
+            "chosen_score", "rejected_score",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias(
+                "score_gap"
+            ),
         )
     )
-    return report

@@ -52,7 +52,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_nanos(spark.readStream.schema(schema).parquet(stage), nanos_cols)
 
 
-STREAM_STATE_PARTITIONS = "8"  # state stores per stateful operator in tests
+STREAM_STATE_PARTITIONS = "4"  # state stores per stateful operator in tests
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -62,7 +62,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     Stateful operators allocate one state store per shuffle partition, each
     with per-batch checkpoint commit IO — at test scale that fixed cost
     dominates (a stream-stream join carries two stateful operators: 32
-    partitions cost ~8 s, 8 cost ~2 s). The partition count is pinned low
+    partitions cost ~8 s, 4 cost ~2 s). The partition count is pinned low
     for the harness and restored after start; a production deployment sizes
     it to state volume / executor count instead (it is baked into the
     checkpoint at first start, exactly like this)."""
