@@ -1590,9 +1590,11 @@ def s05m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.select(
-            F.date_format("ts", "yyyy").alias("y"),
-            F.date_format("ts", "MM").alias("m"),
-            F.date_format("ts", "dd").alias("d"),
+            # Integer field extraction + lpad beats three DateTimeFormatter
+            # passes per row; output strings are identical for 4-digit years.
+            F.year("ts").cast("string").alias("y"),
+            F.lpad(F.month("ts").cast("string"), 2, "0").alias("m"),
+            F.lpad(F.dayofmonth("ts").cast("string"), 2, "0").alias("d"),
             "value",
         )
         .rollup("y", "m", "d")
@@ -3480,4 +3482,101 @@ def s57_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S58 — exact ordered-statistic aggregates (median / quartiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s58_exact_quartiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q1_quantity,
+       round(quantile_cont(l_quantity, 0.50), 6) AS median_quantity,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q3_quantity,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="S58: EXACT ordered-statistic aggregates — per-group exact "
+    "median and quartiles via linear-interpolated percentile (the "
+    "SQL percentile_cont semantics, matching DuckDB's quantile_cont), "
+    "completing the quantile surface next to s05f's approx sketch: "
+    "approx for the 100 TB hot path, exact for the audit/calibration "
+    "pass that validates the sketch's error. Exact percentiles "
+    "materialize each group's values (Spark buffers per-group sorted "
+    "arrays) — that is the honest cost of exactness and why this "
+    "runs on bounded groups (5 flags here) or audit samples at "
+    "scale, never on high-cardinality keys. Interpolated values are "
+    "rounded on both sides so the float arithmetic can't drift the "
+    "comparison.",
+)
+def s58_exact_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q1_quantity"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("median_quantity"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q3_quantity"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S59 — null-safe join (IS NOT DISTINCT FROM / <=>)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s59_null_safe_join",
+    oracle="""
+WITH keyed AS (
+  SELECT event_id, nullif(event_type, 'view') AS k FROM events
+),
+dim(k, label) AS (
+  VALUES ('click', 'Engaged'), ('purchase', 'Converted'),
+         ('signup', 'Acquired'), ('error', 'Broken'),
+         (NULL, 'Browsing')
+)
+SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+GROUP BY d.label
+""",
+    doc="S59: NULL-SAFE equality join (SQL IS NOT DISTINCT FROM, "
+    "Spark's <=> / eqNullSafe) — the join variant where NULL keys "
+    "match each other instead of silently dropping: the fact side "
+    "derives a nullable key (NULLIF demotes the default 'view' type "
+    "to NULL) and the broadcast dim carries an explicit NULL-keyed "
+    "row, so every fact row classifies, including the null bucket a "
+    "plain inner join would discard — the standard "
+    "unknown-member-row pattern in dimensional modeling. Scale "
+    "warning encoded here: under null-safe semantics the NULL key "
+    "is a real join key and is usually the most frequent value — "
+    "the classic skew key. Broadcast (as here) sidesteps it; a "
+    "shuffle null-safe join needs the union-split (IS NULL branch "
+    "handled separately) or AQE skew splitting.",
+)
+def s59_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("view")).alias("k")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "Engaged"),
+            ("purchase", "Converted"),
+            ("signup", "Acquired"),
+            ("error", "Broken"),
+            (None, "Browsing"),
+        ],
+        "k string, label string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.k))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -3187,3 +3187,144 @@ def x72_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# X78 — equal-width length histogram (per-source document profile)
+# ---------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 100  # chars per bin
+HIST_MAX_BIN = 19  # lengths past bin 19 clamp into the top bin
+
+
+@register(
+    "x78_length_histogram",
+    oracle=f"""
+SELECT source,
+       CAST(least(n_chars // {HIST_BIN_WIDTH}, {HIST_MAX_BIN}) AS INT) AS bin,
+       CAST(least(n_chars // {HIST_BIN_WIDTH}, {HIST_MAX_BIN})
+              * {HIST_BIN_WIDTH} AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2, 3
+""",
+    doc="X78: EQUAL-WIDTH LENGTH HISTOGRAM per source — the binned "
+    "distribution profile behind every corpus datasheet plot and "
+    "truncation-threshold choice (where does each source's mass sit "
+    "relative to the training context window?). Bin assignment is pure "
+    "integer arithmetic (floor-divide + clamp into a top overflow "
+    "bin), so the histogram is exact and engine-independent — no "
+    "width_bucket float edges, no approximate sketch. Scale: one "
+    "map-side-combinable aggregate over (source, bin) — a few hundred "
+    "groups regardless of corpus size; this is the cheapest query in "
+    "the profiling family and the first one a 100 TB run fires.",
+)
+def x78_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bin_ = F.least(
+        F.floor(F.col("n_chars") / HIST_BIN_WIDTH), F.lit(HIST_MAX_BIN)
+    ).cast("int")
+    return (
+        d.select(
+            "source",
+            bin_.alias("bin"),
+            (bin_ * HIST_BIN_WIDTH).cast("bigint").alias("bin_lo"),
+        )
+        .groupBy("source", "bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X79 — Kolmogorov-Smirnov drift statistic (each source vs rest of corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x79_ks_drift",
+    oracle="""
+WITH counts AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c
+  FROM documents GROUP BY source, n_chars
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM counts GROUP BY source),
+grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+grid AS (
+  SELECT t.source, g.v
+  FROM (SELECT DISTINCT source FROM counts) t
+  CROSS JOIN (SELECT DISTINCT v FROM counts) g
+),
+cum AS (
+  SELECT grid.source, grid.v,
+         SUM(COALESCE(c.c, 0)) OVER (PARTITION BY grid.source
+                                     ORDER BY grid.v) AS cum_s,
+         SUM(COALESCE(a.c, 0)) OVER (PARTITION BY grid.source
+                                     ORDER BY grid.v) AS cum_all
+  FROM grid
+  LEFT JOIN counts c ON c.source = grid.source AND c.v = grid.v
+  LEFT JOIN (SELECT v, SUM(c) AS c FROM counts GROUP BY v) a
+    ON a.v = grid.v
+)
+SELECT cum.source, totals.n_s,
+       round(MAX(abs(CAST(cum_s * (grand.n - totals.n_s)
+                          - (cum_all - cum_s) * totals.n_s AS DOUBLE)))
+             / (CAST(totals.n_s AS DOUBLE) * (grand.n - totals.n_s)), 6)
+         AS ks_stat
+FROM cum JOIN totals ON cum.source = totals.source CROSS JOIN grand
+GROUP BY cum.source, totals.n_s, grand.n
+""",
+    doc="X79: KOLMOGOROV-SMIRNOV drift statistic — for each source, the "
+    "exact two-sample KS distance between its document-length "
+    "distribution and the rest of the corpus: max_v |F_src(v) - "
+    "F_rest(v)|. Complements x30's binned PSI with the binning-free "
+    "order statistic (PSI moves when mass shifts between coarse bins; "
+    "KS catches any CDF separation). Exactness: the max runs over "
+    "INTEGER cross-multiplied cumulative counts (cum_s*(n-n_s) - "
+    "cum_rest*n_s), divided once at the end — no per-row float CDFs, "
+    "so the statistic is bit-stable across engines and partial-agg "
+    "orders. Plan: per-(source, value) counts, a sources x values "
+    "grid (|sources| * |distinct lengths| rows — tiny), two window "
+    "cumsums over the same ordering, one max-aggregate. At 100 TB "
+    "the value grid would quantize to a sampled quantile lattice; "
+    "the max-over-lattice contract is unchanged.",
+)
+def x79_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = counts.persist()
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    per_val = counts.groupBy("v").agg(F.sum("c").alias("c_all"))
+    grand = counts.agg(F.sum("c").alias("n"))
+    grid = totals.select("source").crossJoin(per_val.select("v"))
+    w = Window.partitionBy("source").orderBy("v")
+    cum = (
+        grid.join(counts, ["source", "v"], "left")
+        .join(F.broadcast(per_val), "v")
+        .select(
+            "source",
+            "v",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w).alias("cum_s"),
+            F.sum(F.col("c_all")).over(w).alias("cum_all"),
+        )
+    )
+    out = (
+        cum.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source", "n_s", "n")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_s") * (F.col("n") - F.col("n_s"))
+                        - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                    ).cast("double")
+                )
+                / (F.col("n_s").cast("double") * (F.col("n") - F.col("n_s"))),
+                6,
+            ).alias("ks_stat")
+        )
+        .select("source", "n_s", "ks_stat")
+    )
+    return out

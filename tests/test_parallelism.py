@@ -39,6 +39,14 @@ INVARIANT_QUERIES = [
     "s29_time_gapfill_locf",
     "x40_ngram_containment",
     "s28_winsorized_stats",
+    # round-3 late additions: DECIMAL-threshold correlated filter, global
+    # ntile over a range-partitioned total sort, per-cell window extremes,
+    # conditional-cumulative funnel flags, isin-folded DECIMAL projection
+    "s55_small_quantity_revenue",
+    "x76_curriculum_ordering",
+    "x77_preference_pairs",
+    "x60_curation_pipeline_v2",
+    "x59_random_projection",
 ]
 
 

@@ -360,3 +360,43 @@ def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schemas
     assert all("priority" not in l for l in schemas), schemas
+
+
+def test_q17_shape_aggregates_before_rejoin(spark, sf_dir):
+    # s55: the per-part average must come from a pre-aggregated (partkey)
+    # table rejoined to the fact — never a per-row correlated re-scan —
+    # and the part dim must broadcast.
+    plan = formatted_plan(_df("s55_small_quantity_revenue", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # two hash aggregates minimum: the per-part stats and the final brand
+    # rollup (each plans partial+final)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_null_safe_join_broadcasts_dim(spark, sf_dir):
+    # s59: the 5-row dim (with its NULL member row) must broadcast; a
+    # shuffle here would put every null-keyed fact row in one partition.
+    assert has_broadcast_join(_df("s59_null_safe_join", spark, sf_dir))
+
+
+def test_curation_funnel_plans_no_join(spark, sf_dir):
+    # x60: the nested-stage funnel is one linear plan of conditional
+    # cumulative windows — the accounting must NOT re-join stage outputs
+    # (the 5-scan/4-join shape it replaced).
+    plan = simple_plan(_df("x60_curation_pipeline_v2", spark, sf_dir))
+    assert "Join" not in plan, plan
+    # exactly one scan of the documents table feeds the whole funnel
+    assert plan.count("Relation") + plan.count("FileScan") <= 2
+
+
+def test_length_histogram_single_aggregate(spark, sf_dir):
+    # x78: one map-side-combinable aggregate; no window, no join.
+    plan = simple_plan(_df("x78_length_histogram", spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_random_projection_no_fanout_join(spark, sf_dir):
+    # x59: the sign matrix folds into the aggregate — the plan must not
+    # contain the 1024-row projection-table join it replaced.
+    plan = simple_plan(_df("x59_random_projection", spark, sf_dir))
+    assert "Join" not in plan, plan
