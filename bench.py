@@ -55,12 +55,20 @@ def main() -> None:
     # minimum is the number that predicts cluster cost.
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
+        # Per-query warm-up, then min of up-to-3 timed runs with an early
+        # stop: when the first two timed runs agree within 8%, the query
+        # is at steady state and a third sample cannot move the min
+        # meaningfully — only noisy/still-JITing queries pay for run 3.
+        # Keeps total bench wall-time bounded as the registry grows
+        # (220+ queries x 4 unconditional runs overran a 10-min budget).
         runs = []
         for i in range(4):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             if i > 0:  # run 0 is the per-query warm-up
                 runs.append(time.perf_counter() - t0)
+            if len(runs) == 2 and abs(runs[0] - runs[1]) <= 0.08 * min(runs):
+                break
         timings[name] = round(min(runs), 3)
         # ~10 queries localCheckpoint intermediates; 4 runs each x 133
         # queries accumulates blocks in the block manager for the whole
