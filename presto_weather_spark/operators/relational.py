@@ -3580,3 +3580,66 @@ def s59_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S60 — pure inequality (theta) join via broadcast nested loop
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s60_theta_join_price_tiers",
+    oracle="""
+WITH tiers(tier_name, min_price) AS (
+  VALUES ('bronze', 0.0), ('silver', 150000.0),
+         ('gold', 300000.0), ('platinum', 450000.0)
+),
+best AS (
+  SELECT o.o_orderkey, o.o_totalprice, t.tier_name, t.min_price,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY t.min_price DESC) AS rn
+  FROM orders o JOIN tiers t ON o.o_totalprice >= t.min_price
+)
+SELECT tier_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS tier_revenue
+FROM best WHERE rn = 1
+GROUP BY tier_name
+""",
+    doc="S60: PURE-INEQUALITY (theta) JOIN — orders matched to price "
+    "tiers on `o_totalprice >= min_price` alone, no equality key "
+    "anywhere: Spark has no hash bucket to build, so this plans "
+    "BroadcastNestedLoopJoin — the join strategy the rest of the "
+    "matrix (hash/merge/range/as-of) never exercises, and the right "
+    "tool ONLY because the broadcast side is constant-size (4 tier "
+    "rows: each fact row scans 4 candidates — a fixed CPU factor, no "
+    "shuffle). The highest qualifying tier wins via a per-order "
+    "row_number over descending thresholds. Scale warning encoded in "
+    "the shape: BNLJ with a non-constant right side is O(n*m) and a "
+    "cluster-killer; if the tier table grew, the rewrite is the s48 "
+    "bucketization (range-bin both sides) or a sorted as-of join "
+    "(s04e).",
+)
+def s60_theta_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("bronze", 0.0),
+            ("silver", 150000.0),
+            ("gold", 300000.0),
+            ("platinum", 450000.0),
+        ],
+        "tier_name string, min_price double",
+    )
+    joined = o.join(
+        F.broadcast(tiers), F.col("o_totalprice") >= F.col("min_price")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("min_price").desc())
+    best = joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("tier_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("tier_revenue"),
+    )

@@ -400,3 +400,10 @@ def test_random_projection_no_fanout_join(spark, sf_dir):
     # contain the 1024-row projection-table join it replaced.
     plan = simple_plan(_df("x59_random_projection", spark, sf_dir))
     assert "Join" not in plan, plan
+
+
+def test_theta_join_plans_broadcast_nested_loop(spark, sf_dir):
+    # s60: a join with no equality key must plan BroadcastNestedLoopJoin
+    # (the only safe form: the build side is a 4-row constant).
+    plan = formatted_plan(_df("s60_theta_join_price_tiers", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
