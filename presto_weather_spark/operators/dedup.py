@@ -1203,3 +1203,56 @@ def x80_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# X81 — soft dedup (cluster-size down-weighting instead of dropping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x81_soft_dedup_weights",
+    oracle="WITH RECURSIVE " + _X02B_PAIRS_SQL + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jacc
+  UNION ALL
+  SELECT doc_b, doc_a FROM jacc
+),
+nodes AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+sized AS (
+  SELECT doc_id, cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM clusters
+)
+SELECT doc_id, cluster_id, cluster_size,
+       round(1.0 / cluster_size, 6) AS sample_weight
+FROM sized
+""",
+    doc="X81: SOFT DEDUP — the reweighting alternative to dropping "
+    "near-duplicates: every member of a near-dup cluster stays in the "
+    "corpus with sampling weight 1/cluster_size, so each DISTINCT "
+    "piece of content contributes one unit of expected training mass "
+    "no matter how many times it was crawled. This is what pipelines "
+    "use when hard dedup is too blunt (near-dups that differ in the "
+    "tail still carry signal; dropping also shifts the domain "
+    "mixture), and the weights feed the x35 resampler directly. "
+    "Composes x02f's connected components with one cluster-size "
+    "window — the weight column is free on top of the clustering "
+    "job. Invariant pinned in tests: weights sum to exactly the "
+    "number of distinct clusters.",
+)
+def x81_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = x02f_neardup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias("sample_weight"),
+    )

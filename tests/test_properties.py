@@ -562,3 +562,19 @@ def test_star_contraction_matches_label_propagation(spark, sf_dir):
         for r in qs["x02f_neardup_clusters"].fn(spark, sf_dir).collect()
     }
     assert star == prop
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
+    # x81: per-cluster weights sum to exactly 1 (up to the round-6 on the
+    # stored weight), so total weight equals the number of distinct
+    # clusters — soft dedup preserves one unit of mass per content piece.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x81_soft_dedup_weights"].fn(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        n = len(members)
+        assert all(m["cluster_size"] == n for m in members), cid
+        assert abs(sum(m["sample_weight"] for m in members) - 1.0) < n * 1e-6
