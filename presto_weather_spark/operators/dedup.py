@@ -355,14 +355,25 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
 )
 def x02f_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
-    edges = edges.persist()
-    n_edges = edges.count()  # materializes the cache; one pass over pairs
     nodes = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 60)
         .select("doc_id")
     )
+    return min_label_clusters(nodes, pairs)
+
+
+def min_label_clusters(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """O(diameter)-round min-label propagation CC over undirected pairs.
+
+    Exposed separately from x02f so the non-trivial path (multi-node
+    components) is unit-testable on synthetic edge sets — the fixture
+    corpus yields zero x02b pairs at every sf, which would otherwise
+    leave the loop body exercised only by the edgeless early-return.
+    """
+    edges = _symmetric(pairs)
+    edges = edges.persist()
+    n_edges = edges.count()  # materializes the cache; one pass over pairs
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     if n_edges == 0:  # edgeless graph: every node is its own fixpoint
         edges.unpersist()
@@ -838,8 +849,17 @@ def x53_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x61_lsh_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    cand = minhash_near_dup_pairs(d).select("doc_a", "doc_b")
-    exact = x02b_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Each side feeds two actions (its own count + the hit join) —
+    # localCheckpoint so the MinHash-signature and exact-Jaccard
+    # pipelines run ONCE each instead of twice.
+    cand = (
+        minhash_near_dup_pairs(d).select("doc_a", "doc_b").localCheckpoint()
+    )
+    exact = (
+        x02b_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     n_cand = cand.count()
     n_exact = exact.count()
     n_hits = cand.join(exact, ["doc_a", "doc_b"]).count()
@@ -961,58 +981,82 @@ GROUP BY hashed.doc_id
     "exactly what x19's fixed-offset grid cannot do (one inserted "
     "character shifts every later fixed chunk and destroys all its "
     "matches). The dedup profile over CDC chunks therefore survives "
-    "edit drift between near-copies. Plan: boundary detection is a "
-    "scan-side explode+filter (corpus-parallel); chunk assembly is "
-    "one lag() window per doc; then the x19 two-shuffle hash-dedup "
-    "profile. The rolling window here is hash-per-window rather than "
-    "a true O(1) rolling update — the boundary RULE and chunk "
-    "semantics are identical, which is what the oracle checks; a "
-    "production kernel computes the same windows incrementally in a "
-    "pandas UDF.",
+    "edit drift between near-copies. Plan: boundary detection + chunk "
+    "assembly run in ONE Arrow-batched mapInPandas kernel — a narrow "
+    "per-partition pass emitting (doc_id, chunk_md5, chunk_len) rows, "
+    "with NO row-per-character explode and no per-doc window shuffle "
+    "(the round-3 plan exploded one row per corpus character: a "
+    "~10^14-row intermediate at 100 TB; the kernel keeps the same "
+    "boundary RULE — md5 of the trailing 8-char window == 0 mod 32 — "
+    "so the DuckDB oracle is byte-identical). Downstream consumes the "
+    "kernel output EXACTLY ONCE: groupBy(h, doc_id) partial → count() "
+    "window over h for the distinct-doc frequency → final groupBy "
+    "doc_id — three shuffles, no self-join, no checkpoint.",
 )
 def x73_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(CDC_WINDOW), F.length("text"), F.lit(1))
-        ).alias("s"),
+
+    def cdc_chunks(batches):
+        import hashlib
+
+        import pandas as pd
+
+        win, mod = CDC_WINDOW, CDC_MODULUS
+        md5 = hashlib.md5
+        for pdf in batches:
+            doc_ids, hs, lens = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                # Boundary rule is defined on CHARACTER windows; for pure
+                # ASCII (the common case) byte slices are identical and
+                # avoid a per-window encode.
+                ascii_fast = len(raw) == len(text)
+                n = len(text)
+                prev = 0
+                for s in range(win, n + 1):
+                    w = (
+                        raw[s - win : s]
+                        if ascii_fast
+                        else text[s - win : s].encode("utf-8")
+                    )
+                    # int(hexdigest[:8], 16) == big-endian int of the
+                    # first 4 digest bytes — same rule as the oracle.
+                    if int.from_bytes(md5(w).digest()[:4], "big") % mod == 0:
+                        chunk = text[prev:s]
+                        doc_ids.append(doc_id)
+                        hs.append(md5(chunk.encode("utf-8")).hexdigest())
+                        lens.append(len(chunk))
+                        prev = s
+                if prev < n or n == 0:
+                    chunk = text[prev:n]
+                    doc_ids.append(doc_id)
+                    hs.append(md5(chunk.encode("utf-8")).hexdigest())
+                    lens.append(len(chunk))
+            yield pd.DataFrame({"doc_id": doc_ids, "h": hs, "clen": lens})
+
+    hashed = d.mapInPandas(cdc_chunks, "doc_id bigint, h string, clen int")
+    # Single-consumption downstream: rolling the (h, doc_id) partial
+    # first makes `count() OVER (PARTITION BY h)` equal the distinct-doc
+    # frequency, so the usual freq-computation + join-back (which reads
+    # the kernel output twice and needs a checkpoint) collapses into a
+    # linear 3-shuffle pipeline.
+    per_pair = hashed.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("clen").alias("sclen")
     )
-    window = F.col("text").substr(
-        F.col("s") - CDC_WINDOW + 1, F.lit(CDC_WINDOW)
-    )
-    bounds = pos.filter(
-        F.conv(F.substring(F.md5(window), 1, 8), 16, 10).cast("bigint")
-        % CDC_MODULUS
-        == 0
-    ).select("doc_id", "text", "s")
-    ends = bounds.unionAll(
-        d.select("doc_id", "text", F.length("text").alias("s"))
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy("s")
-    prev = F.coalesce(F.lag("s").over(w), F.lit(0))
-    chunks = ends.select(
-        "doc_id",
-        F.col("text").substr(prev + 1, (F.col("s") - prev)).alias("chunk"),
-    )
-    hashed = chunks.select(
-        "doc_id", F.md5("chunk").alias("h"), F.length("chunk").alias("clen")
-    )
-    freq = hashed.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
     return (
-        hashed.join(freq, "h")
+        per_pair.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.round(F.avg("clen"), 4).alias("avg_chunk_len"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("dup_chunks"),
-            F.round(
-                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) / F.count(F.lit(1)),
-                4,
-            ).alias("dup_ratio"),
+            F.sum("c").alias("n_chunks"),
+            F.round(F.sum("sclen") / F.sum("c"), 4).alias("avg_chunk_len"),
+            dup.alias("dup_chunks"),
+            F.round(dup / F.sum("c"), 4).alias("dup_ratio"),
         )
     )
 
@@ -1136,6 +1180,17 @@ def x80_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 60)
         .select("doc_id")
     )
+    return star_contraction_clusters(nodes, pairs)
+
+
+def star_contraction_clusters(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """O(log n)-round large-star/small-star CC (Kiveris et al.).
+
+    Exposed separately from x80 for the same reason as
+    min_label_clusters: synthetic multi-component edge sets exercise
+    the contraction rounds that the pair-free fixture corpus never
+    reaches.
+    """
     edges = _symmetric(pairs).persist()
     if edges.count() == 0:
         edges.unpersist()

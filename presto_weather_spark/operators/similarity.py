@@ -1100,7 +1100,11 @@ def x59_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast(-v) == -cast(v) — bit-identical to the (v*sign).cast original).
     vdec = F.col("v").cast("decimal(28,12)")
     scale = float(RP_OUT_DIM) ** 0.5
-    agg = ev.groupBy("vec_id").agg(
+    # The sign matrix is defined on dims 0..63 only; components beyond it
+    # must be IGNORED (the join this fold replaced dropped them silently —
+    # without this scan-side predicate the otherwise(-vdec) branch would
+    # subtract them instead).
+    agg = ev.filter(F.col("dim_in") < 64).groupBy("vec_id").agg(
         *[
             F.round(
                 F.sum(

@@ -3327,4 +3327,9 @@ def x79_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_s", "ks_stat")
     )
+    # Materialize the (tiny) result while `counts` is still cached, then
+    # release the cache — otherwise the block outlives the query across a
+    # 222-query bench session (the x02f persist/unpersist pattern).
+    out = out.localCheckpoint()
+    counts.unpersist()
     return out

@@ -62,3 +62,125 @@ def test_exact_duplicate_full_overlap(spark):
         for r in minhash_near_dup_pairs(docs).collect()
     ]
     assert (a, b, j) == (1, 2, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components algorithms on synthetic multi-node graphs.
+#
+# The fixture corpus yields ZERO x02b Jaccard pairs at every scale factor,
+# so through the registry both CC algorithms only ever see the edgeless
+# early-return and x81 only size-1 clusters. These tests drive the actual
+# loop bodies — min-label propagation rounds and large-star/small-star
+# contraction rounds — on graphs with paths, triangles, and singletons,
+# and cross-check the two algorithms against each other and against the
+# known components.
+# ---------------------------------------------------------------------------
+
+
+def _cc_case(spark, edges, n_nodes):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], ["doc_id"])
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    return nodes, pairs
+
+
+def _expected(n_nodes, components):
+    out = {i: i for i in range(n_nodes)}
+    for comp in components:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+CC_GRAPHS = [
+    # path 0-1-2-3-4 plus singletons: propagation needs multiple rounds
+    ([(0, 1), (1, 2), (2, 3), (3, 4)], 7, [{0, 1, 2, 3, 4}]),
+    # triangle + disjoint pair, edges given in arbitrary orientation
+    ([(5, 3), (3, 4), (4, 5), (9, 8)], 10, [{3, 4, 5}, {8, 9}]),
+    # 12-node chain: stresses the star-contraction log-round collapse
+    ([(i, i + 1) for i in range(11)], 12, [set(range(12))]),
+    # two components that share no labels, joined out of order
+    ([(7, 2), (2, 11), (6, 1), (1, 13)], 14, [{2, 7, 11}, {1, 6, 13}]),
+]
+
+
+@pytest.mark.parametrize("edges,n,comps", CC_GRAPHS)
+def test_min_label_clusters_multi_node(spark, edges, n, comps):
+    from presto_weather_spark.operators.dedup import min_label_clusters
+
+    nodes, pairs = _cc_case(spark, edges, n)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in min_label_clusters(nodes, pairs).collect()
+    }
+    assert got == _expected(n, comps)
+
+
+@pytest.mark.parametrize("edges,n,comps", CC_GRAPHS)
+def test_star_contraction_clusters_multi_node(spark, edges, n, comps):
+    from presto_weather_spark.operators.dedup import star_contraction_clusters
+
+    nodes, pairs = _cc_case(spark, edges, n)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(nodes, pairs).collect()
+    }
+    assert got == _expected(n, comps)
+
+
+def test_cc_algorithms_agree_on_random_graph(spark):
+    # Deterministic pseudo-random graph (md5-driven, no RNG state): 40
+    # nodes, ~35 edges — multiple non-trivial components virtually
+    # guaranteed. The two algorithms must produce identical labelings.
+    import hashlib
+
+    from presto_weather_spark.operators.dedup import (
+        min_label_clusters,
+        star_contraction_clusters,
+    )
+
+    n = 40
+    edges = []
+    for k in range(35):
+        h = hashlib.md5(f"edge-{k}".encode()).hexdigest()
+        a, b = int(h[:8], 16) % n, int(h[8:16], 16) % n
+        if a != b:
+            edges.append((a, b))
+    nodes, pairs = _cc_case(spark, edges, n)
+    lab1 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in min_label_clusters(nodes, pairs).collect()
+    }
+    lab2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(nodes, pairs).collect()
+    }
+    assert lab1 == lab2
+    # sanity: the graph is non-trivial (some component has >= 3 members)
+    from collections import Counter
+
+    assert max(Counter(lab1.values()).values()) >= 3
+
+
+def test_soft_dedup_weights_multi_member_clusters(spark):
+    # x81's weight rule on clusters with real multiplicity: weights are
+    # 1/cluster_size and sum to exactly the number of distinct clusters.
+    from pyspark.sql import Window
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)],
+        ["doc_id", "cluster_id"],
+    )
+    w = Window.partitionBy("cluster_id")
+    out = clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias(
+            "sample_weight"
+        ),
+    ).collect()
+    sizes = {r["doc_id"]: r["cluster_size"] for r in out}
+    assert sizes == {0: 3, 1: 3, 2: 3, 3: 2, 4: 2, 5: 1}
+    total = sum(r["sample_weight"] for r in out)
+    assert abs(total - 3.0) < 1e-4  # 3 distinct clusters

@@ -407,3 +407,26 @@ def test_theta_join_plans_broadcast_nested_loop(spark, sf_dir):
     # (the only safe form: the build side is a 4-row constant).
     plan = formatted_plan(_df("s60_theta_join_price_tiers", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cdc_chunking_kernel_no_explode_no_join(spark, sf_dir):
+    # x73: boundary detection must run inside the Arrow mapInPandas
+    # kernel — the plan must NOT contain the row-per-character Generate
+    # (explode) it replaced (~10^14-row intermediate at 100 TB), and the
+    # per-hash frequency must come from a window, not a self-join (which
+    # would force a second computation of the kernel output).
+    plan = simple_plan(_df("x73_content_defined_chunking", spark, sf_dir))
+    assert "MapInPandas" in plan, plan[:600]
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    # one scan of documents feeds the whole pipeline
+    assert plan.count("Relation") + plan.count("FileScan") <= 2
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    # s52: the default profile must be ONE pass over lineitem (mergeable
+    # sketches: approx_count_distinct + min/max/null-count), not one
+    # full scan per profiled column.
+    plan = simple_plan(_df("s52_column_profile", spark, sf_dir))
+    n_scans = plan.count("FileScan") + plan.count("Relation")
+    assert n_scans <= 1, plan
