@@ -37,3 +37,34 @@ def sql_dsum(expr: str) -> str:
 def sql_bigint_sum(expr: str) -> str:
     """DuckDB widens integer SUM to HUGEINT; Spark keeps BIGINT."""
     return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Session-unique scratch root for write-then-read-back queries.
+#
+# Queries like s02 (sink roundtrip), s33 (Z-order), s41/s42 (WAP / dynamic
+# overwrite), s53 (nested pruning), and the streaming MV all stage data
+# under the OS temp dir keyed only by sf-dir basename — two concurrent
+# bench/pytest runs on one host would race on overwrite-vs-read.  A
+# per-process token isolates each session while keeping paths stable
+# WITHIN the process (so a query re-run in the same bench session reuses
+# its staged data, e.g. the bucketed-join warehouse).
+# ---------------------------------------------------------------------------
+
+
+def scratch_root() -> str:
+    """Per-process unique temp root (replaces bare tempfile.gettempdir())."""
+    import os
+    import tempfile
+    import uuid
+
+    global _SCRATCH_ROOT
+    try:
+        return _SCRATCH_ROOT
+    except NameError:
+        pass
+    _SCRATCH_ROOT = os.path.join(
+        tempfile.gettempdir(), f"pws-session-{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+    return _SCRATCH_ROOT

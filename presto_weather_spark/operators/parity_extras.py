@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from presto_weather_spark.operators._util import sql_dsum
+from presto_weather_spark.operators._util import scratch_root, sql_dsum
 from presto_weather_spark.registry import register
 from presto_weather_spark.session import load_table
 
@@ -121,7 +121,7 @@ def s02_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_sink_roundtrip",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -275,7 +275,7 @@ def s01b_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_csv_roundtrip",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -303,7 +303,7 @@ def s02b_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         "event_id", "user_id", F.round("value", 6).alias("value"), "event_type"
     )
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_part_write",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -393,7 +393,7 @@ def s01c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     )
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_orc_roundtrip",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -431,7 +431,7 @@ def s36_custom_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_board_sink(spark)
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_board_sink",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -485,7 +485,7 @@ FROM orders WHERE o_orderkey % 3 = 2
 )
 def s43_format_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_federated",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -542,7 +542,7 @@ FROM rows
 )
 def s44_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_dir = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_malformed",
         os.path.basename(os.path.normpath(sf_dir)),
     )

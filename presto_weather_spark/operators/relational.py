@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from presto_weather_spark.operators._util import dec, dsum, sql_dsum
+from presto_weather_spark.operators._util import dec, dsum, scratch_root, sql_dsum
 from presto_weather_spark.registry import register
 from presto_weather_spark.session import load_table
 
@@ -805,7 +805,7 @@ def s04g_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     warehouse = _os.path.join(
-        _tf.gettempdir(), "pws_bucketed", _os.path.basename(_os.path.normpath(sf_dir))
+        scratch_root(), "pws_bucketed", _os.path.basename(_os.path.normpath(sf_dir))
     )
     for name, df, key in (("li_b", li, "l_orderkey"), ("o_b", o, "o_orderkey")):
         table = f"pws_{name}"
@@ -2053,7 +2053,7 @@ def s30_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zkey", _morton_key(F.least(xb, F.lit(top)), F.least(yb, F.lit(top)))
     )
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_zorder",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -2197,7 +2197,7 @@ def s33_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_schema_evo",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -2255,7 +2255,7 @@ def s34_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 2).alias("l_extendedprice"),
     )
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_compact",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -2400,7 +2400,7 @@ def s37_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mv_path = os.path.join(
-        tempfile.gettempdir(), "pws_mv", os.path.basename(os.path.normpath(sf_dir))
+        scratch_root(), "pws_mv", os.path.basename(os.path.normpath(sf_dir))
     )
     # Initial materialization: history only (everything before the cutoff).
     day_agg(e.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(mv_path)
@@ -2671,7 +2671,7 @@ def s41_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     base = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_wap",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -2731,7 +2731,7 @@ def s42_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     import tempfile
 
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_dyn_overwrite",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -3309,7 +3309,7 @@ def s53_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_nested",
         os.path.basename(os.path.normpath(sf_dir)),
     )

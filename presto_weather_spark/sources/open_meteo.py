@@ -16,6 +16,12 @@ options are the contract — same moral status as URL construction.
 
 A ``simpleStreamReader`` replays forecast ticks one micro-batch at a time,
 mirroring the 600 s refresh loop (weather.py:324-333).
+
+``.option("mode", "live")`` switches either endpoint to a real HTTP GET
+against the public Open-Meteo API with the reference's fail-fast non-200
+semantics (weather.py:34-35), same schema and URL construction
+(weather.py:42-46, :61-69). Default is fixture replay, so CI and the
+oracle contract never touch the network.
 """
 
 from __future__ import annotations
@@ -54,13 +60,69 @@ FORECAST_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Live transport (mode="live") — the reference's defining behavior is a real
+# HTTP GET with fail-fast on non-200 (weather.py:31-39). Default stays
+# fixture replay so CI never touches the network; the transport is a
+# module-level hook so unit tests can exercise the status-check path with a
+# fake (tests/test_open_meteo_live.py).
+# ---------------------------------------------------------------------------
+
+
+def _default_transport(url: str) -> tuple[int, bytes]:
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        return resp.status, resp.read()
+
+
+_TRANSPORT = _default_transport
+
+
+def _http_get_json(url: str) -> dict:
+    """GET url → parsed JSON; fail-fast on non-200 (weather.py:34-35)."""
+    import json
+
+    status, body = _TRANSPORT(url)
+    if status != 200:
+        raise RuntimeError(f"HTTP {status}: {body[:200]!r}")
+    return json.loads(body)
+
+
+def _geocode_url(name: str, country: str, count: int) -> str:
+    # Same URL the reference builds (weather.py:42-46), except count is the
+    # pushed-down limit option rather than the hard-coded 1.
+    return (
+        "https://geocoding-api.open-meteo.com/v1/search"
+        f"?name={name.replace(' ', '%20')}&count={count}"
+        f"&language=en&format=json&country={country}"
+    )
+
+
+def _forecast_url(lat: float, lon: float, unit: str) -> str:
+    # weather.py:61-69 — temperature_unit rides the URL: the API converts,
+    # the client never does (computation pushdown).
+    return (
+        "https://api.open-meteo.com/v1/forecast"
+        f"?latitude={lat}&longitude={lon}"
+        "&current=temperature_2m,weather_code"
+        "&daily=precipitation_probability_max"
+        "&timezone=auto"
+        f"&temperature_unit={unit}"
+    )
+
+
 def _geocode_rows(options: dict) -> list[tuple]:
     from presto_weather_spark.sources.fixtures import GEOCODE_FIXTURES
 
     name = options.get("name", "London")
     country = options.get("country_code", "GB")
     count = int(options.get("count", "10"))  # limit pushdown (weather.py:45)
-    results = GEOCODE_FIXTURES.get((name, country), [])
+    if options.get("mode", "replay") == "live":
+        payload = _http_get_json(_geocode_url(name, country, count))
+        results = payload.get("results", [])
+    else:
+        results = GEOCODE_FIXTURES.get((name, country), [])
     if not results and options.get("fail_on_empty", "false") == "true":
         # fail-fast read, reference weather.py:50-51
         raise ValueError(f"Could not find location: {name}")
@@ -97,6 +159,12 @@ def _forecast_rows(options: dict) -> list[tuple]:
     lat = round(float(options.get("latitude", "51.51")), 2)
     lon = round(float(options.get("longitude", "-0.13")), 2)
     unit = options.get("temperature_unit", "celsius")
+    if options.get("mode", "replay") == "live":
+        payload = _http_get_json(_forecast_url(lat, lon, unit))
+        # The URL already carried temperature_unit — the API converted, so
+        # the client-side conversion must NOT run again (pass "celsius" =
+        # identity), mirroring the reference's pushdown (weather.py:69-70).
+        return [_forecast_tuple(payload, "celsius")]
     ticks = FORECAST_FIXTURES.get((lat, lon), [])
     return [_forecast_tuple(p, unit) for p in ticks]
 

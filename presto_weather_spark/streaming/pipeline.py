@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_weather_spark.registry import register
+from presto_weather_spark.operators._util import scratch_root
 from presto_weather_spark.session import load_table
 
 WINDOW_SECONDS = 6 * 3600  # 6-hour tumbling windows over the events fixture
@@ -774,7 +775,7 @@ def s14n_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, sf_dir)
     base = _os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "pws_stream_mv",
         _os.path.basename(_os.path.normpath(sf_dir)),
     )
