@@ -78,6 +78,7 @@ def _load_all() -> None:
         return
     from presto_weather_spark.operators import (  # noqa: F401
         corpus_pipeline,
+        corpus_stats,
         dedup,
         multimodal,
         parity_extras,
@@ -85,6 +86,7 @@ def _load_all() -> None:
         scalar_functions,
         similarity,
         text_analysis,
+        tpch_extra,
     )
     from presto_weather_spark import flagship  # noqa: F401
     from presto_weather_spark.functions import weather  # noqa: F401
