@@ -67,4 +67,13 @@ def scratch_root() -> str:
         tempfile.gettempdir(), f"pws-session-{uuid.uuid4().hex[:12]}"
     )
     os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+
+    # Best-effort cleanup at interpreter exit so repeated bench/pytest
+    # sessions don't accumulate staged parquet/warehouse data unboundedly
+    # in the OS temp dir. ignore_errors: a half-removed scratch dir is
+    # fine, failing the interpreter shutdown is not.
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     return _SCRATCH_ROOT

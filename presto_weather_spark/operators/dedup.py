@@ -386,7 +386,13 @@ def min_label_clusters(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     # changed — one scalar agg over the just-checkpointed frame instead of
     # a labels-vs-labels join.
     prev_sum = None
-    for _ in range(20):
+    converged = False
+    # Hard ceiling = node count (min-label propagation converges in at most
+    # diameter < |V| rounds on any graph); hitting it means the convergence
+    # check itself is broken, and silently returning partial labels would
+    # hand the caller WRONG clusters — raise instead.
+    max_rounds = max(int(nodes.count()), 1) + 1
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -404,9 +410,15 @@ def min_label_clusters(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"min_label_clusters did not converge in {max_rounds} rounds "
+            "(convergence invariant violated)"
+        )
     return labels
 
 
@@ -1010,6 +1022,8 @@ def x73_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             doc_ids, hs, lens = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    text = ""  # null-tolerant, like the expression plan it replaced
                 raw = text.encode("utf-8")
                 # Boundary rule is defined on CHARACTER windows; for pure
                 # ASCII (the common case) byte slices are identical and

@@ -91,12 +91,23 @@ def _http_get_json(url: str) -> dict:
 
 def _geocode_url(name: str, country: str, count: int) -> str:
     # Same URL the reference builds (weather.py:42-46), except count is the
-    # pushed-down limit option rather than the hard-coded 1.
-    return (
-        "https://geocoding-api.open-meteo.com/v1/search"
-        f"?name={name.replace(' ', '%20')}&count={count}"
-        f"&language=en&format=json&country={country}"
+    # pushed-down limit option rather than the hard-coded 1, and values are
+    # RFC-3986-escaped via urlencode: the reference only escapes spaces,
+    # which lets '&'/'#'/'=' or non-ASCII in a user-supplied .option() value
+    # inject extra query parameters or produce a malformed URL.
+    from urllib.parse import quote, urlencode
+
+    qs = urlencode(
+        {
+            "name": name,
+            "count": count,
+            "language": "en",
+            "format": "json",
+            "country": country,
+        },
+        quote_via=quote,
     )
+    return f"https://geocoding-api.open-meteo.com/v1/search?{qs}"
 
 
 def _forecast_url(lat: float, lon: float, unit: str) -> str:

@@ -101,6 +101,11 @@ CC_GRAPHS = [
     ([(i, i + 1) for i in range(11)], 12, [set(range(12))]),
     # two components that share no labels, joined out of order
     ([(7, 2), (2, 11), (6, 1), (1, 13)], 14, [{2, 7, 11}, {1, 6, 13}]),
+    # 25-node chain, diameter 24: exceeds the old fixed 20-round cap that
+    # silently returned unconverged labels (round-4 ADVICE) — min-label
+    # must now run to convergence, star-contraction still finishes in
+    # O(log n) rounds
+    ([(i, i + 1) for i in range(24)], 25, [set(range(25))]),
 ]
 
 
