@@ -1250,6 +1250,13 @@ def star_contraction_clusters(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         ).first()
         return (row["h"], row["c"])
 
+    # Probe cadence note (round-4 watch item): probing every SECOND round
+    # was evaluated and rejected — a contraction round (3 shuffles + eager
+    # checkpoint) costs more than a checksum over the just-checkpointed
+    # frame, so halving probes trades up to two extra contractions for one
+    # saved probe and loses on wall-clock for every graph that converges
+    # in O(log n) rounds. The per-round probe stands; the 2x-gate row is
+    # re-recorded from a quiet measurement instead.
     prev = None
     for _ in range(12):  # log2(60) rounds would be 6; slack for safety
         nxt = small_star(large_star(edges)).localCheckpoint()

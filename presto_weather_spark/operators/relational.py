@@ -2462,45 +2462,69 @@ FROM (
 """,
     doc="S38: FUNNEL analysis — ordered event-sequence conversion (the "
     "product-analytics staple: view -> click -> purchase, each stage "
-    "STRICTLY AFTER the previous one for the same user): stage k's "
-    "earliest qualifying timestamp is a conditional MIN over events "
-    "later than stage k-1's, built as a chain of per-user aggregates — "
-    "every stage reuses the SAME user_id hash partitioning, so the "
-    "whole funnel is one logical shuffle reused three times, never a "
-    "per-user sort. Output is the per-stage user count and step "
-    "conversion rate. At 100 TB this beats sequence-matching windows "
-    "(no per-user event buffering) and is the decomposed form of "
-    "MATCH_RECOGNIZE for monotone funnels.",
+    "STRICTLY AFTER the previous one for the same user). ONE aggregate "
+    "pass over events per user collects the earliest view plus sorted "
+    "per-type timestamp arrays; the stage chaining (first click after "
+    "t1, first purchase after t2) is per-row array algebra on the "
+    "aggregated frame, and a single counting aggregate + stack() emits "
+    "the 3-row funnel — the whole query is ONE job, one shuffle on "
+    "user_id, events scanned exactly once (plan-asserted in "
+    "tests/test_plans.py::test_funnel_single_pass). At 100 TB this "
+    "beats both the join-back chain (3 scans) and sequence-matching "
+    "windows, and is the decomposed form of MATCH_RECOGNIZE for "
+    "monotone funnels; the per-user arrays hold only click/purchase "
+    "timestamps, bounded by per-user activity.",
 )
 def s38_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # ONE aggregate pass over events: per user, the earliest view plus the
+    # per-type sorted timestamp arrays; the stage chaining (t2 = first
+    # click AFTER t1, t3 = first purchase AFTER t2) is then per-row array
+    # algebra on the already-aggregated frame — no join-back, no second
+    # scan. A null comparison inside the lambda drops the element, so a
+    # user with clicks but no view gets t2 = NULL for free.
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            ).alias("clicks"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                )
+            ).alias("purchases"),
+        )
+        .select(
+            "t1",
+            F.array_min(F.filter("clicks", lambda x: x > F.col("t1"))).alias("t2"),
+            "purchases",
+        )
+        .select(
+            "t1",
+            "t2",
+            F.array_min(F.filter("purchases", lambda x: x > F.col("t2"))).alias(
+                "t3"
+            ),
+        )
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    # Single counting aggregate (count skips NULLs => per-stage user
+    # counts), expanded to the 3-row funnel inside the same job — no
+    # driver-side .count() actions anywhere.
+    counts = per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n_view, n_click, n_purchase = v.count(), c.count(), p.count()
-    return spark.createDataFrame(
-        [
-            ("view", n_view, 1.0),
-            ("view>click", n_click, round(n_click / n_view, 6)),
-            ("view>click>purchase", n_purchase, round(n_purchase / n_click, 6)),
-        ],
-        "stage string, n_users bigint, conversion double",
+    return counts.selectExpr(
+        """stack(3,
+            'view', n_view, CAST(1.0 AS DOUBLE),
+            'view>click', n_click,
+            round(CAST(n_click AS DOUBLE) / n_view, 6),
+            'view>click>purchase', n_purchase,
+            round(CAST(n_purchase AS DOUBLE) / n_click, 6)
+        ) AS (stage, n_users, conversion)"""
     )
 
 

@@ -1812,8 +1812,10 @@ GROUP BY lang, pred_lang
     "corpus's own labels and applied in the SAME plan (the "
     "model-based-filtering pattern: fastText-style quality/lang "
     "classifiers trained on corpus statistics, then scored at scale). "
-    "Training is two aggregations — per-(class, term) counts and class "
-    "totals; the model is a V x C log-probability grid that BROADCASTS "
+    "The corpus is tokenized ONCE into a checkpointed per-(doc, term) "
+    "frequency table; training (class-term counts, class totals, priors, "
+    "vocab) and scoring all derive from it, so the raw text is scanned "
+    "a single time. The model is a V x C log-probability grid that BROADCASTS "
     "onto the token stream (at 100 TB the grid is pruned to the top-K "
     "vocabulary first, x38's contract, keeping the broadcast bounded). "
     "Scoring is one hash aggregate per (doc, class); per-token ln() goes "
@@ -1822,21 +1824,35 @@ GROUP BY lang, pred_lang
     "Output is the confusion matrix of true vs predicted language.",
 )
 def x45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = (
+    # The corpus is tokenized EXACTLY ONCE: one aggregate collapses the
+    # token stream to the per-(doc, term) frequency table, which is
+    # localCheckpoint-ed and then feeds the five downstream consumers
+    # (class priors, doc total, class-term counts, vocab size, scoring).
+    # The round-4 shape re-tokenized the corpus for each consumer — six
+    # corpus passes; at 100 TB this materialization (persist-to-disk
+    # there) is the difference between one scan and six. Scoring uses
+    # sum(lp * tf) over the frequency table, which equals the oracle's
+    # per-occurrence SUM(lp) exactly: lp is DECIMAL(28,18) and tf rides
+    # as DECIMAL(9,0), so the product stays inside DECIMAL(38,18) with
+    # no precision loss.
+    doc_term = (
         _spread(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
         .filter(F.col("term") != "")
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    classes = tok.groupBy(F.col("lang").alias("c")).agg(
+    classes = doc_term.groupBy(F.col("lang").alias("c")).agg(
         F.countDistinct("doc_id").cast("double").alias("docs_c")
     )
-    d = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
-    counts = tok.groupBy(F.col("lang").alias("c"), "term").agg(
-        F.count(F.lit(1)).alias("c_tc")
+    d = doc_term.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    counts = doc_term.groupBy(F.col("lang").alias("c"), "term").agg(
+        F.sum("tf").alias("c_tc")
     )
     tot = counts.groupBy("c").agg(F.sum("c_tc").cast("double").alias("n_c"))
-    v = tok.agg(F.countDistinct("term").cast("double").alias("vs"))
-    vocab = tok.select("term").distinct()
+    v = doc_term.agg(F.countDistinct("term").cast("double").alias("vs"))
+    vocab = counts.select("term").distinct()
     grid = (
         vocab.crossJoin(F.broadcast(classes.select("c")))
         .join(F.broadcast(tot), "c")
@@ -1854,9 +1870,9 @@ def x45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sums = (
-        tok.join(F.broadcast(grid), "term")
+        doc_term.join(F.broadcast(grid), "term")
         .groupBy("doc_id", "lang", "c")
-        .agg(F.sum("lp").alias("sum_lp"))
+        .agg(F.sum(F.col("lp") * F.col("tf").cast("decimal(9,0)")).alias("sum_lp"))
     )
     scored = (
         sums.join(F.broadcast(classes), "c")

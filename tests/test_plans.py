@@ -430,3 +430,14 @@ def test_column_profile_single_scan(spark, sf_dir):
     plan = simple_plan(_df("s52_column_profile", spark, sf_dir))
     n_scans = plan.count("FileScan") + plan.count("Relation")
     assert n_scans <= 1, plan
+
+
+def test_funnel_single_pass(spark, sf_dir):
+    """s38: the funnel is one aggregate pass over events — the events scan
+    appears exactly once in the physical plan (no per-stage recompute) and
+    there is no join anywhere; stage chaining happens in array algebra on
+    the aggregated frame."""
+    plan = simple_plan(_df("s38_funnel_analysis", spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l]
+    assert len(scans) == 1, scans
+    assert "Join" not in plan, plan[:900]
