@@ -1053,11 +1053,19 @@ def x73_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": doc_ids, "h": hs, "clen": lens})
 
     hashed = d.mapInPandas(cdc_chunks, "doc_id bigint, h string, clen int")
-    # Single-consumption downstream: rolling the (h, doc_id) partial
-    # first makes `count() OVER (PARTITION BY h)` equal the distinct-doc
-    # frequency, so the usual freq-computation + join-back (which reads
-    # the kernel output twice and needs a checkpoint) collapses into a
-    # linear 3-shuffle pipeline.
+    return _chunk_dup_profile(hashed)
+
+
+def _chunk_dup_profile(hashed: DataFrame) -> DataFrame:
+    """Per-doc duplication profile over (doc_id, h, clen) chunk rows.
+
+    Single-consumption downstream shared by x73 (md5-window boundary
+    rule) and x73b (vectorized gear rule): rolling the (h, doc_id)
+    partial first makes `count() OVER (PARTITION BY h)` equal the
+    distinct-doc frequency, so the usual freq-computation + join-back
+    (which reads the kernel output twice and needs a checkpoint)
+    collapses into a linear 3-shuffle pipeline.
+    """
     per_pair = hashed.groupBy("h", "doc_id").agg(
         F.count(F.lit(1)).alias("c"), F.sum("clen").alias("sclen")
     )
@@ -1073,6 +1081,126 @@ def x73_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup / F.sum("c"), 4).alias("dup_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X73b — content-defined chunking, vectorized gear-hash kernel (scale path)
+# ---------------------------------------------------------------------------
+
+GEAR_WINDOW = 64  # taps kept by the uint64 left-shift recurrence
+GEAR_MASK = 0x1F  # boundary when (h & mask) == 0 -> ~32-byte avg chunks
+
+
+def _gear_table() -> "np.ndarray":  # noqa: F821 — numpy imported lazily
+    """Deterministic 256-entry random uint64 table (md5-seeded, no RNG)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(f"gear-{i}".encode()).digest()[:8], "big")
+            for i in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+def gear_hash_vectorized(raw: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """Gear rolling hash h_i = (h_{i-1} << 1) + GEAR[b_i] (mod 2^64) for
+    every position i, computed WITHOUT the sequential scan.
+
+    Because shifts >= 64 vanish mod 2^64, h_i depends only on the last 64
+    bytes: h_i = sum_{k<64} GEAR[b_{i-k}] << k — a 64-tap shifted-add
+    convolution. Doubling the window each pass (w = 1,2,4,...,64) computes
+    it in log2(64) = 6 vectorized numpy passes instead of a per-byte
+    Python loop; uint64 overflow wraps, which IS the mod-2^64 arithmetic.
+    """
+    import numpy as np
+
+    h = _gear_table()[raw]
+    n = len(h)
+    tmp = np.empty_like(h)  # one scratch buffer, reused across passes
+    w = 1
+    while w < GEAR_WINDOW:
+        if n > w:
+            np.left_shift(h[: n - w], np.uint64(w), out=tmp[w:])
+            h[w:] += tmp[w:]  # tmp holds pre-add values: no aliasing
+        w *= 2
+    return h
+
+
+def _gear_chunk_rows(doc_id, text, md5):
+    """Chunk one document with the vectorized gear boundary rule; returns
+    (doc_ids, hashes, byte_lens) lists. Boundaries split on BYTES (the
+    scale-correct unit: resync does not care about code points)."""
+    import numpy as np
+
+    raw_bytes = (text or "").encode("utf-8")
+    n = len(raw_bytes)
+    if n == 0:
+        return [doc_id], [md5(b"").hexdigest()], [0]
+    raw = np.frombuffer(raw_bytes, dtype=np.uint8)
+    h = gear_hash_vectorized(raw)
+    bounds = np.nonzero((h & np.uint64(GEAR_MASK)) == 0)[0] + 1
+    doc_ids, hs, lens = [], [], []
+    prev = 0
+    for b in bounds.tolist():
+        doc_ids.append(doc_id)
+        hs.append(md5(raw_bytes[prev:b]).hexdigest())
+        lens.append(b - prev)
+        prev = b
+    if prev < n:
+        doc_ids.append(doc_id)
+        hs.append(md5(raw_bytes[prev:]).hexdigest())
+        lens.append(n - prev)
+    return doc_ids, hs, lens
+
+
+@register(
+    "x73b_gear_cdc_chunking",
+    oracle=None,
+    doc="X73b: content-defined chunking with a VECTORIZED gear rolling "
+    "hash — the 100-TB throughput path beside x73's oracle-parity "
+    "md5-window rule. x73's kernel is a per-character Python loop with "
+    "one md5 call per 8-char window (~10^13 interpreter iterations at "
+    "100 TB); this kernel computes the gear recurrence h_i = (h_{i-1} "
+    "<< 1) + GEAR[b_i] for EVERY byte position as 6 shifted-add numpy "
+    "passes (the 64-tap window is a doubling convolution, mod-2^64 via "
+    "native uint64 wrap), then md5s only the resulting ~32-byte chunks "
+    "— per-byte work is pure SIMD. Same mapInPandas shape, same "
+    "3-shuffle downstream profile as x73 (shared helper). Rows-only by "
+    "design (a 256-entry gear table is not SQL-expressible); pinned by "
+    "property tests: the doubling kernel equals the naive sequential "
+    "recurrence byte-for-byte, and boundaries RESYNCHRONIZE after a "
+    "character insertion — the CDC invariant that makes chunk-level "
+    "dedup survive edit drift. Measured kernel throughput vs x73 in "
+    "SCALE.md.",
+)
+def x73b_gear_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def gear_chunks(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            doc_ids, hs, lens = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                di, hh, ll = _gear_chunk_rows(doc_id, text, md5)
+                doc_ids.extend(di)
+                hs.extend(hh)
+                lens.extend(ll)
+            yield pd.DataFrame({"doc_id": doc_ids, "h": hs, "clen": lens})
+
+    hashed = d.mapInPandas(gear_chunks, "doc_id bigint, h string, clen int")
+    return _chunk_dup_profile(hashed)
 
 
 # ---------------------------------------------------------------------------

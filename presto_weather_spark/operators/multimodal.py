@@ -412,3 +412,127 @@ def x58_pair_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sim >= ALIGN_THRESHOLD).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X5e — REAL audio decode: RIFF/WAVE via the stdlib `wave` codec
+# ---------------------------------------------------------------------------
+#
+# The other media paths stub the decode because PIL/librosa/ffmpeg are not
+# in this container — but WAV needs no external codec: the stdlib `wave`
+# module parses RIFF/fmt/data chunks for real. This path therefore
+# exercises TRUE decode failure modes (truncated header, wrong magic,
+# unsupported compression raise wave.Error) instead of a deterministic
+# fake: encode kernel builds a bit-exact PCM16-mono WAV per document,
+# decode kernel parses it back WITHOUT looking at the source text.
+
+WAV_SAMPLE_RATE = 8000
+WAV_DECODE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, n_bytes int, "
+    "duration_ms double, mean_abs double"
+)
+
+
+def encode_wav(text: str | None) -> bytes:
+    """PCM16-mono WAV whose samples are the utf-8 bytes of ``text`` mapped
+    to int16 via (b - 128) * 256 — a real, `wave`-parseable payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    raw = (text or "").encode("utf-8")
+    samples = (
+        (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Parse a WAV payload with the stdlib codec; returns (sample_rate,
+    n_samples, mean_abs_amplitude). Malformed payloads raise wave.Error —
+    the genuine decode-failure path a production media pipeline must
+    handle (absorb-or-fail policy belongs to the caller, mirroring the
+    s44/r13 malformed-input contract)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    if n == 0:
+        return rate, 0, 0.0
+    pcm = np.frombuffer(frames, dtype="<i2")
+    return rate, n, float(np.abs(pcm.astype(np.int64)).mean())
+
+
+@register(
+    "x05e_wav_decode",
+    oracle=f"""
+SELECT doc_id,
+       {WAV_SAMPLE_RATE} AS sample_rate,
+       CAST(octet_length(encode(text)) AS INT) AS n_samples,
+       CAST(44 + 2 * octet_length(encode(text)) AS INT) AS n_bytes,
+       round(octet_length(encode(text)) * 1000.0 / {WAV_SAMPLE_RATE}, 3)
+         AS duration_ms
+FROM documents
+""",
+    doc="X5e: REAL audio decode — every document is rendered to a "
+    "bit-exact PCM16-mono RIFF/WAVE payload (44-byte canonical header + "
+    "2 bytes/sample) in one mapInPandas pass, then a SECOND kernel "
+    "parses the binary back with the stdlib `wave` codec (no source-"
+    "text peeking): sample rate, frame count, byte size, duration, "
+    "amplitude. The oracle replays the size algebra (n_samples = "
+    "payload bytes of the text, n_bytes = 44 + 2n) so the decode "
+    "round-trip is hash-verified; amplitude stats and the wave.Error "
+    "failure path (truncated/corrupt header) are pinned in "
+    "tests/test_multimodal_wav.py. Both kernels are partition-local "
+    "Arrow passes — the exact shape a real ffmpeg/soundfile deployment "
+    "uses at 100 TB, with this one media_type needing no stub.",
+)
+def x05e_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(t) for t in pdf["text"]],
+                }
+            )
+
+    wav = d.mapInPandas(enc, "doc_id bigint, payload binary")
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "n_bytes",
+                "duration_ms", "mean_abs",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n, mean_abs = decode_wav(payload)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["n_bytes"].append(len(payload))
+                rows["duration_ms"].append(round(n * 1000.0 / rate, 3))
+                rows["mean_abs"].append(mean_abs)
+            yield pd.DataFrame(rows)
+
+    return wav.mapInPandas(dec, WAV_DECODE_SCHEMA).select(
+        "doc_id", "sample_rate", "n_samples", "n_bytes", "duration_ms"
+    )

@@ -189,3 +189,88 @@ def test_soft_dedup_weights_multi_member_clusters(spark):
     assert sizes == {0: 3, 1: 3, 2: 3, 3: 2, 4: 2, 5: 1}
     total = sum(r["sample_weight"] for r in out)
     assert abs(total - 3.0) < 1e-4  # 3 distinct clusters
+
+
+# ---------------------------------------------------------------------------
+# x73b — vectorized gear-hash CDC: kernel identities and the resync invariant
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_text(n, seed="gear-text"):
+    """Deterministic ASCII pseudo-random text (md5 stream, no RNG state)."""
+    import hashlib
+
+    out = []
+    k = 0
+    while sum(len(s) for s in out) < n:
+        h = hashlib.md5(f"{seed}-{k}".encode()).hexdigest()
+        out.append(h)
+        k += 1
+    return "".join(out)[:n]
+
+
+def test_gear_doubling_equals_sequential_recurrence():
+    """The 6-pass doubling convolution must equal the naive per-byte gear
+    recurrence h_i = (h_{i-1} << 1) + GEAR[b_i] (mod 2^64) at EVERY
+    position — the identity that makes the vectorized kernel safe."""
+    import numpy as np
+
+    from presto_weather_spark.operators.dedup import (
+        _gear_table,
+        gear_hash_vectorized,
+    )
+
+    raw = np.frombuffer(_pseudo_text(1000).encode(), dtype=np.uint8)
+    got = gear_hash_vectorized(raw)
+    gear = _gear_table()
+    h = 0
+    want = []
+    for b in raw.tolist():
+        h = ((h << 1) + int(gear[b])) & 0xFFFFFFFFFFFFFFFF
+        want.append(h)
+    assert got.tolist() == want
+
+
+def test_gear_boundaries_resynchronize_after_insertion():
+    """The CDC invariant: inserting one character shifts only the chunks
+    around the edit point — boundaries strictly past the 64-byte window
+    re-align, so the tail chunk hashes are identical (what x19's fixed
+    grid cannot do)."""
+    import hashlib
+
+    from presto_weather_spark.operators.dedup import _gear_chunk_rows
+
+    text = _pseudo_text(5000)
+    edited = text[:1000] + "!" + text[1000:]
+    _, ha, _ = _gear_chunk_rows(1, text, hashlib.md5)
+    _, hb, _ = _gear_chunk_rows(1, edited, hashlib.md5)
+    # common prefix: chunks entirely before the edit are untouched
+    pref = 0
+    while pref < min(len(ha), len(hb)) and ha[pref] == hb[pref]:
+        pref += 1
+    # common suffix: chunks past the edit + one window resynchronize
+    suf = 0
+    while (
+        suf < min(len(ha), len(hb)) - pref and ha[-1 - suf] == hb[-1 - suf]
+    ):
+        suf += 1
+    assert pref > 0, "prefix chunks before the edit must be stable"
+    # ~4000 tail bytes at ~32 B/chunk => ~125 chunks; generous slack
+    assert suf >= 50, f"tail failed to resync: only {suf} common suffix chunks"
+    # the disturbed middle is local to the edit
+    assert len(ha) - pref - suf <= 4, (pref, suf, len(ha), len(hb))
+
+
+def test_gear_cdc_query_runs_and_accounts_every_doc(spark):
+    """x73b at sf0.001: one output row per document, chunk lengths sum
+    back to the document byte length (no byte lost to chunking)."""
+    from presto_weather_spark.operators.dedup import x73b_gear_cdc_chunking
+    from presto_weather_spark.session import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = x73b_gear_cdc_chunking(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r["n_chunks"] >= 1 for r in rows)
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in rows)
