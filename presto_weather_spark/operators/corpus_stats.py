@@ -227,3 +227,247 @@ def x84_dup_span_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup / F.sum("c"), 6).alias("dup_mass"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X85 — within-document repetition ratios (Gopher/MassiveText repetition rules)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x85_doc_repetition",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+wc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+wagg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_c
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+bagg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS d_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT wagg.doc_id, n_words,
+       round(CAST(max_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       round(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                  THEN 1.0 - CAST(d_bigrams AS DOUBLE) / n_bigrams
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM wagg LEFT JOIN bagg USING (doc_id)
+""",
+    doc="X85: WITHIN-DOCUMENT repetition ratios — the Gopher/MassiveText "
+    "quality rules that catch templated or looping text: most-frequent-"
+    "word mass, duplicate-word fraction, duplicate word-bigram "
+    "fraction, all per document. Complements x82/x84 which measure "
+    "CROSS-document duplication. Plan: words and bigrams are emitted "
+    "by ONE tagged explode (kind='w'|'b'), so the text is scanned and "
+    "tokenized once; then groupBy(doc, kind, gram) -> groupBy(doc) "
+    "with conditional aggregates — exactly two shuffles, both on "
+    "doc-sized keys, no join. At 100 TB per-doc cardinalities are "
+    "bounded by document length, so nothing grows with the corpus "
+    "except the embarrassingly-parallel doc axis.",
+)
+def x85_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _words().alias("w"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    tagged = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.expr("transform(w, x -> named_struct('kind', 'w', 'gram', x))"),
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),"
+                    " i -> named_struct('kind', 'b', 'gram',"
+                    " concat(w[i], ' ', w[i+1])))"
+                    " ELSE array() END"
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.kind").alias("kind"), F.col("t.gram").alias("gram"))
+    gc = tagged.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    is_w = F.col("kind") == "w"
+    per_doc = gc.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("max_c"),
+        F.sum(F.when(~is_w, F.col("c"))).alias("n_bigrams"),
+        F.count(F.when(~is_w, F.lit(1))).alias("d_bigrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("max_c").cast("double") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.lit(1.0) - F.col("d_bigrams").cast("double") / F.col("n_bigrams"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X86 — composite quality-rule gate (Gopher rules, integer-exact thresholds)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+@register(
+    "x86_quality_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+             AS sum_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                  w -> list_contains({list(STOPWORDS)!r}, w))) AS BIGINT)
+             AS stop_count,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+              AS BIGINT) AS sym_count
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(CAST(sum_word_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+       round(CAST(stop_count AS DOUBLE) / n_words, 6) AS stop_frac,
+       sym_count,
+       n_words BETWEEN 30 AND 10000 AS r_word_count,
+       sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+           AS r_mean_word_len,
+       stop_count * 50 >= n_words AS r_stopwords,
+       sym_count * 10 <= n_chars_m AS r_symbols,
+       (n_words BETWEEN 30 AND 10000)
+         AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+         AND stop_count * 50 >= n_words
+         AND sym_count * 10 <= n_chars_m AS keep
+FROM base
+""",
+    doc="X86: COMPOSITE QUALITY GATE — the Gopher-style rule battery "
+    "(word-count bounds, mean word length in [3,10], >=2% stopword "
+    "mass, <=10% symbol characters) with per-rule verdicts plus the "
+    "conjunction, per document. Every threshold compares in INTEGER "
+    "arithmetic (sum_len >= 3*n_words, stop*50 >= n_words, sym*10 <= "
+    "chars) so boundary documents are engine-exact — no float "
+    "epsilon at the keep/drop line, the property that matters when a "
+    "filter decides training membership. Mean word length uses the "
+    "identity sum_len = length(text) - (n_words - 1) for a "
+    "single-space-joined text (no second tokenize pass). Plan: pure "
+    "scan-side projection, zero shuffles — the cheapest possible "
+    "filter shape at any corpus size.",
+)
+def x86_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n_words = F.size(ws).cast("bigint")
+    n_chars_m = F.length("text").cast("bigint")
+    sum_word_len = (F.length("text") - F.size(ws) + 1).cast("bigint")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_count = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_lit, w))
+    ).cast("bigint")
+    sym_count = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars_m.alias("n_chars_m"),
+        sum_word_len.alias("sum_word_len"),
+        stop_count.alias("stop_count"),
+        sym_count.alias("sym_count"),
+    )
+    r_wc = F.col("n_words").between(30, 10000)
+    r_mwl = (F.col("sum_word_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_word_len") <= 10 * F.col("n_words")
+    )
+    r_stop = F.col("stop_count") * 50 >= F.col("n_words")
+    r_sym = F.col("sym_count") * 10 <= F.col("n_chars_m")
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("sum_word_len").cast("double") / F.col("n_words"), 4).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("stop_count").cast("double") / F.col("n_words"), 6).alias(
+            "stop_frac"
+        ),
+        "sym_count",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbols"),
+        (r_wc & r_mwl & r_stop & r_sym).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X87 — deterministic stratified sampling (per-stratum hash-ranked fraction)
+# ---------------------------------------------------------------------------
+
+STRATUM_KEEP_DENOM = 5  # keep ceil(n/5) = 20% of every (lang, source) stratum
+
+
+@register(
+    "x87_stratified_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank,
+         CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+             AS stratum_size
+  FROM documents
+)
+SELECT doc_id, lang, source, stratum_size, sample_rank
+FROM s
+WHERE sample_rank * {STRATUM_KEEP_DENOM} <= stratum_size + {STRATUM_KEEP_DENOM - 1}
+""",
+    doc="X87: DETERMINISTIC STRATIFIED SAMPLE — keep exactly "
+    "ceil(20%) of every (lang, source) stratum, chosen by md5 rank "
+    "so the sample is reproducible across runs, engines and corpus "
+    "repartitions (seed-free: the hash IS the randomness, the same "
+    "device as x53's split assignment). The ceil(n/5) cut is the "
+    "integer comparison rank*5 <= n+4 — no float fraction at the "
+    "boundary. Plan: one window per stratum (rank + size share the "
+    "same partitioning pass) then a residual filter. At 100 TB "
+    "strata are (lang, source) shards — each sorts independently; "
+    "a skewed mega-stratum would salt the rank by hash prefix and "
+    "merge, but per-stratum sort on hash keys is already the "
+    "TABLESAMPLE-reproducible shape distributed engines use.",
+)
+def x87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(key, "doc_id")
+    cnt = Window.partitionBy("lang", "source")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("stratum_size", F.count(F.lit(1)).over(cnt).cast("bigint"))
+        .filter(
+            F.col("sample_rank") * STRATUM_KEEP_DENOM
+            <= F.col("stratum_size") + (STRATUM_KEEP_DENOM - 1)
+        )
+        .select("doc_id", "lang", "source", "stratum_size", "sample_rank")
+    )

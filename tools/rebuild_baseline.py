@@ -1,0 +1,105 @@
+"""Rebuild BASELINE.md's numbers table: one table, every registered query,
+one Total line at the bottom.
+
+Usage: python tools/rebuild_baseline.py BENCH.json [EXTRA.json ...]
+
+Merge policy (the baseline contract is "first implementation run defines
+the baseline", so existing rows are KEPT verbatim):
+- a key with an existing row keeps its value and date, UNLESS listed in
+  RE_RECORD (plan changed this round, or the round-4 verdict ordered a
+  re-record because the old row was measured under host contention);
+- a key with no row gets one from the bench JSON(s), dated today.
+
+The script fails if any registered query still lacks a number afterwards —
+that is the exact gap (missing 2x-gate denominator) it exists to close.
+"""
+
+import datetime
+import json
+import re
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from presto_weather_spark.registry import all_queries  # noqa: E402
+
+# Plan changed this round (s38 single-pass, x45 single-tokenize) or
+# re-record ordered by the round-4 verdict (x45, x80) / stale after the
+# round-4 kernel rewrite (x73).
+RE_RECORD = {"s38_funnel_analysis", "x45_naive_bayes_lang", "x73_content_defined_chunking", "x80_cc_star_contraction"}
+
+ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
+
+
+def main() -> None:
+    fresh: dict[str, float] = {}
+    sf = cpus = ver = None
+    for path in sys.argv[1:]:
+        b = json.load(open(path))
+        fresh.update(b["queries"])
+        sf, cpus, ver = b["sf"], b["cpus"], b["spark_version"]
+
+    p = "BASELINE.md"
+    text = open(p).read()
+    lines = text.splitlines()
+    hdr_i = next(i for i, l in enumerate(lines) if l.startswith("| query id |"))
+    old_rows: dict[str, tuple[str, str]] = {}
+    body_end = hdr_i
+    for i in range(hdr_i, len(lines)):
+        m = ROW.match(lines[i])
+        if m:
+            old_rows[m.group(1)] = (m.group(3), m.group(5))
+            body_end = i
+    tail = "\n".join(
+        l
+        for l in lines[hdr_i:body_end + 1]
+        if l.startswith("Progression at sf0.1:")
+    )
+    # progression line lives after the table block; find it anywhere below
+    prog = [l for l in lines[hdr_i:] if l.startswith("Progression at sf0.1:")]
+    prog_block = []
+    if prog:
+        j = lines.index(prog[0])
+        prog_block = lines[j:]
+
+    today = datetime.date.today().isoformat()
+    cfg = f"local[{cpus}], AQE on, Spark {ver}"
+    out_rows = []
+    total = 0.0
+    missing = []
+    for key in sorted(all_queries()):
+        if key in old_rows and key not in RE_RECORD:
+            val, date = old_rows[key]
+        elif key in fresh:
+            val, date = str(round(float(fresh[key]), 3)), today
+        else:
+            missing.append(key)
+            continue
+        total += float(val)
+        out_rows.append(f"| {key} | {sf} | {val} | {cfg} | {date} |")
+    if missing:
+        raise SystemExit(f"no baseline number for: {missing}")
+
+    n = len(out_rows)
+    table = (
+        "| query id | sf | sec | spark config | date |\n|---|---|---|---|---|\n"
+        + "\n".join(out_rows)
+        + f"\n\n**Total: {round(total, 1)} s across {n} queries at sf{sf}** "
+        "(wall-clock per query via noop sink; warm-up amortizes JVM/codegen + "
+        "Python-datasource worker start-up). Totals use the round-3+ "
+        "early-stop protocol (min of up-to-3 reps); rows keep their "
+        "first-recorded value and date unless the plan changed, so the "
+        "total mixes measurement dates by design.\n"
+    )
+    head = "\n".join(lines[:hdr_i]).rstrip() + "\n\n"
+    out = head + table
+    if prog_block:
+        out += "\n" + "\n".join(prog_block).rstrip() + "\n"
+    open(p, "w").write(out)
+    print(f"BASELINE.md rebuilt: {n} rows, total {round(total, 1)} s, "
+          f"{len([k for k in fresh if k not in old_rows])} new, "
+          f"{len(RE_RECORD)} re-recorded")
+
+
+if __name__ == "__main__":
+    main()
