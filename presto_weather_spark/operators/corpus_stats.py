@@ -471,3 +471,78 @@ def x87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "stratum_size", "sample_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X88 — benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+DECON_GRAM = 8  # overlapping word shingle width (industry range 8-13)
+DECON_EVAL_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
+
+
+@register(
+    "x88_eval_decontamination",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         {" || ' ' || ".join(f"ws[i+{k}]" for k in range(DECON_GRAM))} AS g
+  FROM w, UNNEST(generate_series(1, len(ws) - {DECON_GRAM - 1})) AS t(i)
+),
+ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT tr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared,
+       SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated,
+       round(CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS contaminated_frac
+FROM tr LEFT JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id
+""",
+    doc="X88: BENCHMARK DECONTAMINATION — the GPT-3/PaLM-style eval-set "
+    "scrub: flag every training document sharing any overlapping "
+    f"{DECON_GRAM}-word shingle with the held-out set (doc_id % "
+    f"{DECON_EVAL_MOD} == 0 stands in for the benchmark corpus). "
+    "Output is the full per-train-doc report (total shingles, shared "
+    "shingles, contaminated flag + fraction) — the drop-list a "
+    "training run consumes. Plan: shingles are scan-side array "
+    "transforms; the eval shingle set is DISTINCT-ed then BROADCAST "
+    "onto the training shingle stream (eval sets are benchmark-sized "
+    "— MBs — even when the training corpus is 100 TB, so the "
+    "broadcast join is the permanently-right strategy, never a "
+    "shuffle); one hash aggregate on doc_id finishes. In the fixture "
+    "both sides come from the same table (two scans, one tiny); in "
+    "production the eval side is its own small input.",
+)
+def x88_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    shingle_expr = (
+        f"CASE WHEN size(ws) >= {DECON_GRAM} THEN "
+        f"transform(sequence(0, size(ws) - {DECON_GRAM}), "
+        f"i -> concat_ws(' ', slice(ws, i + 1, {DECON_GRAM}))) "
+        "ELSE array() END"
+    )
+    sh = d.select("doc_id", F.explode(F.expr(shingle_expr)).alias("g"))
+    ev = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    shared = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        tr.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            (shared > 0).alias("contaminated"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6).alias(
+                "contaminated_frac"
+            ),
+        )
+    )

@@ -441,3 +441,12 @@ def test_funnel_single_pass(spark, sf_dir):
     scans = [l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l]
     assert len(scans) == 1, scans
     assert "Join" not in plan, plan[:900]
+
+
+def test_decontamination_broadcasts_eval_set(spark, sf_dir):
+    """x88: the eval shingle set must broadcast onto the training shingle
+    stream — a shuffle join here would shuffle the whole corpus's shingles
+    at 100 TB for an MB-sized build side."""
+    plan = simple_plan(_df("x88_eval_decontamination", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert "SortMergeJoin" not in plan, plan[:900]
