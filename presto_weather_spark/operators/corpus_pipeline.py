@@ -95,13 +95,19 @@ def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_LEN))
     ch = exact.select("doc_id", "text", F.explode(starts).alias("s")).select(
         "doc_id", F.md5(F.col("text").substr(F.col("s"), F.lit(CHUNK_LEN))).alias("h")
-    ).localCheckpoint(eager=False)  # chunk table feeds freq + join-back (x18 pattern)
-    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
-    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    )
+    # Single-consumption profile (the x73/x84 pattern): rolling the
+    # (h, doc_id) partial first makes count() OVER (PARTITION BY h) equal
+    # the distinct-doc frequency, so the old freq-aggregate + join-back —
+    # which read the chunk table twice and needed a checkpoint — collapses
+    # into a linear groupBy -> window -> groupBy chain, no join.
+    per_pair = ch.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup_c = F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
     ratio = (
-        ch.join(freq, "h")
+        per_pair.withColumn("nd", nd)
         .groupBy("doc_id")
-        .agg((F.sum(dup) / F.count(F.lit(1))).alias("dup_ratio"))
+        .agg((dup_c / F.sum("c")).alias("dup_ratio"))
     )
     kept = (
         exact.join(ratio, "doc_id")
