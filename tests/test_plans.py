@@ -450,3 +450,27 @@ def test_decontamination_broadcasts_eval_set(spark, sf_dir):
     plan = simple_plan(_df("x88_eval_decontamination", spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:900]
     assert "SortMergeJoin" not in plan, plan[:900]
+
+
+def test_doc_repetition_two_shuffles_no_join(spark, sf_dir):
+    """x85: words+bigrams ride ONE tagged explode -> two doc-keyed
+    shuffles (plus the explicit spread repartition), and no join."""
+    plan = simple_plan(_df("x85_doc_repetition", spark, sf_dir))
+    assert "Join" not in plan, plan[:900]
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l or "FileScan" in l]
+    assert len(scans) == 1, scans
+
+
+def test_quality_rules_zero_shuffle(spark, sf_dir):
+    """x86: the rule gate is a pure scan-side projection — no exchange at
+    all; this is what makes it free at any corpus size."""
+    plan = simple_plan(_df("x86_quality_rules", spark, sf_dir))
+    assert "Exchange" not in plan, plan[:900]
+
+
+def test_stratified_sample_single_window_pass(spark, sf_dir):
+    """x87: rank and stratum size share one (lang, source) partitioning —
+    exactly one hash exchange in the plan."""
+    plan = simple_plan(_df("x87_stratified_sample", spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges: {plan[:900]}"
