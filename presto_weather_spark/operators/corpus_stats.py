@@ -377,7 +377,7 @@ FROM base
 )
 def x86_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.split(F.col("text"), " ")
+    ws = _words()
     n_words = F.size(ws).cast("bigint")
     n_chars_m = F.length("text").cast("bigint")
     sum_word_len = (F.length("text") - F.size(ws) + 1).cast("bigint")
@@ -466,7 +466,10 @@ def x87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("sample_rank", F.row_number().over(w))
         .withColumn("stratum_size", F.count(F.lit(1)).over(cnt).cast("bigint"))
         .filter(
-            F.col("sample_rank") * STRATUM_KEEP_DENOM
+            # bigint arithmetic: row_number() is int32 and a 100-TB stratum
+            # can exceed 2^31/5 rows — int overflow here would keep the
+            # wrong tail of the stratum (or abort under ANSI mode)
+            F.col("sample_rank").cast("bigint") * STRATUM_KEEP_DENOM
             <= F.col("stratum_size") + (STRATUM_KEEP_DENOM - 1)
         )
         .select("doc_id", "lang", "source", "stratum_size", "sample_rank")

@@ -1092,18 +1092,28 @@ GEAR_MASK = 0x1F  # boundary when (h & mask) == 0 -> ~32-byte avg chunks
 
 
 def _gear_table() -> "np.ndarray":  # noqa: F821 — numpy imported lazily
-    """Deterministic 256-entry random uint64 table (md5-seeded, no RNG)."""
+    """Deterministic 256-entry random uint64 table (md5-seeded, no RNG).
+
+    Memoized per process: the kernel calls this once per DOCUMENT, and
+    256 md5 digests per call would rival the hash pass itself on
+    KB-sized documents."""
+    global _GEAR_TABLE_CACHE
+    try:
+        return _GEAR_TABLE_CACHE
+    except NameError:
+        pass
     import hashlib
 
     import numpy as np
 
-    return np.array(
+    _GEAR_TABLE_CACHE = np.array(
         [
             int.from_bytes(hashlib.md5(f"gear-{i}".encode()).digest()[:8], "big")
             for i in range(256)
         ],
         dtype=np.uint64,
     )
+    return _GEAR_TABLE_CACHE
 
 
 def gear_hash_vectorized(raw: "np.ndarray") -> "np.ndarray":  # noqa: F821

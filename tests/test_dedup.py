@@ -267,10 +267,24 @@ def test_gear_cdc_query_runs_and_accounts_every_doc(spark):
     from presto_weather_spark.operators.dedup import x73b_gear_cdc_chunking
     from presto_weather_spark.session import load_table
 
+    import hashlib
+
+    from presto_weather_spark.operators.dedup import _gear_chunk_rows
+
     sf_dir = "/root/testdata/sf0.001"
     out = x73b_gear_cdc_chunking(spark, sf_dir)
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    rows = out.collect()
-    assert len(rows) == n_docs
-    assert all(r["n_chunks"] >= 1 for r in rows)
-    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in rows)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == len(docs)
+    assert all(r["n_chunks"] >= 1 for r in rows.values())
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in rows.values())
+    # byte conservation: kernel chunk lengths sum back to the document
+    # byte length for every doc (no byte lost or double-counted at a
+    # boundary), and the query's avg_chunk_len agrees with the kernel
+    for d in docs:
+        n_bytes = len((d["text"] or "").encode("utf-8"))
+        _, _, lens = _gear_chunk_rows(d["doc_id"], d["text"], hashlib.md5)
+        assert sum(lens) == n_bytes, (d["doc_id"], sum(lens), n_bytes)
+        got = rows[d["doc_id"]]
+        assert got["n_chunks"] == len(lens)
+        assert abs(got["avg_chunk_len"] - round(sum(lens) / len(lens), 4)) < 1e-9

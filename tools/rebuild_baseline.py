@@ -43,18 +43,14 @@ def main() -> None:
     text = open(p).read()
     lines = text.splitlines()
     hdr_i = next(i for i, l in enumerate(lines) if l.startswith("| query id |"))
-    old_rows: dict[str, tuple[str, str]] = {}
-    body_end = hdr_i
+    # kept rows preserve their FULL provenance (sf, value, config, date):
+    # a later round on a different Spark version or core count must not
+    # relabel a verbatim-kept measurement with the new config
+    old_rows: dict[str, tuple[str, str, str, str]] = {}
     for i in range(hdr_i, len(lines)):
         m = ROW.match(lines[i])
         if m:
-            old_rows[m.group(1)] = (m.group(3), m.group(5))
-            body_end = i
-    tail = "\n".join(
-        l
-        for l in lines[hdr_i:body_end + 1]
-        if l.startswith("Progression at sf0.1:")
-    )
+            old_rows[m.group(1)] = (m.group(2), m.group(3), m.group(4), m.group(5))
     # progression line lives after the table block; find it anywhere below
     prog = [l for l in lines[hdr_i:] if l.startswith("Progression at sf0.1:")]
     prog_block = []
@@ -69,14 +65,14 @@ def main() -> None:
     missing = []
     for key in sorted(all_queries()):
         if key in old_rows and key not in RE_RECORD:
-            val, date = old_rows[key]
+            row_sf, val, row_cfg, date = old_rows[key]
         elif key in fresh:
-            val, date = str(round(float(fresh[key]), 3)), today
+            row_sf, val, row_cfg, date = str(sf), str(round(float(fresh[key]), 3)), cfg, today
         else:
             missing.append(key)
             continue
         total += float(val)
-        out_rows.append(f"| {key} | {sf} | {val} | {cfg} | {date} |")
+        out_rows.append(f"| {key} | {row_sf} | {val} | {row_cfg} | {date} |")
     if missing:
         raise SystemExit(f"no baseline number for: {missing}")
 
