@@ -3724,3 +3724,51 @@ def s60_theta_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("tier_revenue"),
     )
+
+
+@register(
+    "s73_recursive_cte",
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, c_custkey AS root_key, 0 AS depth,
+         CAST(c_custkey AS VARCHAR) AS path
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, chain.root_key, chain.depth + 1,
+         chain.path || '/' || CAST(c.c_custkey AS VARCHAR)
+  FROM customer c JOIN chain ON c.c_custkey // 10 = chain.c_custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT c_custkey, root_key, depth, path FROM chain
+""",
+    doc="S73: recursive CTE (Spark 4 WITH RECURSIVE) — hierarchical "
+    "traversal the engine itself iterates, no driver loop. A synthetic "
+    "decimal-digit hierarchy over customer (parent = custkey DIV 10, "
+    "roots < 10) is walked to every key, accumulating depth and the "
+    "root->leaf path string. Spark executes this as a UnionLoop: each "
+    "level is one join of the frontier against the base table, O(max "
+    "depth) = O(log10 N) rounds — the same per-round shape as the "
+    "hand-rolled min-label propagation in dedup.py:366, but planned by "
+    "Catalyst. Frontier rows per round are |keys at that digit length|, "
+    "so no round re-touches the whole table; at 100 TB the join key "
+    "is the shuffle key and AQE sizes each round independently.",
+)
+def s73_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, c_custkey AS root_key, 0 AS depth,
+         CAST(c_custkey AS STRING) AS path
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, chain.root_key, chain.depth + 1,
+         concat(chain.path, '/', CAST(c.c_custkey AS STRING))
+  FROM customer c JOIN chain ON c.c_custkey DIV 10 = chain.c_custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT c_custkey, root_key, depth, path FROM chain
+"""
+    )

@@ -1219,3 +1219,115 @@ def _kcenter_greedy_distributed(emb: DataFrame) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         rows, "selection_rank int, vec_id bigint, radius_at_selection double"
     )
+
+
+# ---------------------------------------------------------------------------
+# X90: prototype-distance pruning (D4-style diversity filter)
+# ---------------------------------------------------------------------------
+
+N_PROTO = 8  # deterministic prototypes: the vec_id < 8 embeddings
+PROTO_PRUNE_PCT = 25  # drop the closest-to-prototype quarter of each cell
+
+
+@register(
+    "x90_prototype_prune",
+    oracle=f"""
+WITH protos AS (
+  SELECT vec_id AS cluster_id, embedding AS pv FROM embeddings WHERE vec_id < {N_PROTO}
+),
+dists AS (
+  SELECT e.vec_id, p.cluster_id,
+         sqrt(list_aggregate(list_transform(list_zip(e.embedding, p.pv),
+              q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                 * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), 'sum'))
+           AS l2
+  FROM embeddings e CROSS JOIN protos p
+),
+assigned AS (
+  SELECT vec_id, cluster_id, round(l2, 6) AS l2_dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY round(l2, 6), cluster_id) AS arn
+  FROM dists
+),
+cells AS (SELECT vec_id, cluster_id, l2_dist FROM assigned WHERE arn = 1),
+ranked AS (
+  SELECT vec_id, cluster_id, l2_dist,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY l2_dist, vec_id) AS proto_rank,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM cells
+)
+SELECT vec_id, cluster_id, l2_dist, proto_rank, cluster_size,
+       CASE WHEN proto_rank * 100 > cluster_size * {PROTO_PRUNE_PCT}
+            THEN 1 ELSE 0 END AS keep
+FROM ranked
+""",
+    doc="X90: D4-style prototype pruning — the diversity complement to "
+    "SemDeDup (x36): where x36 removes near-identical PAIRS, this drops "
+    "the most PROTOTYPICAL quarter of each cell (the points closest to "
+    "their prototype carry the least marginal information; Abbas et al. "
+    "2023, public). Prototypes are the deterministic vec_id<8 vectors "
+    "(at deployment: k-means centroids from x15); they ride the UDF "
+    "closure as an 8x64 matrix and assignment+distance is ONE BLAS "
+    "matmul per Arrow batch — partition-local, no shuffle, no "
+    "interpreted HOF lambdas. The only shuffle is the per-cell rank "
+    "window. With k=8 cells a corpus-scale rank window would put "
+    "billions of rows in 8 partitions — the documented scale path swaps "
+    "the exact rank for a per-cell approx-quantile distance threshold "
+    "(8-row broadcast, same keep decision to quantile error); the exact "
+    "rank is kept here because it is the oracle-checkable form. "
+    "Distances are rounded to 6dp BEFORE the argmin tie-break so both "
+    "engines resolve boundary ties identically.",
+)
+def x90_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    prows = (
+        emb.filter(F.col("vec_id") < N_PROTO)
+        .select("vec_id", "embedding")
+        .collect()  # 8 x 64 doubles — rides the closure
+    )
+    pids = np.asarray([r["vec_id"] for r in prows], dtype=np.int64)
+    pmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in prows])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # ||x - p||^2 = ||x||^2 - 2 x.p + ||p||^2, one matmul per batch
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * (mat @ pmat.T)
+                + (pmat * pmat).sum(axis=1)[None, :]
+            )
+            l2 = np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
+            # argmin with lowest-cluster-id tie-break on the ROUNDED value:
+            # np.argmin returns the first minimum and pids is ascending.
+            best = np.argmin(l2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": pids[best],
+                    "l2_dist": l2[np.arange(len(pdf)), best],
+                }
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cluster_id bigint, l2_dist double"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("l2_dist"), F.col("vec_id"))
+    cnt = Window.partitionBy("cluster_id")
+    return (
+        cells.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(cnt).cast("bigint"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "l2_dist",
+            "proto_rank",
+            "cluster_size",
+            (
+                F.col("proto_rank") * 100 > F.col("cluster_size") * PROTO_PRUNE_PCT
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

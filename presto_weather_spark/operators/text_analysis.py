@@ -3349,3 +3349,285 @@ def x79_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()
     counts.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# X89: BM25 retrieval — rank documents against a fixed query set
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# A small fixed query workload (query_id, term). Terms are plain corpus
+# vocabulary; a term may appear in several queries. The table is constant
+# and vocabulary-sized — it broadcasts.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash"), (1, "join"),
+    (2, "sort"), (2, "merge"), (2, "join"),
+    (3, "window"), (3, "agg"),
+    (4, "stream"), (4, "batch"),
+    (5, "fast"), (5, "scan"), (5, "filter"),
+)
+
+_BM25_QUERY_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+
+
+@register(
+    "x89_bm25_topk",
+    oracle=f"""
+WITH qt(query_id, term) AS (VALUES {_BM25_QUERY_VALUES}),
+toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf_all AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+),
+tfq AS (
+  SELECT tf_all.doc_id, tf_all.term, tf_all.tf
+  FROM tf_all JOIN (SELECT DISTINCT term FROM qt) q ON tf_all.term = q.term
+),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+scored AS (
+  SELECT tfq.doc_id, tfq.term,
+         round(
+           ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tfq.tf * ({BM25_K1} + 1.0))
+           / (tfq.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / corpus.avgdl)),
+           6) AS term_score
+  FROM tfq
+  JOIN dl ON tfq.doc_id = dl.doc_id
+  JOIN dft ON tfq.term = dft.term
+  CROSS JOIN corpus
+),
+per_query AS (
+  SELECT qt.query_id, scored.doc_id,
+         CAST(SUM(CAST(scored.term_score AS DECIMAL(18, 6))) AS DOUBLE) AS bm25
+  FROM scored JOIN qt ON scored.term = qt.term
+  GROUP BY qt.query_id, scored.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+  FROM per_query
+)
+SELECT query_id, doc_id, bm25, rn AS doc_rank
+FROM ranked WHERE rn <= {BM25_TOP_K}
+""",
+    doc="X89: BM25 top-k retrieval over a constant query workload — the "
+    "lexical-search complement to the dense ANN suite (x03*). The corpus "
+    "is tokenized ONCE into tf(doc, term) and that table is materialized "
+    "(localCheckpoint): four consumers — doc lengths, the (avgdl, N) "
+    "scalars, per-term df, and the postings join — would otherwise each "
+    "replay the tokenize scan (the shuffle-reuse trick does not apply "
+    "here: the spread partitioning already satisfies the groupBy, so "
+    "there is no aggregate exchange to reuse). tf is doc-id-partitioned, "
+    "so doc lengths aggregate exchange-free and the postings-to-lengths "
+    "join co-locates without a shuffle. Query terms and per-term df are "
+    "vocabulary-sized and broadcast. Per-term scores are rounded then "
+    "summed as DECIMAL(18,6), so the per-(query, doc) total is exact and "
+    "order-independent (the registry's decimal ln-sum convention); top-k "
+    "is a windowed row_number per query — no global sort. At 100 TB the "
+    "materialized tf table is the classic inverted-index build; "
+    "everything after it touches |docs matching query terms| rows, not "
+    "|corpus|.",
+)
+def x89_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _spread(d).select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    # Tokenize ONCE: tf_all has four consumers (dl, corpus scalars, df,
+    # postings join) — materialize it so the explode scan runs once.
+    tf_all = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+
+    # Corpus scalars: two driver-side numbers (bounded — a 1-row aggregate).
+    stats = dl.agg(
+        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["s"]) / n_docs
+
+    qt = spark.createDataFrame(list(BM25_QUERIES), "query_id int, term string")
+    tfq = tf_all.join(F.broadcast(qt.select("term").distinct()), "term")
+    dft = tfq.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        tfq.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom, 6).alias(
+                "term_score"
+            ),
+        )
+    )
+    per_query = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("bm25")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        per_query.withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "bm25", "doc_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X91: weak-label linear classifier trained in-engine (full-batch GD)
+# ---------------------------------------------------------------------------
+
+LR_N_ITERS = 20
+LR_RATE = 2.0  # full-batch gradient descent on standardized features
+LR_FEATURES = ("stopword_ratio", "punct_ratio", "alpha_ratio", "log_len")
+
+
+def _weak_label_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc surface features + weak label (the x08 heuristic gate:
+    stopword density >= 0.1). The label is produced by the upstream
+    rule-based stage — the trained model distills that gate into a
+    calibrated soft score, the standard bootstrap for quality/domain
+    classifiers when no human labels exist (weak supervision).
+
+    One tokenize pass for the stopword ratio, one scan for the character
+    ratios, joined on doc_id (doc-sized join). Empty/NULL text yields no
+    tokens and is excluded — a classifier has nothing to score there."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    toks = _spread(d).select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    stop = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    chars = d.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        F.log(F.lit(1.0) + F.length("text")).alias("log_len"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return chars.join(stop, "doc_id").select(
+        "doc_id",
+        (stop_ratio >= 0.1).cast("double").alias("y"),
+        stop_ratio.alias("stopword_ratio"),
+        "punct_ratio",
+        "alpha_ratio",
+        "log_len",
+    )
+
+
+def train_weak_label_lr(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[float], list[float]]:
+    """Train logistic regression by full-batch GD; returns the CACHED
+    standardized-feature DataFrame, the learned weights (bias last), and
+    the per-iteration log-loss trace. Caller must unpersist the frame."""
+    raw = _weak_label_features(spark, sf_dir)
+    stats = raw.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in LR_FEATURES],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in LR_FEATURES],
+    ).collect()[0]
+    feats = raw.select(
+        "doc_id",
+        "y",
+        *[
+            (
+                (F.col(c) - F.lit(float(stats[f"m_{c}"])))
+                / F.lit(max(float(stats[f"s_{c}"]), 1e-12))
+            ).alias(c)
+            for c in LR_FEATURES
+        ],
+    ).persist()
+
+    weights = [0.0] * len(LR_FEATURES) + [0.0]  # bias last
+    losses: list[float] = []
+    eps = 1e-12
+    for _ in range(LR_N_ITERS):
+        margin = F.lit(weights[-1])
+        for j, c in enumerate(LR_FEATURES):
+            margin = margin + F.lit(weights[j]) * F.col(c)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        agg = feats.agg(
+            *[F.avg((p - F.col("y")) * F.col(c)).alias(f"g_{j}") for j, c in enumerate(LR_FEATURES)],
+            F.avg(p - F.col("y")).alias("g_bias"),
+            F.avg(
+                -(
+                    F.col("y") * F.log(p + F.lit(eps))
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p + F.lit(eps))
+                )
+            ).alias("loss"),
+        ).collect()[0]
+        losses.append(float(agg["loss"]))
+        for j in range(len(LR_FEATURES)):
+            weights[j] -= LR_RATE * float(agg[f"g_{j}"])
+        weights[-1] -= LR_RATE * float(agg["g_bias"])
+    return feats, weights, losses
+
+
+@register(
+    "x91_weak_label_classifier",
+    oracle=None,  # iterative training (20 GD rounds) — explicitly
+    # non-SQL-expressible; pinned by tests/test_weak_label_lr.py:
+    # monotone loss decrease, accuracy beats the majority class AND the
+    # x08 single-threshold heuristic's feature is recovered (largest
+    # |weight| is the stopword ratio), determinism across runs.
+    doc="X91: the quality/domain-classifier stage of a curation pipeline "
+    "(CCNet/LLaMA-style 'wiki-like' filtering, public): train a linear "
+    "classifier IN-ENGINE on weak labels (lang=='en') over surface "
+    "features (stopword/punct/alpha ratios, log length), then score "
+    "every document. Training is full-batch gradient descent: per round "
+    "ONE scan of the cached doc-sized feature table computes the "
+    "d+1-scalar gradient + loss via a single aggregate (weights ride "
+    "the plan as literals — the x15 k-means fixpoint idiom); no per-row "
+    "Python, no shuffle beyond the 1-row aggregate, rounds scale as "
+    "O(iters) scans independent of d. At 100 TB the feature table is "
+    "built once (the expensive tokenize pass) and each GD round moves "
+    "d+2 doubles to the driver.",
+)
+def x91_weak_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, weights, _losses = train_weak_label_lr(spark, sf_dir)
+    margin = F.lit(weights[-1])
+    for j, c in enumerate(LR_FEATURES):
+        margin = margin + F.lit(weights[j]) * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    out = feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("y_weak"),
+        F.round(p, 6).alias("score"),
+        (p >= 0.5).cast("int").alias("pred"),
+    )
+    out = out.localCheckpoint()  # materialize before releasing the cache
+    feats.unpersist()
+    return out

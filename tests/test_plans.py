@@ -474,3 +474,32 @@ def test_stratified_sample_single_window_pass(spark, sf_dir):
     plan = simple_plan(_df("x87_stratified_sample", spark, sf_dir))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"{n_exchanges} exchanges: {plan[:900]}"
+
+
+def test_bm25_tokenizes_once_and_broadcasts_dims(spark, sf_dir):
+    """x89: the tf(doc, term) table is materialized, so the final plan
+    contains NO parquet re-scan of the corpus (its four consumers read
+    the checkpoint); query terms and per-term df broadcast, and the
+    postings-to-lengths join never falls back to a sort-merge shuffle."""
+    plan = formatted_plan(_df("x89_bm25_topk", spark, sf_dir))
+    assert "Scan parquet" not in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def test_prototype_prune_single_shuffle_no_join(spark, sf_dir):
+    """x90: prototypes ride the closure — assignment is partition-local
+    mapInPandas, so the plan has NO join and only the per-cell window
+    exchange."""
+    plan = simple_plan(_df("x90_prototype_prune", spark, sf_dir))
+    assert "Join" not in plan, plan[:900]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges: {plan[:900]}"
+
+
+def test_recursive_cte_plans_union_loop(spark, sf_dir):
+    """s73: WITH RECURSIVE must execute as the engine's iterative union
+    loop — proof the recursion is planned by Catalyst, not emulated by a
+    driver-side loop."""
+    plan = simple_plan(_df("s73_recursive_cte", spark, sf_dir))
+    assert "UnionLoop" in plan, plan[:900]

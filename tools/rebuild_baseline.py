@@ -23,10 +23,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from presto_weather_spark.registry import all_queries  # noqa: E402
 
-# Plan changed this round (s38 single-pass, x45 single-tokenize) or
-# re-record ordered by the round-4 verdict (x45, x80) / stale after the
-# round-4 kernel rewrite (x73).
-RE_RECORD = {"s38_funnel_analysis", "x45_naive_bayes_lang", "x73_content_defined_chunking", "x80_cc_star_contraction"}
+# Keys whose existing BASELINE row should be OVERWRITTEN by this run
+# (plan changed, or the verdict ordered a re-record). Empty between such
+# events — "first run defines baseline" for everything else.
+RE_RECORD: set[str] = set()
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
 
