@@ -1331,3 +1331,123 @@ def x90_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X94: TwoNN intrinsic-dimension estimate — exact 2-NN + MLE over ratios
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x94_twonn_intrinsic_dim",
+    oracle="""
+WITH dists AS (
+  SELECT a.vec_id, b.vec_id AS other_id,
+         round(sqrt(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+                  * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))), 'sum')), 6)
+           AS l2
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, other_id, l2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY l2, other_id) AS rn
+  FROM dists
+),
+nn AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN other_id END) AS nn1_id,
+         MAX(CASE WHEN rn = 2 THEN other_id END) AS nn2_id,
+         MAX(CASE WHEN rn = 1 THEN l2 END) AS d1,
+         MAX(CASE WHEN rn = 2 THEN l2 END) AS d2
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+),
+mus AS (
+  SELECT vec_id, nn1_id, nn2_id, d1, d2,
+         CASE WHEN d1 > 0 THEN round(d2 / d1, 6) END AS mu
+  FROM nn
+),
+est AS (
+  SELECT round((COUNT(mu) - 1)
+               / CAST(SUM(CAST(ln(mu) AS DECIMAL(28,18))) AS DOUBLE), 6)
+           AS d_hat
+  FROM mus WHERE mu IS NOT NULL
+)
+SELECT vec_id, nn1_id, nn2_id, d1, d2, mu, est.d_hat
+FROM mus CROSS JOIN est
+""",
+    doc="X94: TwoNN intrinsic-dimension estimate (Facco et al. 2017, "
+    "public) — the embedding-space diagnostic a curation pipeline runs "
+    "before trusting clustering/ANN structure: for every vector, the "
+    "exact 1st and 2nd nearest neighbors by L2, the ratio mu = d2/d1, "
+    "and the corpus-level MLE d_hat = (n-1) / sum(ln mu). Per-point "
+    "output keeps the neighbor ids and distances so the estimate is "
+    "auditable. The candidate matrix rides the UDF closure and each "
+    "Arrow batch resolves its 2-NN with one BLAS distance matmul — no "
+    "join, no shuffle on the corpus side; the only exchange is the "
+    "1-row estimator aggregate broadcast back onto the rows. TwoNN is a "
+    "statistical estimator by construction, so the closure matrix IS "
+    "the documented scale knob: at fixture scale it is the whole table "
+    "(exact, oracle-checkable); at 100 TB it is a bounded uniform "
+    "sample (~100k rows) and the estimator's variance shrinks as "
+    "1/sqrt(sample) — the same bounded-closure convention as x03's "
+    "query set. Distances round to 6dp before the (l2, vec_id) "
+    "tie-break so both engines pick identical neighbors; ln goes "
+    "through DECIMAL(28,18) before the sum (the x20 convention) so the "
+    "estimator is aggregation-order-exact. Zero-distance duplicates "
+    "(d1 = 0) are excluded from the MLE, per the estimator's "
+    "definition.",
+)
+def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()  # the TwoNN sample:
+    # whole table at fixture scale, a bounded uniform sample at deployment
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    sq = (mat * mat).sum(axis=1)
+
+    def twonn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2m = (
+                (bm * bm).sum(axis=1)[:, None] - 2.0 * (bm @ mat.T) + sq[None, :]
+            )
+            l2 = np.round(np.sqrt(np.maximum(d2m, 0.0)), 6)
+            out = {"vec_id": [], "nn1_id": [], "nn2_id": [], "d1": [], "d2": []}
+            batch_ids = pdf["vec_id"].to_numpy()
+            for i in range(len(pdf)):
+                mask = ids != batch_ids[i]
+                cand_d = l2[i][mask]
+                cand_id = ids[mask]
+                # order by (rounded distance, vec_id): lexsort is stable and
+                # cand_id is ascending, so ties resolve to the lowest id
+                order = np.lexsort((cand_id, cand_d))
+                out["vec_id"].append(batch_ids[i])
+                out["nn1_id"].append(cand_id[order[0]])
+                out["nn2_id"].append(cand_id[order[1]])
+                out["d1"].append(cand_d[order[0]])
+                out["d2"].append(cand_d[order[1]])
+            yield pd.DataFrame(out)
+
+    nn = emb.select("vec_id", "embedding").mapInPandas(
+        twonn, "vec_id bigint, nn1_id bigint, nn2_id bigint, d1 double, d2 double"
+    )
+    mus = nn.select(
+        "vec_id",
+        "nn1_id",
+        "nn2_id",
+        "d1",
+        "d2",
+        F.when(F.col("d1") > 0, F.round(F.col("d2") / F.col("d1"), 6)).alias("mu"),
+    ).localCheckpoint(eager=False)  # the estimator AND the final join consume
+    # it — without this the 2-NN kernel would run the corpus twice
+    est = mus.filter(F.col("mu").isNotNull()).agg(
+        F.round(
+            (F.count("mu") - F.lit(1)).cast("double")
+            / F.sum(F.log("mu").cast("decimal(28,18)")).cast("double"),
+            6,
+        ).alias("d_hat")
+    )
+    return mus.crossJoin(F.broadcast(est))

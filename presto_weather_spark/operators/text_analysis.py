@@ -3631,3 +3631,300 @@ def x91_weak_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()  # materialize before releasing the cache
     feats.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# X92: TextRank keyword extraction — PageRank over the word adjacency graph
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ITERS = 8
+TEXTRANK_DAMP = 0.85
+
+_TR_STOPLIST = ", ".join(repr(s) for s in STOPWORDS)
+
+
+def _textrank_oracle() -> str:
+    """Unrolled fixed-round power iteration: each round is one plain CTE, so
+    the whole iterative algorithm stays DuckDB-checkable (no aggregates in a
+    recursive term needed — the round count is a constant)."""
+    head = f"""
+WITH toks AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term,
+           generate_subscripts({_SQL_TOKENS}, 1) AS pos
+    FROM documents
+  ) WHERE term <> '' AND term NOT IN ({_TR_STOPLIST})
+),
+adj AS (
+  SELECT term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+edges AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT w1, w2 FROM adj WHERE w2 IS NOT NULL AND w1 <> w2
+    UNION ALL
+    SELECT w2 AS w1, w1 AS w2 FROM adj WHERE w2 IS NOT NULL AND w1 <> w2
+  ) GROUP BY w1, w2
+),
+g AS (
+  SELECT w1, w2,
+         CAST(c AS DOUBLE)
+           / CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE) AS f
+  FROM edges
+),
+r0 AS (SELECT DISTINCT w1 AS term, CAST(1.0 AS DOUBLE) AS rank FROM edges)"""
+    rounds = []
+    for t in range(TEXTRANK_ITERS):
+        rounds.append(f""",
+r{t + 1} AS (
+  SELECT g.w2 AS term,
+         round({1.0 - TEXTRANK_DAMP} + {TEXTRANK_DAMP}
+               * CAST(SUM(CAST(r{t}.rank * g.f AS DECIMAL(28,18))) AS DOUBLE),
+               12) AS rank
+  FROM g JOIN r{t} ON g.w1 = r{t}.term
+  GROUP BY g.w2
+)""")
+    tail = f"""
+SELECT term, rank,
+       CAST(row_number() OVER (ORDER BY rank DESC, term) AS INT) AS kw_rank
+FROM r{TEXTRANK_ITERS}
+"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "x92_textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="X92: TextRank keyword extraction (Mihalcea & Tarau 2004, public) — "
+    "weighted PageRank over the word co-occurrence graph: stopword-filtered "
+    "adjacent-token pairs, symmetrized with edge weight = co-occurrence "
+    "count, then a fixed 8-round damped power iteration; output is every "
+    "graph node's final rank plus its keyword position. The plan follows "
+    "the BPE/x43 corpus-vs-vocab split: the CORPUS-scale work is one "
+    "tokenize pass building the adjacency list (lead() over per-doc "
+    "positions — no extra exchange past the doc_id partitioning; "
+    "localCheckpointed once because the symmetrizing union consumes it "
+    "twice); everything iterated is VOCAB-sized (edges, per-node "
+    "out-weight, ranks), so the 8 rounds cost 8 joins + 8 aggregates on "
+    "tables whose size is independent of corpus bytes. Per-edge "
+    "contributions go through DECIMAL(28,18) before summing and each "
+    "round's ranks are rounded to 12dp, so every round is "
+    "aggregation-order-exact and bit-reproducible across engines — the "
+    "oracle unrolls the same 8 rounds as chained CTEs. The final keyword "
+    "ordering is a vocab-sized single-partition window (bounded by "
+    "construction). At 100 TB only the adjacency build scans the corpus; "
+    "the iteration cost is unchanged.",
+)
+def x92_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select("doc_id", F.posexplode(_tokens()).alias("pos", "term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*STOPWORDS))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.select(
+            F.col("term").alias("w1"), F.lead("term").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull() & (F.col("w1") != F.col("w2")))
+        .localCheckpoint(eager=False)  # corpus-scale; consumed twice below
+    )
+    edges = (
+        adj.union(adj.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wsum = edges.groupBy("w1").agg(F.sum("c").alias("wsum"))
+    g = (
+        edges.join(wsum, "w1")
+        .select(
+            "w1",
+            "w2",
+            (F.col("c").cast("double") / F.col("wsum").cast("double")).alias("f"),
+        )
+        .localCheckpoint(eager=False)  # vocab-sized; consumed every round
+    )
+    ranks = g.select(F.col("w1").alias("term")).distinct().withColumn(
+        "rank", F.lit(1.0)
+    )
+    for _ in range(TEXTRANK_ITERS):
+        ranks = (
+            g.join(ranks, g["w1"] == ranks["term"])
+            .groupBy(F.col("w2").alias("term"))
+            .agg(
+                F.round(
+                    F.lit(1.0 - TEXTRANK_DAMP)
+                    + F.lit(TEXTRANK_DAMP)
+                    * F.sum(
+                        (F.col("rank") * F.col("f")).cast("decimal(28,18)")
+                    ).cast("double"),
+                    12,
+                ).alias("rank")
+            )
+        )
+    kw = Window.orderBy(F.col("rank").desc(), F.col("term"))
+    return ranks.select(
+        "term", "rank", F.row_number().over(kw).cast("int").alias("kw_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X93: DoReMi-lite domain reweighting — multiplicative weights on excess loss
+# ---------------------------------------------------------------------------
+
+DOREMI_ROUNDS = 10
+DOREMI_ETA = 0.5
+
+
+def _doremi_oracle() -> str:
+    """Unrolled multiplicative-weights rounds as chained CTEs (constant round
+    count, so no recursion needed). Each round needs two scalars — the
+    weighted mean loss and the renormalizer — hence two aggregate CTEs plus
+    two cross joins per round; every sum goes through DECIMAL(28,18) so the
+    K-row aggregation is order-exact and rounds reproduce bit-for-bit."""
+    head = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+lm AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+doc_lp AS (
+  SELECT tok.doc_id,
+         round(CAST(SUM(CAST(ln(lm.tf / tot.t) AS DECIMAL(28,18))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_lp
+  FROM tok JOIN lm ON tok.term = lm.term CROSS JOIN tot
+  GROUP BY tok.doc_id
+),
+dom AS MATERIALIZED (
+  SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         round(CAST(SUM(CAST(-doc_lp.avg_lp AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS loss
+  FROM documents d JOIN doc_lp ON d.doc_id = doc_lp.doc_id
+  GROUP BY d.lang, d.source
+),
+k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM dom),
+w0 AS MATERIALIZED (SELECT lang, source, n_docs, loss, 1.0 / k.k AS w FROM dom CROSS JOIN k)"""
+    rounds = []
+    for t in range(DOREMI_ROUNDS):
+        rounds.append(f""",
+m{t} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(w * loss AS DECIMAL(28,18))) AS DOUBLE) AS mu FROM w{t}
+),
+u{t} AS MATERIALIZED (
+  SELECT lang, source, n_docs, loss,
+         w * (1.0 + {DOREMI_ETA} * greatest(loss - m{t}.mu, 0.0)) AS wr
+  FROM w{t} CROSS JOIN m{t}
+),
+z{t} AS MATERIALIZED (SELECT CAST(SUM(CAST(wr AS DECIMAL(28,18))) AS DOUBLE) AS z FROM u{t}),
+w{t + 1} AS MATERIALIZED (
+  SELECT lang, source, n_docs, loss, round(wr / z{t}.z, 12) AS w
+  FROM u{t} CROSS JOIN z{t}
+)""")
+    tail = f"""
+SELECT lang, source, n_docs, loss, w AS weight
+FROM w{DOREMI_ROUNDS}
+"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "x93_doremi_reweighting",
+    oracle=_doremi_oracle(),
+    doc="X93: DoReMi-shaped domain reweighting (Xie et al. 2023, public) — "
+    "x28's one-shot ratio upgraded to the genuinely ITERATIVE scheme: 10 "
+    "multiplicative-weights rounds that shift sampling weight toward "
+    "domains with loss above the current weighted mean (excess loss), "
+    "renormalizing each round; because the mean is weight-dependent the "
+    "rounds do not collapse analytically. The domain loss proxy is the "
+    "x20 unigram cross-entropy per (lang, source) cell. Scale split is "
+    "strict: the CORPUS-scale work is one tokenize pass + one broadcast "
+    "LM join producing the K-row domain table (K = #lang x #source, "
+    "independent of corpus bytes); the 10 rounds then run on K rows — "
+    "each round two 1-row aggregates cross-joined back (the weighted "
+    "mean and the renormalizer), with every K-row sum cast through "
+    "DECIMAL(28,18) so round t+1's weights are aggregation-order-exact "
+    "and both engines replay identical rounds (oracle = the same rounds "
+    "unrolled as chained CTEs; the linear 1+eta*excess update keeps the "
+    "recurrence transcendental-free, so doubles stay bit-identical). "
+    "Per-round frames are localCheckpointed: the mean/renormalizer each "
+    "reference the round's frame twice, which would otherwise double the "
+    "plan per round (2^10 subtree blowup). At 100 TB the loop cost is "
+    "unchanged — only the one corpus scan grows.",
+)
+def x93_doremi_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    doc_lp = (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(F.col("tf") / F.col("t")).cast("decimal(28,18)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_lp")
+        )
+    )
+    dom = (
+        d.select("doc_id", "lang", "source")
+        .join(doc_lp, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum((-F.col("avg_lp")).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("loss"),
+        )
+        .localCheckpoint(eager=False)  # K-row; everything below iterates on it
+    )
+    k = dom.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    w = dom.crossJoin(F.broadcast(k)).select(
+        "lang", "source", "n_docs", "loss", (F.lit(1.0) / F.col("k")).alias("w")
+    )
+    for _ in range(DOREMI_ROUNDS):
+        w = w.localCheckpoint(eager=False)  # referenced by mu AND the update
+        mu = w.agg(
+            F.sum((F.col("w") * F.col("loss")).cast("decimal(28,18)"))
+            .cast("double")
+            .alias("mu")
+        )
+        u = w.crossJoin(F.broadcast(mu)).select(
+            "lang",
+            "source",
+            "n_docs",
+            "loss",
+            (
+                F.col("w")
+                * (
+                    F.lit(1.0)
+                    + F.lit(DOREMI_ETA)
+                    * F.greatest(F.col("loss") - F.col("mu"), F.lit(0.0))
+                )
+            ).alias("wr"),
+        )
+        u = u.localCheckpoint(eager=False)  # referenced by z AND the division
+        z = u.agg(
+            F.sum(F.col("wr").cast("decimal(28,18)")).cast("double").alias("z")
+        )
+        w = u.crossJoin(F.broadcast(z)).select(
+            "lang",
+            "source",
+            "n_docs",
+            "loss",
+            F.round(F.col("wr") / F.col("z"), 12).alias("w"),
+        )
+    return w.select("lang", "source", "n_docs", "loss", F.col("w").alias("weight"))

@@ -503,3 +503,29 @@ def test_recursive_cte_plans_union_loop(spark, sf_dir):
     driver-side loop."""
     plan = simple_plan(_df("s73_recursive_cte", spark, sf_dir))
     assert "UnionLoop" in plan, plan[:900]
+
+
+def test_textrank_iterates_vocab_not_corpus(spark, sf_dir):
+    """x92: the corpus is tokenized once into the checkpointed adjacency
+    list — the 8 power-iteration rounds must join checkpoint scans, never
+    re-reading parquet."""
+    plan = simple_plan(_df("x92_textrank_keywords", spark, sf_dir))
+    assert "Scan parquet" not in plan, plan[:1200]
+
+
+def test_doremi_rounds_never_rescan_corpus(spark, sf_dir):
+    """x93: the K-row domain table is checkpointed before the 10
+    multiplicative-weights rounds; the final plan reads checkpoints only
+    (one parquet scan anywhere downstream would mean a round re-derived
+    the corpus aggregate)."""
+    plan = simple_plan(_df("x93_doremi_reweighting", spark, sf_dir))
+    assert "Scan parquet" not in plan, plan[:1200]
+
+
+def test_twonn_no_shuffle_join(spark, sf_dir):
+    """x94: the 2-NN kernel is partition-local against the closure matrix
+    and the per-point table is checkpointed — the only join left is the
+    1-row estimator broadcast back onto the rows."""
+    plan = simple_plan(_df("x94_twonn_intrinsic_dim", spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan[:900]
+    assert "Scan parquet" not in plan, plan[:900]
