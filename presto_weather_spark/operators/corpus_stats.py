@@ -549,3 +549,162 @@ def x88_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X97 — Heaps'-law vocabulary-growth fit (distributed prefix sums + OLS)
+# ---------------------------------------------------------------------------
+
+X97_BUCKET = 64  # doc_ids per prefix-sum bucket (the distribution knob)
+
+_X97_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _x97_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed prefix-sum stage of x97, pre-checkpoint — exposed so
+    tests/test_plans.py can assert the bucketed-window shape (the query's
+    own plan is truncated at the localCheckpoint below)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("term"))
+    per_doc = (
+        tok.withColumn("first_doc", first_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("term"))
+            ).alias("new_terms"),
+        )
+    )
+    # Two-level prefix sum: intra-bucket running totals + broadcast offsets
+    # of completed buckets — no global single-partition window over the
+    # doc-count spine.
+    bucket = (F.col("doc_id") / F.lit(X97_BUCKET)).cast("bigint")
+    intra_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = per_doc.withColumn("bucket", bucket).localCheckpoint(eager=False)
+    intra = per_doc.select(
+        "doc_id",
+        "bucket",
+        F.sum("n_tokens").over(intra_w).alias("i_tok"),
+        F.sum("new_terms").over(intra_w).alias("i_voc"),
+    )
+    off_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bucket-total table: spine/64 rows — tiny, single partition by design
+    offsets = (
+        per_doc.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("b_tok"), F.sum("new_terms").alias("b_voc"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("b_tok").over(off_w), F.lit(0)).alias("o_tok"),
+            F.coalesce(F.sum("b_voc").over(off_w), F.lit(0)).alias("o_voc"),
+        )
+    )
+    return intra.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("i_tok") + F.col("o_tok")).alias("cum_tokens"),
+        (F.col("i_voc") + F.col("o_voc")).alias("cum_vocab"),
+    )
+
+
+
+@register(
+    "x97_heaps_law_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_X97_TOKS}) AS term FROM documents
+),
+attributed AS (
+  SELECT doc_id, term,
+         MIN(doc_id) OVER (PARTITION BY term) AS first_doc
+  FROM tok
+),
+newv AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT CASE WHEN first_doc = doc_id THEN term END) AS new_terms
+  FROM attributed GROUP BY doc_id
+),
+cum AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         SUM(new_terms) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM newv
+),
+pts AS (
+  SELECT doc_id, cum_tokens, cum_vocab,
+         round(ln(cum_tokens), 12) AS x, round(ln(cum_vocab), 12) AS y
+  FROM cum
+),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,18))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,18))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,18))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT p.doc_id, CAST(p.cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(p.cum_vocab AS BIGINT) AS cum_vocab,
+       round((f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx), 6)
+           AS heaps_beta,
+       round(exp((f.sy - (f.n * f.sxy - f.sx * f.sy)
+                          / (f.n * f.sxx - f.sx * f.sx) * f.sx) / f.n), 6)
+           AS heaps_k
+FROM pts p CROSS JOIN fit f
+""",
+    doc="X97: Heaps'-law vocabulary-growth fit — V(N) = K * N^beta over "
+    "the corpus in doc_id ingestion order: per document the cumulative "
+    "token count and cumulative distinct vocabulary, plus the log-log "
+    "OLS fit (K, beta). beta well below ~0.8 means vocabulary growth is "
+    "saturating — the 'is more crawl still adding new language' "
+    "companion to x82's novelty curve. Plan: one tokenize pass; "
+    "first-occurrence attribution via MIN(doc_id) OVER (PARTITION BY "
+    "term) (x82's window idiom — the term stream is consumed once); "
+    "then the cumulative sums are a DISTRIBUTED TWO-LEVEL PREFIX SUM — "
+    "per-bucket running sums (Window partitioned by doc_id DIV 64, so "
+    "no single-partition global window over the doc-count spine) plus "
+    "a broadcast prefix of the bucket totals. At 100 TB the spine is "
+    "~1e9 rows: the bucketed form keeps every window partition bounded "
+    "while the bucket-total table (spine/64 rows) prefix-sums cheaply; "
+    "the oracle uses the plain global window — result-identical. The "
+    "OLS moment sums go through 12dp rounding + DECIMAL(28,18) (the "
+    "x20 convention) so the fit is aggregation-order-exact.",
+)
+def x97_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cum = _x97_cumulative(spark, sf_dir)
+    pts = cum.select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(F.log("cum_tokens"), 12).alias("x"),
+        F.round(F.log("cum_vocab"), 12).alias("y"),
+    ).localCheckpoint(eager=False)  # consumed by the fit AND the final join
+    dec = lambda c: F.sum(c.cast("decimal(28,18)")).cast("double")  # noqa: E731
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.round(F.col("x") * F.col("y"), 12)).alias("sxy"),
+        dec(F.round(F.col("x") * F.col("x"), 12)).alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        ).alias("heaps_k"),
+    )

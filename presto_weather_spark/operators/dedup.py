@@ -1470,3 +1470,112 @@ def x81_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X96: edit-distance verified near-duplicate pairs (block -> verify)
+# ---------------------------------------------------------------------------
+
+X96_GRAM_K = 5  # shingle width for blocking (longer = more selective)
+X96_DF_CAP = 8  # grams rarer than this participate in candidate generation
+X96_MIN_SHARED = 3  # candidate pairs must share >= this many capped grams
+X96_DUP_SIM = 0.8  # normalized-similarity threshold for the dup verdict
+
+
+@register(
+    "x96_editdist_verified_pairs",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INT) - {X96_GRAM_K - 1}, 1) + 1),
+           i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), i, i + {X96_GRAM_K - 1}), ' ')))) AS gram
+  FROM documents
+),
+df AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) BETWEEN 2 AND {X96_DF_CAP}
+),
+capped AS (SELECT g.doc_id, g.gram FROM grams g JOIN df USING (gram)),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+  HAVING count(*) >= {X96_MIN_SHARED}
+)
+SELECT c.doc_a, c.doc_b, CAST(c.n_shared AS BIGINT) AS n_shared,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_dist,
+       round(1.0 - levenshtein(ta.text, tb.text) * 1.0
+                   / greatest(strlen(ta.text), strlen(tb.text), 1), 6) AS sim,
+       (1.0 - levenshtein(ta.text, tb.text) * 1.0
+              / greatest(strlen(ta.text), strlen(tb.text), 1)) >= {X96_DUP_SIM}
+           AS is_dup
+FROM cand c
+JOIN documents ta ON ta.doc_id = c.doc_a
+JOIN documents tb ON tb.doc_id = c.doc_b
+""",
+    doc="X96: edit-distance VERIFIED near-duplicate pairs — the "
+    "block-then-verify pipeline production dedup runs when MinHash "
+    "candidates need a precise verdict (Levenshtein is the exact "
+    "string-level measure signature methods approximate). Stage 1 "
+    "(block): distinct 5-token shingles per doc, document-frequency "
+    "capped to [2, 8] — a gram shared by >8 docs is boilerplate and "
+    "generates quadratic fan-out, so it is excluded, bounding the "
+    "inverted-index self-join at O(sum df^2) like x02b; candidate "
+    "pairs must share >= 3 capped grams, which cut the sf0.1 pair "
+    "space from ~1.0M (single shared 3-gram) to ~256. Stage 2 "
+    "(verify): exact Levenshtein over the candidate pairs only — "
+    "text is joined back onto the surviving (doc_a, doc_b) keys "
+    "AFTER blocking (wide columns never enter the self-join), and "
+    "the O(len^2) DP cost is paid per candidate, never per corpus "
+    "pair. sim = 1 - lev/max(len); is_dup at 0.8. At 100 TB every "
+    "stage is the same shape: one gram shuffle, one bucketed "
+    "self-join on capped grams, one doc_id join to fetch two texts "
+    "per surviving pair.",
+)
+def x96_editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = _tokens()
+    n = F.size(toks)
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (X96_GRAM_K - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, X96_GRAM_K)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    grams = grams.localCheckpoint(eager=False)  # df counts + both join sides
+    df_ok = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= X96_DF_CAP))
+        .select("gram")
+    )
+    capped = grams.join(F.broadcast(df_ok), "gram")
+    a = capped.select("gram", F.col("doc_id").alias("doc_a"))
+    b = capped.select("gram", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= X96_MIN_SHARED)
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    sim = F.lit(1.0) - lev / F.greatest(
+        F.length("text_a"), F.length("text_b"), F.lit(1)
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            lev.cast("bigint").alias("lev_dist"),
+            F.round(sim, 6).alias("sim"),
+            (sim >= X96_DUP_SIM).alias("is_dup"),
+        )
+    )

@@ -1451,3 +1451,135 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d_hat")
     )
     return mus.crossJoin(F.broadcast(est))
+
+
+# ---------------------------------------------------------------------------
+# X98: MMR diverse top-k selection — greedy maximal marginal relevance
+# ---------------------------------------------------------------------------
+
+MMR_K = 12  # rounds of greedy selection
+MMR_LAMBDA = 0.7  # relevance-vs-diversity trade-off
+
+
+@register(
+    "x98_mmr_diverse_topk",
+    # Greedy argmax whose objective depends on every previously selected
+    # vector -> genuinely iterative, not SQL-expressible per the Section 2.3
+    # contract; pinned instead by tests/test_properties.py::
+    # test_mmr_matches_local_greedy (exact numpy greedy replay) and the
+    # first-pick/diversity properties in the same module.
+    oracle=None,
+    doc="X98: maximal-marginal-relevance diverse top-k (Carbonell & "
+    "Goldstein 1998, public) — the dedup-aware selection rule curation "
+    "uses to pick a small REPRESENTATIVE subset: greedily take the "
+    "vector maximizing lambda*rel(v) - (1-lambda)*max_cos(v, selected), "
+    "where rel is cosine to the corpus mean direction. Returns one row "
+    "per selection round with the winning vec_id, its relevance, the "
+    "redundancy penalty at pick time, and the MMR score. Execution is "
+    "the x15 fixpoint idiom: the normalized feature table is "
+    "checkpointed ONCE; each of the K rounds broadcasts the selected "
+    "matrix in the kernel closure, scores the corpus partition-locally "
+    "with one BLAS matmul per Arrow batch, pre-reduces to the LOCAL "
+    "argmax per batch (so only n_partitions rows — each carrying its "
+    "unit vector, sparing a second fetch action — reach the final 1-row "
+    "TakeOrdered; tie-break score desc, vec_id asc on 6dp-rounded "
+    "scores) — K tiny driver actions, no shuffle of the corpus, no "
+    "growing lineage. At 100 TB each round is one scan of the cached "
+    "normalized table; K bounds total work at K scans.",
+)
+def x98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+
+    # Normalize once (unit vectors make cosine a dot product), checkpoint.
+    def normalize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "unit": list(m / nrm[:, None])}
+            )
+
+    unit = emb.select("vec_id", "embedding").mapInPandas(
+        normalize, "vec_id bigint, unit array<double>"
+    ).localCheckpoint()  # consumed K+1 times across the greedy rounds
+
+    # Corpus mean direction = the relevance anchor (1-row aggregate).
+    dim = len(unit.select("unit").first()["unit"])
+    mean_row = unit.select(
+        *[F.sum(F.col("unit")[i]).alias(f"s{i}") for i in range(dim)],
+    ).first()
+    anchor = np.asarray([mean_row[f"s{i}"] for i in range(dim)], dtype=np.float64)
+    anchor /= max(np.linalg.norm(anchor), 1e-12)
+
+    selected_ids: list[int] = []
+    selected_mat = np.zeros((0, dim), dtype=np.float64)
+    out_rows = []
+    for rank in range(1, MMR_K + 1):
+        sel = selected_mat  # ride the closure (bounded: K x dim)
+        sel_ids = tuple(selected_ids)
+
+        def score(batches, _sel=sel, _ids=sel_ids):
+            # Emit only the local argmax per Arrow batch (with its unit
+            # vector): the driver-side reduce sees n_partitions rows, not
+            # the corpus, and the winner's vector needs no second action.
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["unit"].to_numpy())
+                rel = m @ anchor
+                red = (
+                    (m @ _sel.T).max(axis=1)
+                    if len(_sel)
+                    else np.zeros(len(m))
+                )
+                mmr = np.round(
+                    MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * red, 6
+                )
+                vec_ids = pdf["vec_id"].to_numpy()
+                keep = ~np.isin(vec_ids, _ids)
+                if not keep.any():
+                    continue
+                order = np.lexsort((vec_ids[keep], -mmr[keep]))
+                i = int(np.flatnonzero(keep)[order[0]])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": [vec_ids[i]],
+                        "relevance": [round(float(rel[i]), 6)],
+                        "redundancy": [round(float(red[i]), 6)],
+                        "mmr_score": [float(mmr[i])],
+                        "unit": [m[i]],
+                    }
+                )
+
+        win = (
+            unit.mapInPandas(
+                score,
+                "vec_id bigint, relevance double, redundancy double,"
+                " mmr_score double, unit array<double>",
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .first()
+        )
+        selected_ids.append(win["vec_id"])
+        picked_unit = np.asarray(win["unit"], dtype=np.float64)
+        selected_mat = np.vstack([selected_mat, picked_unit[None, :]])
+        out_rows.append(
+            (
+                rank,
+                int(win["vec_id"]),
+                float(win["relevance"]),
+                float(win["redundancy"]),
+                float(win["mmr_score"]),
+            )
+        )
+    return emb.sparkSession.createDataFrame(
+        out_rows, "rank int, vec_id bigint, relevance double,"
+        " redundancy double, mmr_score double"
+    )

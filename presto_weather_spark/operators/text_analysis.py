@@ -3928,3 +3928,69 @@ def x93_doremi_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("wr") / F.col("z"), 12).alias("w"),
         )
     return w.select("lang", "source", "n_docs", "loss", F.col("w").alias("weight"))
+
+
+# ---------------------------------------------------------------------------
+# X95: temperature-scaled multinomial sampling weights (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+SAMPLING_ALPHA = 0.3  # the XLM-R / mT5 default smoothing exponent
+
+
+@register(
+    "x95_temperature_sampling",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(n_docs) AS total FROM counts),
+p AS (
+  SELECT lang, source, n_docs, n_docs * 1.0 / total AS share
+  FROM counts CROSS JOIN tot
+),
+z AS (
+  SELECT CAST(SUM(CAST(round(pow(share, {SAMPLING_ALPHA}), 12)
+                       AS DECIMAL(28,18))) AS DOUBLE) AS z
+  FROM p
+)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(share, 6) AS corpus_share,
+       round(round(pow(share, {SAMPLING_ALPHA}), 12) / z, 6) AS sampled_share,
+       round(round(pow(share, {SAMPLING_ALPHA}), 12) / z / share, 6) AS boost
+FROM p CROSS JOIN z
+""",
+    doc="X95: temperature-scaled multinomial sampling weights — the "
+    "alpha-smoothing scheme multilingual pretraining uses to rebalance "
+    "domain mixtures (XLM-R / mT5, public): q_i proportional to "
+    "p_i^alpha with alpha=0.3, which upsamples low-resource "
+    "(lang, source) cells and downsamples the head without inverting "
+    "the order. Complements x28 (explicit target mixture) with the "
+    "parametric temperature family. Output per cell: raw corpus share, "
+    "temperature-scaled sampled share, and the boost multiplier a "
+    "sampler applies. Scale: one map-side-combined count shuffle on the "
+    "tiny (lang, source) key; everything after runs on K rows with "
+    "broadcast scalars. pow() is rounded to 12dp before the "
+    "DECIMAL(28,18) normalization sum so libm-vs-JVM ulp differences "
+    "cannot leak into the aggregate (the x20 ln convention).",
+)
+def x95_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    p = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("share"),
+    )
+    p = p.localCheckpoint(eager=False)  # consumed by z and the final select
+    q_raw = F.round(F.pow(F.col("share"), F.lit(SAMPLING_ALPHA)), 12)
+    z = p.agg(F.sum(q_raw.cast("decimal(28,18)")).cast("double").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.col("share"), 6).alias("corpus_share"),
+        F.round(q_raw / F.col("z"), 6).alias("sampled_share"),
+        F.round(q_raw / F.col("z") / F.col("share"), 6).alias("boost"),
+    )

@@ -529,3 +529,24 @@ def test_twonn_no_shuffle_join(spark, sf_dir):
     plan = simple_plan(_df("x94_twonn_intrinsic_dim", spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan[:900]
     assert "Scan parquet" not in plan, plan[:900]
+
+
+def test_editdist_pairs_no_cartesian_and_wide_text_stays_out(spark, sf_dir):
+    """x96: candidate generation must be the bucketed gram self-join (no
+    cartesian/broadcast-nested-loop anywhere), and the wide text column
+    must not enter it — text is joined back per surviving pair only."""
+    plan = simple_plan(_df("x96_editdist_verified_pairs", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+
+
+def test_heaps_cumulative_window_is_bucketed(spark, sf_dir):
+    """x97: the doc-spine cumulative runs as the two-level prefix sum —
+    the spine-sized Window must be partitioned by bucket (the only
+    unpartitioned window is over the tiny bucket-totals table). Asserted
+    on the pre-checkpoint cumulative stage (the registered query's plan
+    is truncated at its localCheckpoint)."""
+    from presto_weather_spark.operators.corpus_stats import _x97_cumulative
+
+    plan = simple_plan(_x97_cumulative(spark, sf_dir))
+    assert "windowspecdefinition(bucket#" in plan, plan[:1500]

@@ -578,3 +578,61 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
         n = len(members)
         assert all(m["cluster_size"] == n for m in members), cid
         assert abs(sum(m["sample_weight"] for m in members) - 1.0) < n * 1e-6
+
+
+def test_mmr_matches_local_greedy(spark, sf_dir):
+    # x98: the distributed greedy MMR must replay EXACTLY against a local
+    # numpy implementation of the same objective (lambda*rel -
+    # (1-lambda)*max_cos(selected), 6dp-rounded scores, (score desc,
+    # vec_id asc) tie-break) — pinning both the selection order and the
+    # reported per-pick scores.
+    import numpy as np
+
+    from presto_weather_spark.operators.similarity import MMR_K, MMR_LAMBDA
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    got = (
+        all_queries()["x98_mmr_diverse_topk"].fn(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    unit = m / nrm[:, None]
+    anchor = unit.sum(axis=0)
+    anchor /= max(np.linalg.norm(anchor), 1e-12)
+
+    picked: list[int] = []
+    sel = np.zeros((0, unit.shape[1]))
+    for rank in range(1, MMR_K + 1):
+        rel = unit @ anchor
+        red = (unit @ sel.T).max(axis=1) if len(sel) else np.zeros(len(unit))
+        score = np.round(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * red, 6)
+        mask = ~np.isin(ids, picked)
+        # argmax with (score desc, vec_id asc): lexsort on (-score, id)
+        order = np.lexsort((ids[mask], -score[mask]))
+        win_id = int(ids[mask][order[0]])
+        g = got[rank - 1]
+        assert g["vec_id"] == win_id, (rank, g["vec_id"], win_id)
+        i = int(np.flatnonzero(ids == win_id)[0])
+        assert abs(g["mmr_score"] - score[mask][order[0]]) < 1e-9
+        assert abs(g["relevance"] - round(float(rel[i]), 6)) < 1e-9
+        picked.append(win_id)
+        sel = np.vstack([sel, unit[i][None, :]])
+
+    # Diversity property: the MMR set's mean pairwise cosine is strictly
+    # below the plain relevance-top-K set's (the whole point of the op).
+    def mean_pair_cos(mat):
+        g = mat @ mat.T
+        iu = np.triu_indices(len(mat), k=1)
+        return float(g[iu].mean())
+
+    topk_rel = np.argsort(-(unit @ anchor))[:MMR_K]
+    sel_idx = [int(np.flatnonzero(ids == p)[0]) for p in picked]
+    assert mean_pair_cos(unit[sel_idx]) < mean_pair_cos(unit[topk_rel])
