@@ -591,3 +591,42 @@ def s44_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_good, n_corrupt, good_amount)],
         "n_good bigint, n_corrupt bigint, good_amount decimal(18,2)",
     )
+
+
+@register(
+    "s01d_jsonl_roundtrip",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_custkey < 3000
+""",
+    doc="S1/S2: JSON Lines source + sink — project a customer slice, "
+    "write it as newline-delimited JSON, read it back with an explicit "
+    "schema (no inference scan — at scale schema inference is a full "
+    "extra pass) and return the re-read frame. Doubles survive because "
+    "Spark emits the shortest round-trippable decimal form; the "
+    "round(.., 2) happens BEFORE the write so the JSON carries exact "
+    "2dp values. JSONL is splittable (one record per line) so reads "
+    "parallelize like CSV; parquet remains the storage format (s02) — "
+    "this is the interchange/ingest path.",
+)
+def s01d_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3000)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+    out = os.path.join(
+        scratch_root(),
+        "pws_jsonl_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    c.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_mktsegment string, acctbal double"
+    ).json(out)

@@ -3772,3 +3772,112 @@ WITH RECURSIVE chain AS (
 SELECT c_custkey, root_key, depth, path FROM chain
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# X100: mergeable equi-depth quantile sketch (KLL-style two-level compactor)
+# ---------------------------------------------------------------------------
+
+QSKETCH_M = 64  # samples per summary (the accuracy knob: rank err ~ 2/m)
+QSKETCH_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register(
+    "x100_quantile_sketch",
+    # Sketch estimates are partitioning-dependent by construction ->
+    # rows-only; tests/test_properties.py::test_quantile_sketch_rank_error
+    # pins the rank-error bound against the exact empirical CDF and
+    # determinism under a fixed partitioning.
+    oracle=None,
+    doc="X100: distributed mergeable quantile sketch over events.value "
+    "per event_type — the streaming/telemetry building block exact "
+    "percentiles (s05f) can't provide at scale because they buffer "
+    "whole groups. Two-level equi-depth compactor (the KLL idea, "
+    "public, simplified to one compaction level each way): every "
+    "Arrow batch is compacted to m=64 weighted rank-spaced samples "
+    "(memory per task is O(batch + m), never O(partition)); batch "
+    "summaries merge by weighted rank into one m-sample partition "
+    "summary; the per-type shuffle then carries n_partitions x m "
+    "rows — independent of row count — and a final weighted-rank "
+    "merge answers q in {0.1..0.99}. Rank error is bounded by ~2/m "
+    "(one 1/m per compaction level), pinned at 0.04 by the property "
+    "test. Everything numeric is order-deterministic: samples are "
+    "sorted values at fixed weighted ranks, no floating accumulation.",
+)
+def x100_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    e = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "event_id"
+    ).select("event_type", "value")
+
+    m = QSKETCH_M
+
+    def _compact(values: "np.ndarray", weights: "np.ndarray") -> tuple:
+        """Compact a weighted sorted sample set to m rank-spaced samples."""
+        order = np.argsort(values, kind="stable")
+        v, w = values[order], weights[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        # sample at the m mid-ranks (i+0.5)/m * total
+        targets = (np.arange(m) + 0.5) / m * total
+        idx = np.searchsorted(cw, targets, side="left")
+        idx = np.minimum(idx, len(v) - 1)
+        return v[idx], np.full(m, total / m)
+
+    def summarize(batches):
+        acc_v: list = []
+        acc_w: list = []
+        etypes: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for et, grp in pdf.groupby("event_type", sort=False):
+                vals = grp["value"].to_numpy(dtype=np.float64)
+                if len(vals) == 0:
+                    continue
+                sv, sw = _compact(vals, np.ones(len(vals)))
+                etypes.setdefault(et, []).append((sv, sw))
+        out_t, out_v, out_w = [], [], []
+        for et, summaries in etypes.items():
+            vs = np.concatenate([s[0] for s in summaries])
+            ws = np.concatenate([s[1] for s in summaries])
+            fv, fw = _compact(vs, ws)
+            out_t.extend([et] * m)
+            out_v.extend(fv)
+            out_w.extend(fw)
+        if out_t:
+            yield pd.DataFrame(
+                {"event_type": out_t, "v": out_v, "w": out_w}
+            )
+
+    summaries = e.mapInPandas(
+        summarize, "event_type string, v double, w double"
+    )
+
+    qs = list(QSKETCH_QS)
+
+    def merge(key, pdf):
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        w = pdf["w"].to_numpy(dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        idx = np.searchsorted(cw, np.asarray(qs) * total, side="left")
+        idx = np.minimum(idx, len(v) - 1)
+        return pd.DataFrame(
+            {
+                "event_type": key[0],
+                "q": qs,
+                "est_value": np.round(v[idx], 6),
+                "n_summary_rows": len(pdf),
+            }
+        )
+
+    return summaries.groupBy("event_type").applyInPandas(
+        merge,
+        "event_type string, q double, est_value double, n_summary_rows long",
+    )

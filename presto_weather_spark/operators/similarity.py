@@ -1583,3 +1583,149 @@ def x98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows, "rank int, vec_id bigint, relevance double,"
         " redundancy double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# X99: matryoshka truncation retrieval eval — top-k overlap at reduced dims
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (32, 16)  # truncated prefix lengths evaluated against full (64)
+
+
+@register(
+    "x99_matryoshka_overlap",
+    oracle=f"""
+WITH dims(trunc_dim) AS (VALUES (64), (32), (16)),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding FROM embeddings),
+sims AS (
+  SELECT q.query_id, d.trunc_dim, c.vec_id AS neighbor_id,
+         {_SQL_DOT.format(a='list_slice(q.qv, 1, d.trunc_dim)', b='list_slice(c.embedding, 1, d.trunc_dim)')} /
+         ({_SQL_NORM.format(v='list_slice(q.qv, 1, d.trunc_dim)')} *
+          {_SQL_NORM.format(v='list_slice(c.embedding, 1, d.trunc_dim)')}) AS sim
+  FROM q CROSS JOIN dims d CROSS JOIN c
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, trunc_dim, neighbor_id,
+         row_number() OVER (PARTITION BY query_id, trunc_dim
+                            ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+  FROM sims
+),
+topk AS (SELECT * FROM ranked WHERE rn <= {TOP_K}),
+full_set AS (SELECT query_id, neighbor_id FROM topk WHERE trunc_dim = 64)
+SELECT t.query_id, t.trunc_dim,
+       CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap_at_k,
+       round(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM topk t
+LEFT JOIN full_set f
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+WHERE t.trunc_dim <> 64
+GROUP BY t.query_id, t.trunc_dim
+""",
+    doc="X99: matryoshka-truncation retrieval eval (Kusupati et al. 2022, "
+    "public) — the embedding-pipeline question 'how much cheaper can "
+    "retrieval get': for each query, exact top-k under the FULL 64-dim "
+    "cosine vs top-k under the 32- and 16-dim PREFIX cosine, reporting "
+    "per-(query, dim) overlap@k / recall@k. High recall at 16 dims "
+    "licenses a 4x cheaper ANN index. One mapInPandas pass scores ALL "
+    "dims at once (three BLAS matmuls per Arrow batch against prefix "
+    "slices of the closure-borne query matrix) and pre-reduces to "
+    "per-partition top-k per (query, dim) — the final window shuffle "
+    "carries partitions x queries x dims x k rows, never the corpus "
+    "(x03's exact-top-k-of-local-top-ks argument, per dim). The "
+    "overlap join runs on queries x dims x k rows: driver-scale. Ranks "
+    "tie-break on (6dp-rounded sim desc, neighbor_id) in both engines.",
+)
+def x99_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded query set rides the closure (x03 convention)
+    )
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    full_dim = qmat.shape[1]
+    all_dims = (full_dim,) + MRL_DIMS
+
+    def score(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            frames = []
+            for L in all_dims:
+                qm, cm = qmat[:, :L], mat[:, :L]
+                sims = np.round(
+                    (cm @ qm.T)
+                    / (
+                        np.sqrt((cm * cm).sum(axis=1))[:, None]
+                        * np.sqrt((qm * qm).sum(axis=1))[None, :]
+                    ),
+                    6,
+                )
+                n = len(pdf)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.tile(qids, n),
+                            "trunc_dim": L,
+                            "neighbor_id": np.repeat(
+                                pdf["neighbor_id"].to_numpy(), len(qids)
+                            ),
+                            "sim": sims.ravel(),
+                        }
+                    )
+                )
+            cand = pd.concat(frames)
+            cand = cand[cand["query_id"] != cand["neighbor_id"]]
+            best = cand if best is None else pd.concat([best, cand])
+            best = (
+                best.sort_values(
+                    ["query_id", "trunc_dim", "sim", "neighbor_id"],
+                    ascending=[True, True, False, True],
+                )
+                .groupby(["query_id", "trunc_dim"], sort=False)
+                .head(TOP_K)
+            )
+        if best is not None and len(best):
+            yield best
+
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    ).mapInPandas(
+        score, "query_id bigint, trunc_dim int, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("query_id", "trunc_dim").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "trunc_dim", "neighbor_id")
+        .localCheckpoint(eager=False)  # full set + truncated sets both read it
+    )
+    full_set = topk.filter(F.col("trunc_dim") == full_dim).select(
+        F.col("query_id").alias("f_query_id"),
+        F.col("neighbor_id").alias("full_neighbor"),
+    )
+    hit = F.when(F.col("full_neighbor").isNotNull(), 1).otherwise(0)
+    return (
+        topk.filter(F.col("trunc_dim") != full_dim)
+        .join(
+            F.broadcast(full_set),
+            (F.col("query_id") == F.col("f_query_id"))
+            & (F.col("neighbor_id") == F.col("full_neighbor")),
+            "left",
+        )
+        .groupBy("query_id", "trunc_dim")
+        .agg(
+            F.sum(hit).cast("bigint").alias("overlap_at_k"),
+            F.round(F.sum(hit) / F.lit(TOP_K), 6).alias("recall_at_k"),
+        )
+    )

@@ -636,3 +636,36 @@ def test_mmr_matches_local_greedy(spark, sf_dir):
     topk_rel = np.argsort(-(unit @ anchor))[:MMR_K]
     sel_idx = [int(np.flatnonzero(ids == p)[0]) for p in picked]
     assert mean_pair_cos(unit[sel_idx]) < mean_pair_cos(unit[topk_rel])
+
+
+def test_quantile_sketch_rank_error(spark, sf_dir):
+    # x100: every estimated quantile must land within the sketch's rank
+    # error bound of the exact empirical CDF (two compaction levels at
+    # m=64 -> bound ~2/64, asserted at 0.04), and the result must be
+    # deterministic for a fixed partitioning.
+    import numpy as np
+
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    fn = all_queries()["x100_quantile_sketch"].fn
+    got = fn(spark, sf_dir).collect()
+    assert got, "sketch returned no rows"
+    exact = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        exact.setdefault(r["event_type"], []).append(r["value"])
+    for et in exact:
+        exact[et] = np.sort(np.asarray(exact[et], dtype=np.float64))
+    for r in got:
+        vals = exact[r["event_type"]]
+        # empirical CDF of the estimate (right-continuous)
+        rank = np.searchsorted(vals, r["est_value"], side="right") / len(vals)
+        assert abs(rank - r["q"]) <= 0.04, (
+            r["event_type"], r["q"], r["est_value"], rank
+        )
+    again = {(r["event_type"], r["q"]): r["est_value"]
+             for r in fn(spark, sf_dir).collect()}
+    for r in got:
+        assert again[(r["event_type"], r["q"])] == r["est_value"]

@@ -25,12 +25,12 @@ def _section2() -> str:
 
 def _declared_ids(s2: str) -> set[str]:
     """Backticked registry prefixes declared in §2, ranges expanded."""
-    ids = set(re.findall(r"`([rsx]\d{2}[a-z]?)`", s2))
+    ids = set(re.findall(r"`([rsx]\d{2,3}[a-z]?)`", s2))
     for a, b in re.findall(
-        r"`([rsx]\d{2}[a-z]?)`\s*[-–]\s*`([rsx]\d{2}[a-z]?)`", s2
+        r"`([rsx]\d{2,3}[a-z]?)`\s*[-–]\s*`([rsx]\d{2,3}[a-z]?)`", s2
     ):
-        ma = re.match(r"([rsx])(\d{2})([a-z]?)", a)
-        mb = re.match(r"([rsx])(\d{2})([a-z]?)", b)
+        ma = re.match(r"([rsx])(\d{2,3})([a-z]?)", a)
+        mb = re.match(r"([rsx])(\d{2,3})([a-z]?)", b)
         if ma.group(1) != mb.group(1):
             continue
         if ma.group(2) == mb.group(2) and mb.group(3):  # letter range s05-s05m
@@ -44,8 +44,8 @@ def _declared_ids(s2: str) -> set[str]:
 
 def _declared_families(s2: str) -> set[str]:
     """Family IDs (R7 / S4 / X2) declared in §2, ranges expanded."""
-    fams = set(re.findall(r"\b([RSX]\d{1,2})\b", s2))
-    for pre, a, b in re.findall(r"\b([RSX])(\d{1,2})\s*[-–]\s*[RSX]?(\d{1,2})\b", s2):
+    fams = set(re.findall(r"\b([RSX]\d{1,3})\b", s2))
+    for pre, a, b in re.findall(r"\b([RSX])(\d{1,3})\s*[-–]\s*[RSX]?(\d{1,3})\b", s2):
         for k in range(int(a), int(b) + 1):
             fams.add(f"{pre}{k}")
     return fams
