@@ -1579,3 +1579,119 @@ def x96_editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sim >= X96_DUP_SIM).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X102: exact duplicated-span extraction (gaps-and-islands over dup windows)
+# ---------------------------------------------------------------------------
+
+X102_W = 8  # tokens per window (the exact-substring granularity)
+
+
+@register(
+    "x102_dup_span_extraction",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ts, i, i + {X102_W - 1}), ' ') AS gram
+  FROM tok, unnest(generate_series(1, len(ts) - {X102_W - 1})) AS u(i)
+  WHERE len(ts) >= {X102_W}
+),
+dup AS (
+  SELECT gram FROM win GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.pos,
+         CASE WHEN w.pos - lag(w.pos) OVER (PARTITION BY w.doc_id
+                                            ORDER BY w.pos) <= {X102_W}
+              THEN 0 ELSE 1 END AS new_island
+  FROM win w JOIN dup USING (gram)
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM hits
+)
+SELECT doc_id, CAST(island_id AS BIGINT) AS span_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {X102_W - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {X102_W} - MIN(pos) AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM islands
+GROUP BY doc_id, island_id
+""",
+    doc="X102: exact duplicated-SPAN extraction — the actionable form of "
+    "exact-substring dedup (Lee et al. 2022 'Deduplicating Training "
+    "Data', public): not just HOW MUCH of a document is duplicated "
+    "elsewhere (x84's mass accounting) but WHERE — maximal contiguous "
+    "token spans every one of whose 8-token windows also occurs in "
+    "another document, as (span_start, span_end) coordinates a "
+    "curation pipeline can cut. Overlapping/adjacent duplicated "
+    "windows merge via gaps-and-islands: a window starts a new island "
+    "iff its position is more than W tokens after the previous "
+    "duplicated position (else the spans [pos, pos+W-1] touch). Plan: "
+    "one posexplode window pass (positions ride along — no second "
+    "tokenize), one gram-keyed exchange for the >= 2-distinct-docs "
+    "window-frequency table, one join back, then a doc_id-partitioned "
+    "islands window (positions already co-partitioned after the "
+    "join's doc-side shuffle). Integer-only arithmetic end to end — "
+    "no rounding convention needed. At 100 TB attribute by "
+    "xxhash64(gram) instead of the string to cut exchange bytes ~W x "
+    "(kept as strings for oracle exactness, x82's documented trade).",
+)
+def x102_dup_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = _tokens()
+    n = F.size(toks)
+    wins = (
+        d.filter(n >= X102_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (X102_W - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, X102_W)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    wins = wins.localCheckpoint(eager=False)  # dup table + the hits join
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = wins.join(dup, "gram").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    new_island = F.when(
+        F.col("pos") - F.lag("pos").over(w_doc) <= X102_W, 0
+    ).otherwise(1)
+    islands = hits.withColumn("new_island", new_island).withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "island_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (X102_W - 1)).alias("span_end"),
+        (F.max("pos") + X102_W - F.min("pos")).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    ).select(
+        "doc_id",
+        F.col("island_id").alias("span_id"),
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_dup_windows",
+    )

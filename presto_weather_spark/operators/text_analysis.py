@@ -3994,3 +3994,113 @@ def x95_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q_raw / F.col("z"), 6).alias("sampled_share"),
         F.round(q_raw / F.col("z") / F.col("share"), 6).alias("boost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X101: interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard fixed absolute discount
+
+
+@register(
+    "x101_kneser_ney_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term,
+           generate_subscripts({_SQL_TOKENS}, 1) AS pos
+    FROM documents
+  ) WHERE term <> ''
+),
+big AS (
+  SELECT doc_id, term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2),
+ug AS (SELECT w1, CAST(SUM(c12) AS DOUBLE) AS c1,
+              CAST(COUNT(*) AS DOUBLE) AS n_follow
+       FROM bg GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n_precede FROM bg GROUP BY w2),
+types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bg)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(ln(
+                 greatest(bg.c12 - {KN_DISCOUNT}, 0) / ug.c1
+                 + ({KN_DISCOUNT} * ug.n_follow / ug.c1)
+                   * (cont.n_precede / types.n_types)
+             ) AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM big
+JOIN bg ON big.w1 = bg.w1 AND big.w2 = bg.w2
+JOIN ug ON big.w1 = ug.w1
+JOIN cont ON big.w2 = cont.w2
+CROSS JOIN types
+WHERE big.w2 IS NOT NULL
+GROUP BY big.doc_id
+""",
+    doc="X101: interpolated Kneser-Ney bigram document scoring (Kneser & "
+    "Ney 1995 / Chen & Goodman 1998, public) — the principled LM gate "
+    "x39's add-alpha approximates: P(w2|w1) = max(c12 - D, 0)/c1 + "
+    "(D * N1+(w1,.)/c1) * N1+(.,w2)/|bigram types|, D = 0.75. The "
+    "continuation probability (how many CONTEXTS a word follows) is "
+    "what makes KN the standard n-gram smoother — frequent-but-"
+    "context-bound words (e.g. the second half of a fixed collocation) "
+    "stop inflating scores. Plan shape is x39's: bigrams form scan-side "
+    "via lead() on the doc-partitioned token stream (no extra "
+    "exchange); the bigram table aggregates once and derives BOTH "
+    "follower and continuation tables (vocab-sized, broadcast back); "
+    "per-bigram ln() through DECIMAL(28,18) keeps the mean "
+    "aggregation-order-exact. At 100 TB the LM tables prune to "
+    "min-count >= t before the broadcast, same as x39.",
+)
+def x101_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select(
+            "doc_id",
+            F.posexplode(_tokens()).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("term").alias("w1"),
+            F.lead("term").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)  # LM tables AND the scoring join
+    )
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bg = bg.localCheckpoint(eager=False)  # ug, cont, types all derive from it
+    ug = bg.groupBy("w1").agg(
+        F.sum("c12").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n_follow"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_precede")
+    )
+    types = bg.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(KN_DISCOUNT), F.lit(0.0)) / F.col("c1")
+        + (F.lit(KN_DISCOUNT) * F.col("n_follow") / F.col("c1"))
+        * (F.col("n_precede") / F.col("n_types"))
+    )
+    return (
+        big.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(ug), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(p_kn).cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -550,3 +550,12 @@ def test_heaps_cumulative_window_is_bucketed(spark, sf_dir):
 
     plan = simple_plan(_x97_cumulative(spark, sf_dir))
     assert "windowspecdefinition(bucket#" in plan, plan[:1500]
+
+
+def test_dup_span_islands_window_is_doc_partitioned(spark, sf_dir):
+    """x102: the gaps-and-islands pass must run as a doc_id-partitioned
+    window (positions co-partitioned after the dup join) — and candidate
+    generation must not degenerate to a cartesian."""
+    plan = simple_plan(_df("x102_dup_span_extraction", spark, sf_dir))
+    assert "windowspecdefinition(doc_id#" in plan, plan[:1200]
+    assert "CartesianProduct" not in plan, plan[:900]
