@@ -1504,10 +1504,12 @@ cand AS (
 )
 SELECT c.doc_a, c.doc_b, CAST(c.n_shared AS BIGINT) AS n_shared,
        CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_dist,
+       -- length() (CHARACTERS) to match Spark F.length; strlen() is bytes
+       -- and diverges on any multi-byte UTF-8 text
        round(1.0 - levenshtein(ta.text, tb.text) * 1.0
-                   / greatest(strlen(ta.text), strlen(tb.text), 1), 6) AS sim,
+                   / greatest(length(ta.text), length(tb.text), 1), 6) AS sim,
        (1.0 - levenshtein(ta.text, tb.text) * 1.0
-              / greatest(strlen(ta.text), strlen(tb.text), 1)) >= {X96_DUP_SIM}
+              / greatest(length(ta.text), length(tb.text), 1)) >= {X96_DUP_SIM}
            AS is_dup
 FROM cand c
 JOIN documents ta ON ta.doc_id = c.doc_a

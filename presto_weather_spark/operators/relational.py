@@ -3792,17 +3792,20 @@ QSKETCH_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
     doc="X100: distributed mergeable quantile sketch over events.value "
     "per event_type — the streaming/telemetry building block exact "
     "percentiles (s05f) can't provide at scale because they buffer "
-    "whole groups. Two-level equi-depth compactor (the KLL idea, "
-    "public, simplified to one compaction level each way): every "
-    "Arrow batch is compacted to m=64 weighted rank-spaced samples "
-    "(memory per task is O(batch + m), never O(partition)); batch "
-    "summaries merge by weighted rank into one m-sample partition "
-    "summary; the per-type shuffle then carries n_partitions x m "
-    "rows — independent of row count — and a final weighted-rank "
-    "merge answers q in {0.1..0.99}. Rank error is bounded by ~2/m "
-    "(one 1/m per compaction level), pinned at 0.04 by the property "
-    "test. Everything numeric is order-deterministic: samples are "
-    "sorted values at fixed weighted ranks, no floating accumulation.",
+    "whole groups. Hierarchical equi-depth compactor (the KLL idea, "
+    "public, with uniform level capacities): every Arrow batch is "
+    "compacted to m=64 weighted rank-spaced samples, and per-type "
+    "batch summaries fold INCREMENTALLY via a binary-counter merge "
+    "(the LSM trick: level-0 insert, equal levels merge upward) — so "
+    "task memory is O(batch + m log2(batches)) and never O(partition "
+    "rows); the per-type shuffle then carries n_partitions x m rows "
+    "— independent of row count — and a final weighted-rank merge "
+    "answers q in {0.1..0.99}. Rank error grows one 1/m granule per "
+    "compaction LEVEL: ~(2 + log2(batches))/m, logarithmic in "
+    "partition size (m is the knob — doubling m halves it); pinned "
+    "at 0.04 by the property test at fixture scale (2-3 levels). Everything numeric is order-deterministic: "
+    "samples are sorted values at fixed weighted ranks, no floating "
+    "accumulation.",
 )
 def x100_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -3828,9 +3831,22 @@ def x100_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v[idx], np.full(m, total / m)
 
     def summarize(batches):
-        acc_v: list = []
-        acc_w: list = []
-        etypes: dict = {}
+        # Per type, a binary-counter of summaries (the LSM merge trick):
+        # a batch summary enters at level 0; two summaries at the same
+        # level merge-compact into level+1.  Any element passes through
+        # ~log2(batches) compactions (its final level), and memory is
+        # O(m * log2(batches)) — never O(partition rows).
+        etypes: dict = {}  # et -> {level: (values, weights)}
+        def _push(levels: dict, summary: tuple, level: int = 0) -> None:
+            while level in levels:
+                prev = levels.pop(level)
+                summary = _compact(
+                    np.concatenate([prev[0], summary[0]]),
+                    np.concatenate([prev[1], summary[1]]),
+                )
+                level += 1
+            levels[level] = summary
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -3838,12 +3854,14 @@ def x100_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals = grp["value"].to_numpy(dtype=np.float64)
                 if len(vals) == 0:
                     continue
-                sv, sw = _compact(vals, np.ones(len(vals)))
-                etypes.setdefault(et, []).append((sv, sw))
+                _push(
+                    etypes.setdefault(et, {}),
+                    _compact(vals, np.ones(len(vals))),
+                )
         out_t, out_v, out_w = [], [], []
-        for et, summaries in etypes.items():
-            vs = np.concatenate([s[0] for s in summaries])
-            ws = np.concatenate([s[1] for s in summaries])
+        for et, levels in etypes.items():
+            vs = np.concatenate([s[0] for s in levels.values()])
+            ws = np.concatenate([s[1] for s in levels.values()])
             fv, fw = _compact(vs, ws)
             out_t.extend([et] * m)
             out_v.extend(fv)

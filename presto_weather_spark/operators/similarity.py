@@ -1406,29 +1406,43 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     sq = (mat * mat).sum(axis=1)
 
+    K_EXACT = 16  # nearest candidates re-resolved with the exact form
+
     def twonn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             bm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # Fast pass: the ||a||^2 - 2ab + ||b||^2 expansion (one BLAS
+            # matmul) RANKS candidates; it suffers catastrophic
+            # cancellation for near-duplicate vectors (abs error ~1e-13
+            # in d^2 -> up to ~1e-6 in sqrt near zero, the same order as
+            # the 6dp parity rounding), so the K_EXACT nearest by the
+            # fast estimate are re-resolved with the direct
+            # sum-of-squared-differences the oracle computes — the
+            # expansion's error (<< any inter-candidate gap beyond the
+            # near-dup regime) cannot eject a true top-2 from the top-16.
             d2m = (
                 (bm * bm).sum(axis=1)[:, None] - 2.0 * (bm @ mat.T) + sq[None, :]
             )
-            l2 = np.round(np.sqrt(np.maximum(d2m, 0.0)), 6)
             out = {"vec_id": [], "nn1_id": [], "nn2_id": [], "d1": [], "d2": []}
             batch_ids = pdf["vec_id"].to_numpy()
             for i in range(len(pdf)):
                 mask = ids != batch_ids[i]
-                cand_d = l2[i][mask]
+                cand_d2 = d2m[i][mask]
                 cand_id = ids[mask]
-                # order by (rounded distance, vec_id): lexsort is stable and
-                # cand_id is ascending, so ties resolve to the lowest id
-                order = np.lexsort((cand_id, cand_d))
+                k = min(K_EXACT, len(cand_id))
+                near = np.argpartition(cand_d2, k - 1)[:k]
+                diff = mat[mask][near] - bm[i][None, :]
+                exact = np.round(np.sqrt((diff * diff).sum(axis=1)), 6)
+                # order by (rounded exact distance, vec_id): lexsort is
+                # stable, ties resolve to the lowest id — both engines agree
+                order = np.lexsort((cand_id[near], exact))
                 out["vec_id"].append(batch_ids[i])
-                out["nn1_id"].append(cand_id[order[0]])
-                out["nn2_id"].append(cand_id[order[1]])
-                out["d1"].append(cand_d[order[0]])
-                out["d2"].append(cand_d[order[1]])
+                out["nn1_id"].append(cand_id[near][order[0]])
+                out["nn2_id"].append(cand_id[near][order[1]])
+                out["d1"].append(exact[order[0]])
+                out["d2"].append(exact[order[1]])
             yield pd.DataFrame(out)
 
     nn = emb.select("vec_id", "embedding").mapInPandas(
@@ -1510,9 +1524,19 @@ def x98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()  # consumed K+1 times across the greedy rounds
 
     # Corpus mean direction = the relevance anchor (1-row aggregate).
+    # Components go through 12dp rounding + DECIMAL(28,18) (the x20
+    # convention) so the anchor is aggregation-order-exact — a plain
+    # double SUM varies with partial-merge order by ~1 ulp, enough to
+    # flip a 6dp-rounded score sitting on a rounding boundary and make
+    # the greedy picks run-dependent.
     dim = len(unit.select("unit").first()["unit"])
     mean_row = unit.select(
-        *[F.sum(F.col("unit")[i]).alias(f"s{i}") for i in range(dim)],
+        *[
+            F.sum(F.round(F.col("unit")[i], 12).cast("decimal(28,18)"))
+            .cast("double")
+            .alias(f"s{i}")
+            for i in range(dim)
+        ],
     ).first()
     anchor = np.asarray([mean_row[f"s{i}"] for i in range(dim)], dtype=np.float64)
     anchor /= max(np.linalg.norm(anchor), 1e-12)
@@ -1589,13 +1613,15 @@ def x98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X99: matryoshka truncation retrieval eval — top-k overlap at reduced dims
 # ---------------------------------------------------------------------------
 
-MRL_DIMS = (32, 16)  # truncated prefix lengths evaluated against full (64)
+MRL_FULL_DIM = 64  # the fixture embedding width (full-fidelity baseline)
+MRL_DIMS = (32, 16)  # truncated prefix lengths evaluated against the full dim
+_MRL_VALUES = ", ".join(f"({d})" for d in (MRL_FULL_DIM,) + MRL_DIMS)
 
 
 @register(
     "x99_matryoshka_overlap",
     oracle=f"""
-WITH dims(trunc_dim) AS (VALUES (64), (32), (16)),
+WITH dims(trunc_dim) AS (VALUES {_MRL_VALUES}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
       WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id, embedding FROM embeddings),
@@ -1614,7 +1640,7 @@ ranked AS (
   FROM sims
 ),
 topk AS (SELECT * FROM ranked WHERE rn <= {TOP_K}),
-full_set AS (SELECT query_id, neighbor_id FROM topk WHERE trunc_dim = 64)
+full_set AS (SELECT query_id, neighbor_id FROM topk WHERE trunc_dim = {MRL_FULL_DIM})
 SELECT t.query_id, t.trunc_dim,
        CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS overlap_at_k,
@@ -1623,7 +1649,7 @@ SELECT t.query_id, t.trunc_dim,
 FROM topk t
 LEFT JOIN full_set f
   ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
-WHERE t.trunc_dim <> 64
+WHERE t.trunc_dim <> {MRL_FULL_DIM}
 GROUP BY t.query_id, t.trunc_dim
 """,
     doc="X99: matryoshka-truncation retrieval eval (Kusupati et al. 2022, "
@@ -1650,6 +1676,9 @@ def x99_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     full_dim = qmat.shape[1]
+    # the oracle interpolates MRL_FULL_DIM — a width drift would silently
+    # change the contract, so fail loudly instead
+    assert full_dim == MRL_FULL_DIM, (full_dim, MRL_FULL_DIM)
     all_dims = (full_dim,) + MRL_DIMS
 
     def score(batches):

@@ -3735,6 +3735,9 @@ def x92_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.union(adj.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # vocab-sized; wsum AND the g join
+        # both consume it — without this the corpus-scale union+aggregate
+        # above would run twice
     )
     wsum = edges.groupBy("w1").agg(F.sum("c").alias("wsum"))
     g = (
@@ -3860,9 +3863,13 @@ def x93_doremi_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(d)
         .select("doc_id", F.explode(_tokens()).alias("term"))
         .filter(F.col("term") != "")
+        .localCheckpoint(eager=False)  # lm AND the scoring join consume it
     )
     lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    lm = lm.localCheckpoint(eager=False)  # tot derives from it AND it joins
+    # corpus token total = sum of the vocab-sized tf table (free — no
+    # second corpus pass)
+    tot = lm.agg(F.sum("tf").cast("double").alias("t"))
     doc_lp = (
         tok.join(F.broadcast(lm), "term")
         .crossJoin(F.broadcast(tot))

@@ -534,10 +534,15 @@ def test_twonn_no_shuffle_join(spark, sf_dir):
 def test_editdist_pairs_no_cartesian_and_wide_text_stays_out(spark, sf_dir):
     """x96: candidate generation must be the bucketed gram self-join (no
     cartesian/broadcast-nested-loop anywhere), and the wide text column
-    must not enter it — text is joined back per surviving pair only."""
+    must not enter it — both self-join sides read the checkpointed
+    (doc_id, gram) table, so every ExistingRDD scan line must exclude
+    text; text joins back per surviving pair only."""
     plan = simple_plan(_df("x96_editdist_verified_pairs", spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:900]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    rdd_scans = [l for l in plan.splitlines() if "ExistingRDD" in l]
+    assert rdd_scans, plan[:900]
+    assert all("text" not in l for l in rdd_scans), rdd_scans
 
 
 def test_heaps_cumulative_window_is_bucketed(spark, sf_dir):

@@ -605,7 +605,22 @@ def test_mmr_matches_local_greedy(spark, sf_dir):
     nrm = np.linalg.norm(m, axis=1)
     nrm[nrm == 0.0] = 1.0
     unit = m / nrm[:, None]
-    anchor = unit.sum(axis=0)
+    # Replicate the operator's aggregation-order-exact anchor: Spark
+    # round(v, 12) is HALF_UP over the double's shortest decimal repr
+    # (BigDecimal.valueOf), then the DECIMAL(28,18) sum is exact.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r12(v):
+        return Decimal(repr(float(v))).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    anchor = np.asarray(
+        [
+            float(sum(_r12(unit[r, c]) for r in range(unit.shape[0])))
+            for c in range(unit.shape[1])
+        ]
+    )
     anchor /= max(np.linalg.norm(anchor), 1e-12)
 
     picked: list[int] = []
