@@ -3782,6 +3782,38 @@ QSKETCH_M = 64  # samples per summary (the accuracy knob: rank err ~ 2/m)
 QSKETCH_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
+def qsketch_compact(values, weights, m: int = QSKETCH_M) -> tuple:
+    """Compact a weighted sample set to m rank-spaced samples (the
+    equi-depth compaction both the batch sketch x100 and its streaming
+    twin s14o fold through)."""
+    import numpy as np
+
+    order = np.argsort(values, kind="stable")
+    v, w = values[order], weights[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    # sample at the m mid-ranks (i+0.5)/m * total
+    targets = (np.arange(m) + 0.5) / m * total
+    idx = np.searchsorted(cw, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx], np.full(m, total / m)
+
+
+def qsketch_quantiles(values, weights, qs) -> "list[float]":
+    """Answer quantile queries from a merged weighted summary."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    idx = np.searchsorted(cw, np.asarray(qs) * cw[-1], side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return [round(float(x), 6) for x in v[idx]]
+
+
+
 @register(
     "x100_quantile_sketch",
     # Sketch estimates are partitioning-dependent by construction ->
@@ -3817,18 +3849,7 @@ def x100_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "value")
 
     m = QSKETCH_M
-
-    def _compact(values: "np.ndarray", weights: "np.ndarray") -> tuple:
-        """Compact a weighted sorted sample set to m rank-spaced samples."""
-        order = np.argsort(values, kind="stable")
-        v, w = values[order], weights[order]
-        cw = np.cumsum(w)
-        total = cw[-1]
-        # sample at the m mid-ranks (i+0.5)/m * total
-        targets = (np.arange(m) + 0.5) / m * total
-        idx = np.searchsorted(cw, targets, side="left")
-        idx = np.minimum(idx, len(v) - 1)
-        return v[idx], np.full(m, total / m)
+    _compact = qsketch_compact
 
     def summarize(batches):
         # Per type, a binary-counter of summaries (the LSM merge trick):

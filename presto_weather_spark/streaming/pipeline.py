@@ -829,3 +829,86 @@ def s14n_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+# ---------------------------------------------------------------------------
+# S14o: streaming mergeable quantile sketch (x100's summary as GroupState)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s14o_stream_quantile_sketch",
+    # Sketch estimates are batching-dependent by construction -> rows-only;
+    # tests/test_properties.py::test_stream_quantile_sketch_rank_error pins
+    # the rank-error bound against the exact empirical CDF.
+    oracle=None,
+    doc="S14/X100: STREAMING quantile sketch — the x100 equi-depth "
+    "summary carried as explicit GroupState across micro-batches via "
+    "applyInPandasWithState: per event_type, each micro-batch's values "
+    "compact to m=64 weighted samples (qsketch_compact, the exact "
+    "kernel x100 uses), merge-compact with the state summary, and the "
+    "state NEVER exceeds 2 x m floats per key regardless of stream "
+    "length — the mergeability that makes the sketch family the "
+    "streaming answer where exact percentiles (s05f) would buffer "
+    "unbounded groups. Each update emits the current quantile "
+    "estimates, so a live dashboard reads monotonically improving "
+    "answers. Rank error adds one 1/m granule per micro-batch "
+    "compaction (bounded by stream length in micro-batches, not "
+    "rows); driven availableNow here (one batch), so the bound "
+    "matches x100's and the pytest pin is the same 0.04.",
+)
+def s14o_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from presto_weather_spark.operators.relational import (
+        QSKETCH_M,
+        QSKETCH_QS,
+        qsketch_compact,
+        qsketch_quantiles,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    qs = list(QSKETCH_QS)
+
+    def fold(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            sv, sw = state.get
+            sv = np.asarray(sv, dtype=np.float64)
+            sw = np.asarray(sw, dtype=np.float64)
+        else:
+            sv = np.empty(0)
+            sw = np.empty(0)
+        for pdf in pdfs:
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            if len(vals) == 0:
+                continue
+            bv, bw = qsketch_compact(vals, np.ones(len(vals)))
+            sv = np.concatenate([sv, bv])
+            sw = np.concatenate([sw, bw])
+            if len(sv) > QSKETCH_M:  # state stays <= 2m floats per key
+                sv, sw = qsketch_compact(sv, sw)
+        state.update((sv.tolist(), sw.tolist()))
+        ests = qsketch_quantiles(sv, sw, qs)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(qs),
+                "q": qs,
+                "est_value": ests,
+            }
+        )
+
+    out = (
+        stream.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="event_type string, q double, est_value double",
+            stateStructType="v array<double>, w array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")

@@ -684,3 +684,30 @@ def test_quantile_sketch_rank_error(spark, sf_dir):
              for r in fn(spark, sf_dir).collect()}
     for r in got:
         assert again[(r["event_type"], r["q"])] == r["est_value"]
+
+
+def test_stream_quantile_sketch_rank_error(spark, sf_dir):
+    # s14o: the streaming sketch (x100's summary as GroupState) must land
+    # within the same rank-error bound as the batch sketch, per
+    # event_type, for every queried quantile.
+    import numpy as np
+
+    from presto_weather_spark.registry import all_queries
+    from presto_weather_spark.session import load_table
+
+    got = all_queries()["s14o_stream_quantile_sketch"].fn(spark, sf_dir).collect()
+    assert got, "streaming sketch returned no rows"
+    exact = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        exact.setdefault(r["event_type"], []).append(r["value"])
+    for et in exact:
+        exact[et] = np.sort(np.asarray(exact[et], dtype=np.float64))
+    assert {r["event_type"] for r in got} == set(exact)
+    for r in got:
+        vals = exact[r["event_type"]]
+        rank = np.searchsorted(vals, r["est_value"], side="right") / len(vals)
+        assert abs(rank - r["q"]) <= 0.04, (
+            r["event_type"], r["q"], r["est_value"], rank
+        )
