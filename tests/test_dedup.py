@@ -288,3 +288,73 @@ def test_gear_cdc_query_runs_and_accounts_every_doc(spark):
         got = rows[d["doc_id"]]
         assert got["n_chunks"] == len(lens)
         assert abs(got["avg_chunk_len"] - round(sum(lens) / len(lens), 4)) < 1e-9
+
+
+def _write_docs(spark, rows, name):
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), name)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def test_editdist_verify_planted_neardup_and_nonclone(spark):
+    # x96 on a planted corpus: a near-identical pair (one word edited)
+    # must pass blocking AND verify as is_dup; a pair sharing grams but
+    # with a long divergent tail must surface as a candidate yet FAIL the
+    # 0.8 similarity verdict — the whole point of the verify stage.
+    from presto_weather_spark.registry import all_queries
+
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = core.replace("epsilon", "EPSILON", 1)
+    tail = core + "completely divergent suffix " * 12
+    rows = [
+        (1, core, "en", "s0", len(core)),
+        (2, near, "en", "s1", len(near)),
+        (3, tail, "en", "s0", len(tail)),
+        (4, "unrelated words entirely about other topics and things", "en", "s1", 55),
+    ]
+    out = _write_docs(spark, rows, "pws_prop_editdist")
+    res = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in all_queries()["x96_editdist_verified_pairs"].fn(spark, out).collect()
+    }
+    assert (1, 2) in res and res[(1, 2)]["is_dup"], res
+    assert res[(1, 2)]["lev_dist"] == 7  # epsilon -> EPSILON: 7 char edits
+    assert (1, 3) in res and not res[(1, 3)]["is_dup"], res
+    assert not any(4 in k for k in res), res
+
+
+def test_dup_span_extraction_planted_coordinates(spark):
+    # x102 on a planted corpus: two docs share an exact 12-token run at
+    # known positions -> exactly one span per doc with the exact
+    # (start, end) coordinates; a doc with < 8 tokens yields no row.
+    from presto_weather_spark.registry import all_queries
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    a = "preA1 preA2 " + shared + " postA1 postA2"
+    b = "preB1 preB2 preB3 " + shared
+    rows = [
+        (1, a, "en", "s0", len(a)),
+        (2, b, "en", "s1", len(b)),
+        (3, "tiny doc under eight", "en", "s0", 20),
+    ]
+    out = _write_docs(spark, rows, "pws_prop_dupspan")
+    res = {}
+    for r in all_queries()["x102_dup_span_extraction"].fn(spark, out).collect():
+        res.setdefault(r["doc_id"], []).append(r)
+    # doc 1: shared run occupies token positions 3..14 -> windows 3..7
+    assert len(res[1]) == 1
+    s1 = res[1][0]
+    assert (s1["span_start"], s1["span_end"]) == (3, 14)
+    assert s1["span_tokens"] == 12 and s1["n_dup_windows"] == 5
+    # doc 2: shared run at positions 4..15 -> windows 4..8
+    assert len(res[2]) == 1
+    s2 = res[2][0]
+    assert (s2["span_start"], s2["span_end"]) == (4, 15)
+    assert 3 not in res

@@ -711,3 +711,51 @@ def test_stream_quantile_sketch_rank_error(spark, sf_dir):
         assert abs(rank - r["q"]) <= 0.04, (
             r["event_type"], r["q"], r["est_value"], rank
         )
+
+
+def test_heaps_cumulatives_hand_computed(spark):
+    # x97 on a 3-doc corpus with known vocabulary overlap: cumulative
+    # token and vocab counts must match hand-derived values, and the
+    # fitted curve must reproduce a pure power law exactly when the data
+    # IS one (2 points determine the line in log-log space).
+    import os
+    import tempfile
+
+    from presto_weather_spark.registry import all_queries
+
+    rows = [
+        (1, "a b c d", "en", "s0", 7),          # 4 tokens, 4 new
+        (2, "a b e f g h", "en", "s1", 11),     # 6 tokens, 4 new
+        (3, "a a a b c d e f", "en", "s0", 15), # 8 tokens, 0 new
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_heaps")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in all_queries()["x97_heaps_law_fit"].fn(spark, out).collect()
+    }
+    assert (got[1]["cum_tokens"], got[1]["cum_vocab"]) == (4, 4)
+    assert (got[2]["cum_tokens"], got[2]["cum_vocab"]) == (10, 8)
+    assert (got[3]["cum_tokens"], got[3]["cum_vocab"]) == (18, 8)
+    # all rows carry the same corpus-level fit
+    assert len({(r["heaps_beta"], r["heaps_k"]) for r in got.values()}) == 1
+
+
+def test_temperature_sampling_invariants(spark, sf_dir):
+    # x95: sampled shares form a distribution; alpha < 1 compresses the
+    # mixture (largest cell's boost < 1 < smallest cell's boost) and
+    # preserves the share ORDER (temperature never inverts ranks).
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x95_temperature_sampling"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["sampled_share"] for r in rows) - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r["corpus_share"])
+    assert by_share[0]["boost"] > 1.0 > by_share[-1]["boost"]
+    sampled_order = [
+        r["sampled_share"] for r in by_share
+    ]
+    assert sampled_order == sorted(sampled_order)
