@@ -1697,3 +1697,109 @@ def x102_dup_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_tokens",
         "n_dup_windows",
     )
+
+
+# ---------------------------------------------------------------------------
+# X103: LSH banding parameter planner — the (bands, rows) S-curve optimizer
+# ---------------------------------------------------------------------------
+
+X103_THRESHOLD = 0.5  # target Jaccard threshold the x02 pipeline dedups at
+X103_STEPS = 200  # fixed midpoint-rule grid (deterministic in both engines)
+
+
+@register(
+    "x103_lsh_parameter_planner",
+    oracle=f"""
+WITH plans(b, r) AS (VALUES (1, {N_HASHES}), (2, {N_HASHES // 2}),
+                            (4, {N_HASHES // 4}), (8, {N_HASHES // 8}),
+                            ({N_HASHES}, 1)),
+grid AS (
+  SELECT (i - 0.5) / {X103_STEPS} AS s
+  FROM unnest(generate_series(1, {X103_STEPS})) AS t(i)
+),
+terms AS (
+  SELECT p.b, p.r, g.s,
+         round(1.0 - pow(1.0 - pow(g.s, p.r), p.b), 12) AS collide
+  FROM plans p CROSS JOIN grid g
+),
+areas AS (
+  SELECT b, r,
+         CAST(SUM(CASE WHEN s < {X103_THRESHOLD}
+                       THEN CAST(collide AS DECIMAL(28,18)) ELSE 0 END)
+              AS DOUBLE) / {X103_STEPS} AS fp_area,
+         CAST(SUM(CASE WHEN s >= {X103_THRESHOLD}
+                       THEN CAST(1.0 - collide AS DECIMAL(28,18)) ELSE 0 END)
+              AS DOUBLE) / {X103_STEPS} AS fn_area
+  FROM terms GROUP BY b, r
+),
+scored AS (
+  SELECT b, r, round(fp_area, 6) AS fp_area, round(fn_area, 6) AS fn_area,
+         round(fp_area + fn_area, 6) AS total_error
+  FROM areas
+)
+SELECT b, r, fp_area, fn_area, total_error,
+       total_error = MIN(total_error) OVER () AS is_optimal
+FROM scored
+""",
+    doc="X103: LSH banding parameter planner — the design-knob optimizer "
+    "behind x02's (bands, rows) choice (Leskovec/Rajaraman/Ullman, "
+    "Mining of Massive Datasets ch.3, public): for every (b, r) "
+    "factorization of the 16-hash MinHash signature, the collision "
+    "S-curve P(s) = 1 - (1 - s^r)^b is integrated on a fixed 200-point "
+    "midpoint grid to get the false-positive area below the 0.5 target "
+    "threshold and the false-negative area above it; the minimal "
+    "fp+fn plan is flagged. Makes the dedup pipeline's banding choice "
+    "auditable inside the engine instead of a hand-picked constant. "
+    "Work is 5 plans x 200 grid points — a VALUES-driven compute "
+    "kernel, corpus-independent by design (the planner runs BEFORE "
+    "touching data; at 100 TB it is the same 1000 rows). pow() terms "
+    "round to 12dp before the DECIMAL integral sum (the x20/x95 "
+    "convention) so both engines integrate bit-identically.",
+)
+def x103_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plans = spark.createDataFrame(
+        [(b, N_HASHES // b) for b in (1, 2, 4, 8, N_HASHES)], "b int, r int"
+    )
+    grid = spark.range(1, X103_STEPS + 1).select(
+        ((F.col("id") - 0.5) / X103_STEPS).alias("s")
+    )
+    collide = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"), F.col("r")), F.col("b")),
+        12,
+    )
+    terms = plans.crossJoin(grid).select("b", "r", "s", collide.alias("collide"))
+    dec = lambda c: F.sum(c.cast("decimal(28,18)")).cast("double")  # noqa: E731
+    areas = terms.groupBy("b", "r").agg(
+        (
+            dec(
+                F.when(F.col("s") < X103_THRESHOLD, F.col("collide")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / X103_STEPS
+        ).alias("fp_raw"),
+        (
+            dec(
+                F.when(
+                    F.col("s") >= X103_THRESHOLD, F.lit(1.0) - F.col("collide")
+                ).otherwise(F.lit(0.0))
+            )
+            / X103_STEPS
+        ).alias("fn_raw"),
+    )
+    scored = areas.select(
+        "b",
+        "r",
+        F.round("fp_raw", 6).alias("fp_area"),
+        F.round("fn_raw", 6).alias("fn_area"),
+        F.round(F.col("fp_raw") + F.col("fn_raw"), 6).alias("total_error"),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "b",
+        "r",
+        "fp_area",
+        "fn_area",
+        "total_error",
+        (F.col("total_error") == F.min("total_error").over(w)).alias("is_optimal"),
+    )
