@@ -1803,3 +1803,163 @@ def x103_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_error",
         (F.col("total_error") == F.min("total_error").over(w)).alias("is_optimal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X104: duplicated-span excision — rewrite documents with x102's spans cut
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x104_dup_span_excision",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, ts FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS ts
+    FROM documents
+  ) WHERE len(ts) > 0
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ts, i, i + {X102_W - 1}), ' ') AS gram
+  FROM tok, unnest(generate_series(1, len(ts) - {X102_W - 1})) AS u(i)
+  WHERE len(ts) >= {X102_W}
+),
+dup AS (
+  SELECT gram FROM win GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT w.doc_id, w.pos,
+         CASE WHEN w.pos - lag(w.pos) OVER (PARTITION BY w.doc_id
+                                            ORDER BY w.pos) <= {X102_W}
+              THEN 0 ELSE 1 END AS new_island
+  FROM win w JOIN dup USING (gram)
+),
+spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start, MAX(pos) + {X102_W - 1} AS span_end
+  FROM (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+    FROM hits
+  ) GROUP BY doc_id, island_id
+),
+positions AS (
+  SELECT t.doc_id, u.i AS pos, t.ts[u.i] AS term
+  FROM tok t, unnest(generate_series(1, len(t.ts))) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.term
+  FROM positions p
+  LEFT JOIN spans s
+    ON s.doc_id = p.doc_id AND p.pos BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(len(t.ts) - COALESCE(k.n_kept, 0) AS BIGINT) AS tokens_removed,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM tok t
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(term, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+    doc="X104: duplicated-span EXCISION — the cut x102's coordinates "
+    "license (Lee et al. 2022's aggressive exact-substring variant, "
+    "public): rewrite every document with all corpus-duplicated spans "
+    "removed, reporting the cleaned text and tokens_removed. Fully-"
+    "excised documents survive as empty rows (the downstream length "
+    "gate decides their fate — silent row loss would corrupt corpus "
+    "accounting). Plan: x102's span derivation (one window pass, one "
+    "gram exchange, one doc-partitioned islands window) plus one "
+    "doc_id-co-partitioned span-coverage anti-join over the token "
+    "positions and a per-doc ordered reassembly (sort_array over "
+    "(pos, term) structs — deterministic, no string-ordering "
+    "ambiguity). Everything after the gram exchange is keyed on "
+    "doc_id, so the whole tail is one co-partitioned stage family at "
+    "100 TB. Integer/string-exact end to end.",
+)
+def x104_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    toks = _tokens()
+    base = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") > 0)
+    base = base.localCheckpoint(eager=False)  # windows, positions, final join
+    wins = (
+        base.filter(F.size("ts") >= X102_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (X102_W - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, X102_W)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    wins = wins.localCheckpoint(eager=False)  # dup table + hits join
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = wins.join(dup, "gram").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "new_island",
+            F.when(F.col("pos") - F.lag("pos").over(w_doc) <= X102_W, 0).otherwise(1),
+        )
+        .withColumn(
+            "island_id",
+            F.sum("new_island").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "island_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (X102_W - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+    positions = base.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    p, s = positions.alias("p"), spans.alias("s")
+    kept = p.join(
+        s,
+        (F.col("p.doc_id") == F.col("s.doc_id"))
+        & (F.col("p.pos") >= F.col("s.span_start"))
+        & (F.col("p.pos") <= F.col("s.span_end")),
+        "left_anti",  # equi-key on doc_id + range residual: no expansion
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("ts").cast("bigint").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -358,3 +358,31 @@ def test_dup_span_extraction_planted_coordinates(spark):
     s2 = res[2][0]
     assert (s2["span_start"], s2["span_end"]) == (4, 15)
     assert 3 not in res
+
+
+def test_dup_span_excision_planted(spark):
+    # x104 on the x102 planted corpus: the shared 12-token run is excised
+    # from BOTH owners (the aggressive variant), surrounding context
+    # survives verbatim, the tiny doc is untouched, and a doc that IS one
+    # big duplicated span survives as an empty row (tokens_removed = all).
+    from presto_weather_spark.registry import all_queries
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "prea1 prea2 " + shared + " posta1 posta2", "en", "s0", 1),
+        (2, "preb1 preb2 preb3 " + shared, "en", "s1", 1),
+        (3, "tiny doc under eight", "en", "s0", 1),
+        (4, shared, "en", "s1", 1),
+    ]
+    out = _write_docs(spark, rows, "pws_prop_excision")
+    res = {
+        r["doc_id"]: r
+        for r in all_queries()["x104_dup_span_excision"].fn(spark, out).collect()
+    }
+    assert res[1]["clean_text"] == "prea1 prea2 posta1 posta2"
+    assert res[1]["tokens_removed"] == 12
+    assert res[2]["clean_text"] == "preb1 preb2 preb3"
+    assert res[3]["clean_text"] == "tiny doc under eight"
+    assert res[3]["tokens_removed"] == 0
+    assert res[4]["clean_text"] == "" and res[4]["tokens_removed"] == 12
+    assert res[4]["n_tokens"] == 12
