@@ -708,3 +708,80 @@ def x97_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
         ).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X105 — boilerplate prefix mining (shared document templates per source)
+# ---------------------------------------------------------------------------
+
+X105_P = 5  # prefix width in tokens
+
+_X105_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "x105_boilerplate_prefixes",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_X105_TOKS} AS ts FROM documents
+),
+pref AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(ts, 1, {X105_P}), ' ') AS prefix
+  FROM tok WHERE len(ts) >= {X105_P}
+),
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_source_docs
+  FROM pref GROUP BY source
+)
+SELECT p.source, p.prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(COUNT(*) / s.n_source_docs, 6) AS source_share
+FROM pref p JOIN per_source s USING (source)
+GROUP BY p.source, p.prefix, s.n_source_docs
+HAVING COUNT(*) >= 2
+""",
+    doc="X105: boilerplate PREFIX mining — the C4/web-crawl template "
+    "signal: document openings (first 5 tokens) shared by >= 2 "
+    "documents of the same source, with the share of that source they "
+    "cover. A prefix covering a large share of a source is a scraper "
+    "template/navigation header a curation pipeline strips before "
+    "dedup (templates inflate near-dup scores and pollute LM "
+    "statistics). Plan: prefix forms scan-side from the token array "
+    "head (no explode — one slice per doc), one map-side-combined "
+    "shuffle on (source, prefix), per-source totals broadcast back. "
+    "At 100 TB the aggregate is near-corpus-cardinality but "
+    "uniformly hash-partitioned (prefix strings are high-entropy "
+    "outside the templates being mined); only the >= 2 survivors "
+    "reach the output.",
+)
+def x105_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    pref = (
+        d.select("doc_id", "source", toks.alias("ts"))
+        .filter(F.size("ts") >= X105_P)
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.slice("ts", 1, X105_P)).alias("prefix"),
+        )
+    )
+    pref = pref.localCheckpoint(eager=False)  # totals AND the main aggregate
+    per_source = pref.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_source_docs")
+    )
+    return (
+        pref.groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .join(F.broadcast(per_source), "source")
+        .select(
+            "source",
+            "prefix",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n_source_docs"), 6).alias(
+                "source_share"
+            ),
+        )
+    )
