@@ -4111,3 +4111,278 @@ def x101_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X106 — CCNet-style perplexity terciles (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x106_ccnet_perplexity_buckets",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, t.term
+  FROM (
+    SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) AS t
+  WHERE t.term <> ''
+),
+lm AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+doc AS (
+  SELECT tok.doc_id,
+         any_value(tok.lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(SUM(CAST(ln(lm.tf / tot.t) AS DECIMAL(28,18))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+  FROM tok JOIN lm USING (term) CROSS JOIN tot
+  GROUP BY tok.doc_id
+),
+b AS (
+  SELECT lang, n_tokens, avg_logprob,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY avg_logprob DESC, doc_id) AS tile
+  FROM doc
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+       round(MIN(avg_logprob), 6) AS min_logprob,
+       round(MAX(avg_logprob), 6) AS max_logprob,
+       round(CAST(SUM(CAST(avg_logprob AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS bucket_avg_logprob
+FROM b
+GROUP BY lang, ppl_bucket
+""",
+    doc="X106: CCNet-style perplexity bucketing (Wenzek et al. 2020) — "
+    "score every document by mean unigram log-probability (x20's LM "
+    "idiom: vocab-sized LM broadcast onto the token stream, per-token "
+    "ln through DECIMAL so the doc score is aggregation-order-exact), "
+    "then split each language into head/middle/tail terciles by score "
+    "and report per-bucket doc/token mass and score ranges — the "
+    "standard 'train on head, sample middle, drop tail' curation split. "
+    "Tie-break (avg_logprob DESC, doc_id) makes the NTILE assignment "
+    "engine-exact. Scale: one tokenize scan, one doc_id shuffle for the "
+    "doc score, one lang-partitioned window; at 100 TB the per-lang "
+    "NTILE sort is the knob — swap it for approx-percentile cut points "
+    "broadcast against the doc table (banding instead of ranking), "
+    "which removes the per-lang global sort at the cost of ~eps bucket "
+    "skew at the cuts.",
+)
+def x106_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    logp = F.log(F.col("tf") / F.col("t"))
+    doc = (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    b = doc.withColumn("tile", F.ntile(3).over(w)).withColumn(
+        "ppl_bucket",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return b.groupBy("lang", "ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+        F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+        F.round(
+            F.sum(F.col("avg_logprob").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bucket_avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X107 — annotator agreement (Cohen's kappa between two labelers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x107_annotator_agreement_kappa",
+    oracle=f"""
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ({', '.join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+                   >= 0.1 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> ''))
+              THEN 'en' ELSE 'other' END AS label_a,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label_b
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN label_a = 'en'    AND label_b = 'en'    THEN 1 ELSE 0 END) AS BIGINT) AS en_en,
+         CAST(SUM(CASE WHEN label_a = 'en'    AND label_b = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS en_other,
+         CAST(SUM(CASE WHEN label_a = 'other' AND label_b = 'en'    THEN 1 ELSE 0 END) AS BIGINT) AS other_en,
+         CAST(SUM(CASE WHEN label_a = 'other' AND label_b = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS other_other
+  FROM lab
+)
+SELECT n, en_en, en_other, other_en, other_other,
+       round(CAST(en_en + other_other AS DOUBLE) / n, 6) AS observed_agreement,
+       round(CAST((en_en + en_other) * (en_en + other_en)
+                  + (other_en + other_other) * (en_other + other_other) AS DOUBLE)
+             / (n * n), 6) AS expected_agreement,
+       CASE WHEN (n * n) = (en_en + en_other) * (en_en + other_en)
+                          + (other_en + other_other) * (en_other + other_other)
+            THEN 1.0
+            ELSE round(
+              (CAST(en_en + other_other AS DOUBLE) / n
+               - CAST((en_en + en_other) * (en_en + other_en)
+                      + (other_en + other_other) * (en_other + other_other) AS DOUBLE)
+                 / (n * n))
+              / (1.0 - CAST((en_en + en_other) * (en_en + other_en)
+                            + (other_en + other_other) * (en_other + other_other) AS DOUBLE)
+                   / (n * n)), 6)
+       END AS kappa
+FROM c
+""",
+    doc="X107: annotator-agreement audit — Cohen's kappa (Cohen 1960) "
+    "between two independent labelers of the same corpus: the x08 "
+    "stopword-density language heuristic (labeler A) and the declared "
+    "lang metadata collapsed to en/other (labeler B). The curation use: "
+    "kappa near 0 means the heuristic adds no information over chance "
+    "given the label marginals, so gating on it would be noise. All "
+    "four confusion cells are exact BIGINTs; observed/expected "
+    "agreement divide integer products (< 2^53, exact in double) in "
+    "the same expression shape in both engines, so the 6dp kappa is "
+    "engine-identical; the degenerate pe=1 case is decided by an "
+    "INTEGER equality, not a float compare. Scale: one scan-side "
+    "projection (the stopword filter is an array expression, no "
+    "explode), one all-to-one partial aggregate — confusion matrices "
+    "are the cheapest corpus-wide audit shape.",
+)
+def x107_annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n_stop = F.size(F.filter(_tokens(), lambda t: F.array_contains(stop_lit, t)))
+    label_a = F.when(
+        n_stop.cast("double") >= 0.1 * F.size(toks), "en"
+    ).otherwise("other")
+    label_b = F.when(F.col("lang") == "en", "en").otherwise("other")
+    lab = d.select(label_a.alias("label_a"), label_b.alias("label_b"))
+    cell = lambda a, b: F.sum(  # noqa: E731
+        F.when((F.col("label_a") == a) & (F.col("label_b") == b), 1).otherwise(0)
+    ).cast("bigint")
+    c = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        cell("en", "en").alias("en_en"),
+        cell("en", "other").alias("en_other"),
+        cell("other", "en").alias("other_en"),
+        cell("other", "other").alias("other_other"),
+    )
+    pe_num = (F.col("en_en") + F.col("en_other")) * (
+        F.col("en_en") + F.col("other_en")
+    ) + (F.col("other_en") + F.col("other_other")) * (
+        F.col("en_other") + F.col("other_other")
+    )
+    po = (F.col("en_en") + F.col("other_other")).cast("double") / F.col("n")
+    pe = pe_num.cast("double") / (F.col("n") * F.col("n"))
+    return c.select(
+        "n", "en_en", "en_other", "other_en", "other_other",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.when(F.col("n") * F.col("n") == pe_num, F.lit(1.0))
+        .otherwise(F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X108 — token-entropy screen (low-diversity / gibberish gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x108_token_entropy_screen",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents) AS t
+  WHERE t.term <> ''
+),
+cnt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY doc_id, term),
+tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM cnt GROUP BY doc_id)
+SELECT cnt.doc_id,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(CAST(SUM(CAST(-(cnt.c / tot.n) * ln(cnt.c / tot.n)
+                           AS DECIMAL(28,18))) AS DOUBLE), 6) AS token_entropy,
+       CASE WHEN tot.n <= 1 THEN 'drop'
+            WHEN round(CAST(SUM(CAST(-(cnt.c / tot.n) * ln(cnt.c / tot.n)
+                                     AS DECIMAL(28,18))) AS DOUBLE), 6)
+                 < round(0.5 * ln(tot.n), 6)
+            THEN 'drop' ELSE 'keep' END AS entropy_gate
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY cnt.doc_id, tot.n
+""",
+    doc="X108: token-entropy screen — per-document Shannon entropy of the "
+    "token distribution, the low-diversity/gibberish gate that catches "
+    "what length and punctuation rules miss (a 500-token doc of one "
+    "repeated word passes x86 but has near-zero entropy). Normalized "
+    "gate: drop when H < 0.5*ln(n_tokens), i.e. the doc carries less "
+    "than half the information of a uniform token stream its length; "
+    "BOTH comparison sides are 6dp-rounded (the sum through "
+    "DECIMAL(28,18) for order-exactness) so the keep/drop boundary is "
+    "engine-exact even for structurally-tied docs (e.g. 2 distinct "
+    "tokens x 2, where H = 0.5*ln(n) exactly). Scale: one tokenize "
+    "scan, one (doc_id, term) shuffle; the per-doc total rides a "
+    "doc_id window WHOSE PARTITIONING THE FINAL GROUPBY REUSES (no "
+    "third exchange) — per-doc state is vocabulary-of-doc sized, "
+    "never corpus sized.",
+)
+def x108_token_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    cnt = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    scored = cnt.withColumn("n", n).withColumn(
+        "h_term",
+        (-(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))).cast(
+            "decimal(28,18)"
+        ),
+    )
+    ent = F.round(F.sum("h_term").cast("double"), 6)
+    return scored.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        ent.alias("token_entropy"),
+        F.when(F.max("n") <= 1, "drop")
+        .when(ent < F.round(0.5 * F.log(F.max("n")), 6), "drop")
+        .otherwise("keep")
+        .alias("entropy_gate"),
+    )

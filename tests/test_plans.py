@@ -564,3 +564,21 @@ def test_dup_span_islands_window_is_doc_partitioned(spark, sf_dir):
     plan = simple_plan(_df("x102_dup_span_extraction", spark, sf_dir))
     assert "windowspecdefinition(doc_id#" in plan, plan[:1200]
     assert "CartesianProduct" not in plan, plan[:900]
+
+
+def test_entropy_screen_single_exchange(spark, sf_dir):
+    """x108: the (doc_id, term) count, the doc_id window, and the final
+    per-doc aggregate must all reuse ONE doc_id hash partitioning — a
+    second exchange here would double the shuffle bytes of a pure
+    per-document statistic."""
+    plan = simple_plan(_df("x108_token_entropy_screen", spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_ccnet_buckets_lm_broadcasts(spark, sf_dir):
+    """x106: the unigram LM join must broadcast the vocab-sized LM onto
+    the token stream — a sort-merge join would shuffle the full token
+    explosion by term."""
+    df = _df("x106_ccnet_perplexity_buckets", spark, sf_dir)
+    assert has_broadcast_join(df), simple_plan(df)[:1200]
+    assert "SortMergeJoin" not in simple_plan(df), simple_plan(df)[:1200]

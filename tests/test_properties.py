@@ -759,3 +759,103 @@ def test_temperature_sampling_invariants(spark, sf_dir):
         r["sampled_share"] for r in by_share
     ]
     assert sampled_order == sorted(sampled_order)
+
+
+def test_entropy_screen_tie_and_degenerate_docs(spark):
+    # x108's gate on a structurally-tied doc ("a a b b": H = ln 2 =
+    # 0.5*ln(4) EXACTLY) must resolve 'keep' — both sides 6dp-round to
+    # 0.693147, and '<' is strict. A one-token doc and a single repeated
+    # token must both gate 'drop'; a uniform 4-distinct doc gates 'keep'.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    rows = [
+        (1, "a a b b", "en", "src0", 7),           # exact-tie doc
+        (2, "word", "en", "src0", 4),              # n=1 -> drop
+        (3, "spam spam spam spam spam spam", "en", "src0", 29),  # H=0 -> drop
+        (4, "w x y z", "en", "src0", 7),           # uniform -> keep
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_entropy")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    res = {
+        r["doc_id"]: r
+        for r in all_queries()["x108_token_entropy_screen"].fn(spark, out).collect()
+    }
+    assert res[1]["entropy_gate"] == "keep" and res[1]["token_entropy"] == 0.693147
+    assert res[2]["entropy_gate"] == "drop" and res[2]["token_entropy"] == 0.0
+    assert res[3]["entropy_gate"] == "drop" and res[3]["token_entropy"] == 0.0
+    assert res[4]["entropy_gate"] == "keep" and res[4]["token_entropy"] == 1.386294
+
+
+def test_kappa_degenerate_and_known_value(spark):
+    # x107 on a corpus where both labelers agree on everything (pe=1
+    # degenerate branch -> kappa 1.0 by the integer-equality guard, not a
+    # 0/0 NaN), and on a hand-computed 2x2 confusion.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    q = all_queries()["x107_annotator_agreement_kappa"]
+    stopword_dense = "the a an and or of to in is it"  # 10/10 stopwords -> 'en'
+    gibberish = "qqq www eee rrr ttt yyy uuu iii"      # 0 stopwords -> 'other'
+
+    # Degenerate: every doc is (en, en) -> po=pe=1 -> kappa=1.0 exactly.
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_kappa1")
+    spark.createDataFrame(
+        [(i, stopword_dense, "en", "src0", len(stopword_dense)) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    row = q.fn(spark, out).collect()[0]
+    assert row["kappa"] == 1.0 and row["expected_agreement"] == 1.0
+
+    # Known value: confusion [[2,1],[1,2]] over 6 docs -> po=2/3,
+    # pe=1/2, kappa=(2/3-1/2)/(1/2)=1/3.
+    rows = [
+        (1, stopword_dense, "en", "src0", 1),   # (en, en)
+        (2, stopword_dense, "en", "src0", 1),   # (en, en)
+        (3, stopword_dense, "es", "src0", 1),   # (en, other)
+        (4, gibberish, "en", "src0", 1),        # (other, en)
+        (5, gibberish, "es", "src0", 1),        # (other, other)
+        (6, gibberish, "fr", "src0", 1),        # (other, other)
+    ]
+    out2 = os.path.join(tempfile.gettempdir(), "pws_prop_kappa2")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out2, "documents.parquet"))
+    row = q.fn(spark, out2).collect()[0]
+    assert (row["en_en"], row["en_other"], row["other_en"], row["other_other"]) == (2, 1, 1, 2)
+    assert row["observed_agreement"] == 0.666667
+    assert row["expected_agreement"] == 0.5
+    assert row["kappa"] == 0.333333
+
+
+def test_ccnet_buckets_order_and_mass(spark):
+    # x106 tercile semantics on a 6-doc single-lang corpus: buckets
+    # partition the docs 2/2/2, head's min_logprob >= middle's max, and
+    # middle's min >= tail's max (head = most probable under the corpus LM).
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    common = "common " * 20
+    rows = []
+    for i in range(4):
+        rows.append((i, common.strip(), "en", "src0", 1))
+    rows.append((4, "common common rareish tokens here", "en", "src0", 1))
+    rows.append((5, "utterly unseen vocabulary everywhere now", "en", "src0", 1))
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_ccnet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    res = {
+        r["ppl_bucket"]: r
+        for r in all_queries()["x106_ccnet_perplexity_buckets"].fn(spark, out).collect()
+    }
+    assert set(res) == {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in res.values()) == 6
+    assert res["head"]["n_docs"] == res["middle"]["n_docs"] == res["tail"]["n_docs"] == 2
+    assert res["head"]["min_logprob"] >= res["middle"]["max_logprob"]
+    assert res["middle"]["min_logprob"] >= res["tail"]["max_logprob"]
