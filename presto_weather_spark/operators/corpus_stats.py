@@ -785,3 +785,68 @@ def x105_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X109 — weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+AES_TOPK = 10  # survivors per source
+
+
+@register(
+    "x109_weighted_sample_aes",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(
+           ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 12)) AS BIGINT) + 1)
+              / 281474976710656.0)
+           / greatest(n_chars, 1), 12) AS aes_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, aes_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY aes_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, aes_key, sample_rank
+FROM ranked WHERE sample_rank <= {AES_TOPK}
+""",
+    doc="X109: weighted sampling WITHOUT replacement — Efraimidis & "
+    "Spirakis 2006 (A-ES): every item gets key u^(1/w) (equivalently "
+    "ln(u)/w) with u uniform in (0,1], and the top-k keys ARE an exact "
+    "weight-proportional sample — the one-pass, merge-able way to draw "
+    "'sample 10 docs per source, long docs proportionally more often' "
+    "(w = n_chars) that sample()/rand() cannot do reproducibly. u "
+    "derives from the x12 md5-content primitive: a 48-bit hash slice "
+    "maps to (v+1)/2^48 ∈ (0,1] — exact integer arithmetic in both "
+    "engines, ln 12dp-rounded with doc_id tie-break, so membership is "
+    "engine-identical and stable under repartitioning. Scale: key is "
+    "scan-side; top-k per source is one windowed row_number (Spark "
+    "plans WindowGroupLimit: per-partition heaps of k, then one "
+    "source-keyed exchange of survivors only — never a per-source "
+    "sort of the corpus).",
+)
+def x109_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("aes"), F.col("doc_id"), F.col("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v + F.lit(1)) / F.lit(281474976710656.0)  # (v+1) / 2^48
+    aes_key = F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 12)
+    keyed = d.select("source", "doc_id", "n_chars", aes_key.alias("aes_key"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("aes_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= AES_TOPK)
+    )

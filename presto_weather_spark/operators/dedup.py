@@ -1963,3 +1963,142 @@ def x104_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X110 — near-dup graph transitivity (exact triangle count + clustering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x110_dup_graph_triangles",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(CAST(len(t) AS INT) - {CONTAIN_NGRAM - 1}, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + {CONTAIN_NGRAM - 1}), ' '))) AS gram
+  FROM toks WHERE len(t) >= {CONTAIN_NGRAM}
+),
+df AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(*) BETWEEN {CONTAIN_DF_MIN} AND {CONTAIN_DF_CAP}
+),
+capped AS (SELECT grams.doc_id, grams.gram FROM grams JOIN df USING (gram)),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)
+  GROUP BY v
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       tri.n_triangles,
+       CAST((SELECT COALESCE(SUM(d * (d - 1) / 2), 0) FROM deg) AS BIGINT) AS n_wedges,
+       CASE WHEN (SELECT COALESCE(SUM(d * (d - 1) / 2), 0) FROM deg) = 0 THEN 0.0
+            ELSE round(3.0 * tri.n_triangles
+                       / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+       END AS transitivity
+FROM tri
+""",
+    doc="X110: near-dup graph TRANSITIVITY — exact triangle count and the "
+    "global clustering coefficient (3*triangles / wedges) over the "
+    "shared-gram candidate graph (x40's df-capped [{0},{1}] 8-token "
+    "shingle edges). The curation read-out: near-duplication is an "
+    "equivalence-ish relation, so a healthy threshold yields a cliquey "
+    "graph (transitivity -> 1); low transitivity means the blocking key "
+    "is chaining unrelated docs through hubs and the downstream "
+    "connected-components dedup (x02f/x80) will over-merge. All counts "
+    "are integer-exact; the wedges=0 degenerate case is an integer "
+    "equality, and edges store src < dst so each triangle is counted "
+    "exactly once (e1=(a,b), e2=(b,c), e3=(a,c), a<b<c). Scale: edges "
+    "derive from the same bounded gram join as x40 (per-gram fan-out "
+    "<= df cap); the triangle join is the standard edge-iterator plan "
+    "— two shuffles of the EDGE list (corpus-independent, dup-density-"
+    "sized), with degree-ordered orientation as the documented skew "
+    "lever when hub nodes appear.".format(CONTAIN_DF_MIN, CONTAIN_DF_CAP),
+)
+def x110_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import _spread, _tokens
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    th = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
+    ]
+    grams = (
+        th.select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+        .localCheckpoint(eager=False)  # df filter + both join sides read it
+    )
+    df_ok = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_CAP))
+        .select("gh")
+    )
+    capped = grams.join(F.broadcast(df_ok), "gh")
+    edges = (
+        capped.alias("a")
+        .join(capped.alias("b"), "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # deg + three triangle-join sides
+    )
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes_edges_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes_edges_wedges.crossJoin(F.broadcast(tri))
+        .select(
+            F.coalesce(F.col("n_nodes"), F.lit(0)).cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.coalesce(F.col("n_wedges"), F.lit(0)).cast("bigint").alias("n_wedges"),
+            F.when(F.coalesce(F.col("n_wedges"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+            )
+            .alias("transitivity"),
+        )
+    )

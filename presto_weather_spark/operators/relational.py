@@ -3920,3 +3920,68 @@ def x100_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge,
         "event_type string, q double, est_value double, n_summary_rows long",
     )
+
+
+# ---------------------------------------------------------------------------
+# S74 — global row numbering without a single-reducer window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s74_global_row_numbering",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderkey) AS global_seq
+FROM orders
+""",
+    doc="S74: global sequence assignment — the zipWithIndex pattern. A "
+    "naive `row_number() OVER (ORDER BY key)` has an empty PARTITION BY, "
+    "so Spark plans a SINGLE window partition: every row funnels through "
+    "one task — the canonical accidental scale-killer (works at sf0.1, "
+    "OOMs at 100 TB). This operator produces the identical numbering "
+    "with no single-task stage: range-repartition + sort-within-"
+    "partitions (s26's distributed total order), a partition-LOCAL "
+    "Arrow pass assigns (pid, local_rn) with a running counter — order-"
+    "preserving, stateless beyond one int — then per-pid counts (32 "
+    "rows) turn into prefix offsets on the driver side of a broadcast "
+    "join. Exactly Spark's own RDD.zipWithIndex two-pass design, "
+    "expressed over DataFrames. Unique keys make the numbering "
+    "boundary-placement-independent, so RangePartitioner sampling "
+    "cannot affect the result.",
+)
+def s74_global_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = o.repartitionByRange(n_parts, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+
+    def number_partition(batches):
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "o_orderkey": pdf["o_orderkey"],
+                    "local_rn": range(seen + 1, seen + n + 1),
+                }
+            )
+            seen += n
+
+    local = ranged.mapInPandas(
+        number_partition, "pid int, o_orderkey long, local_rn long"
+    ).localCheckpoint(eager=False)  # counts AND the final join read it
+    counts = local.groupBy("pid").agg(F.max("local_rn").alias("cnt"))
+    w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("offset")
+    )  # n_parts rows: the single-partition window is partition-count-sized
+    return local.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey", (F.col("local_rn") + F.col("offset")).alias("global_seq")
+    )

@@ -582,3 +582,27 @@ def test_ccnet_buckets_lm_broadcasts(spark, sf_dir):
     df = _df("x106_ccnet_perplexity_buckets", spark, sf_dir)
     assert has_broadcast_join(df), simple_plan(df)[:1200]
     assert "SortMergeJoin" not in simple_plan(df), simple_plan(df)[:1200]
+
+
+def test_weighted_sample_plans_group_limit(spark, sf_dir):
+    """x109: the per-source top-k must plan WindowGroupLimit (per-partition
+    k-heaps, survivors-only exchange) — a full per-source sort of the
+    corpus would be the scale bug the operator exists to avoid."""
+    plan = simple_plan(_df("x109_weighted_sample_aes", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:1200]
+
+
+def test_global_row_numbering_no_single_partition_window(spark, sf_dir):
+    """s74: the numbering must NOT plan a window with an empty PARTITION BY
+    over the data (one task gets every row). The only unpartitioned window
+    allowed is the offsets prefix-sum over the ~32-row per-partition count
+    table; the data path is range-exchange + partition-local Arrow pass."""
+    plan = simple_plan(_df("s74_global_row_numbering", spark, sf_dir))
+    # no row_number window anywhere — the numbering is local_rn + offset:
+    assert "row_number(" not in plan, plan[:1500]
+    # the only unpartitioned window runs over the per-pid count aggregate
+    # (the visible plan starts at the localCheckpoint), and the offsets
+    # come back via broadcast, never a shuffled join of the data:
+    assert "windowspecdefinition(pid#" in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]

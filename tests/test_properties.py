@@ -859,3 +859,52 @@ def test_ccnet_buckets_order_and_mass(spark):
     assert res["head"]["n_docs"] == res["middle"]["n_docs"] == res["tail"]["n_docs"] == 2
     assert res["head"]["min_logprob"] >= res["middle"]["max_logprob"]
     assert res["middle"]["min_logprob"] >= res["tail"]["max_logprob"]
+
+
+def test_triangle_count_planted_clique_and_chain(spark):
+    # x110 on a planted corpus: docs 1-3 share one 8-token passage (a
+    # 3-clique -> 1 triangle, 3 wedges per vertex pairings: transitivity
+    # 3*1/3=1.0); docs 4-5 share a different passage and doc 5 shares a
+    # third with doc 6 (a path -> 0 triangles, 1 wedge at doc 5).
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"          # 8 tokens
+    b = "one two three four five six seven eight"
+    c = "red orange yellow green blue indigo violet ultraviolet"
+    filler = ["quartz topaz opal jasper onyx agate beryl garnet pearl amber",
+              "lion tiger bear wolf fox otter lynx seal hare moose",
+              "oak elm ash birch cedar maple pine spruce willow alder"]
+    rows = [
+        (1, a + " " + filler[0], "en", "s", 1),
+        (2, a + " " + filler[1], "en", "s", 1),
+        (3, a + " " + filler[2], "en", "s", 1),
+        (4, b + " copper nickel cobalt iron zinc tin lead mercury", "en", "s", 1),
+        (5, b + " " + c, "en", "s", 1),
+        (6, c + " violin cello flute oboe harp drum horn tuba", "en", "s", 1),
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_triangles")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    row = all_queries()["x110_dup_graph_triangles"].fn(spark, out).collect()[0]
+    # edges: (1,2),(1,3),(2,3) from passage a; (4,5) from b; (5,6) from c
+    assert row["n_edges"] == 5 and row["n_nodes"] == 6
+    assert row["n_triangles"] == 1
+    # wedges: clique 3 (one per vertex) + path vertex 5 contributes 1 -> 4
+    assert row["n_wedges"] == 4
+    assert row["transitivity"] == 0.75
+
+
+def test_global_row_numbering_is_dense_and_ordered(spark, sf_dir):
+    # s74's two-phase numbering must be a dense 1..N permutation that
+    # increases with the key — byte-identical to a single-reducer
+    # row_number, with no gaps or dups across partition boundaries.
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["s74_global_row_numbering"].fn(spark, sf_dir).collect()
+    seqs = sorted(r["global_seq"] for r in rows)
+    assert seqs == list(range(1, len(rows) + 1))
+    by_key = sorted(rows, key=lambda r: r["o_orderkey"])
+    assert [r["global_seq"] for r in by_key] == list(range(1, len(rows) + 1))
