@@ -4386,3 +4386,166 @@ def x108_token_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("entropy_gate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X111 — low-quality SPAN localization (worst window under the corpus LM)
+# ---------------------------------------------------------------------------
+
+X111_WIN = 16  # non-overlapping window width, tokens
+
+
+@register(
+    "x111_low_quality_span_localization",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, ts[i] AS term
+  FROM tok, unnest(generate_series(1, len(ts))) AS u(i)
+),
+lm AS (SELECT term, count(*) AS tf FROM pos GROUP BY term),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM pos),
+win AS (
+  SELECT pos.doc_id,
+         CAST((pos.i - 1) // {X111_WIN} AS BIGINT) AS win_id,
+         CAST(count(*) AS BIGINT) AS win_tokens,
+         round(CAST(SUM(CAST(ln(lm.tf / tot.t) AS DECIMAL(28,18))) AS DOUBLE)
+               / count(*), 6) AS win_logprob
+  FROM pos JOIN lm USING (term) CROSS JOIN tot
+  GROUP BY pos.doc_id, (pos.i - 1) // {X111_WIN}
+),
+ranked AS (
+  SELECT doc_id, win_id, win_tokens, win_logprob,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_windows,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY win_logprob ASC, win_id) AS rn
+  FROM win
+)
+SELECT doc_id, n_windows,
+       win_id AS worst_win_id,
+       win_tokens AS worst_win_tokens,
+       win_logprob AS worst_win_logprob
+FROM ranked WHERE rn = 1
+""",
+    doc="X111: low-quality SPAN localization — x20 scores whole documents; "
+    "this finds WHERE the quality problem lives: the corpus-LM mean "
+    "log-probability of every non-overlapping 16-token window, and per "
+    "document the worst-scoring window (the boilerplate/gibberish "
+    "passage a trimming pass would cut — C4-style span removal needs "
+    "coordinates, not a doc verdict). Same determinism discipline as "
+    "x20 (DECIMAL ln-sums, 6dp round, (score ASC, win_id) argmin "
+    "tie-break). Scale: positions come from the SAME posexplode the "
+    "tokenize scan produces (no second pass), the LM broadcasts, and "
+    "windows aggregate on (doc_id, win_id) — the argmin is a doc_id "
+    "window over the WINDOW table (corpus/16 rows, not the token "
+    "stream).",
+)
+def x111_low_quality_span_localization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    pos = _spread(d).select(
+        "doc_id", F.posexplode(toks).alias("pos0", "term")
+    )
+    lm = pos.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = pos.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    logp = F.log(F.col("tf") / F.col("t"))
+    win = (
+        pos.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            "doc_id",
+            F.floor(F.col("pos0") / X111_WIN).cast("bigint").alias("win_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("win_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("win_logprob"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = w_doc.orderBy(F.col("win_logprob").asc(), F.col("win_id"))
+    return (
+        win.withColumn("n_windows", F.count(F.lit(1)).over(w_doc))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_windows",
+            F.col("win_id").alias("worst_win_id"),
+            F.col("win_tokens").alias("worst_win_tokens"),
+            F.col("win_logprob").alias("worst_win_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X112 — text canonicalization (NFC + control-char strip + ws collapse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x112_text_canonicalization",
+    oracle=r"""
+WITH cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_after,
+       clean_text <> text AS changed
+FROM cleaned
+""",
+    doc="X112: text canonicalization — the first stage of every ingest "
+    "pipeline, made deterministic: Unicode NFC normalization (so "
+    "composed and combining-mark spellings of the same text dedup and "
+    "tokenize identically), control characters stripped to spaces, "
+    "whitespace runs collapsed, ends trimmed. NFC has no Catalyst "
+    "built-in, so it runs as an Arrow-vectorized pandas UDF "
+    "(unicodedata.normalize — byte-identical to DuckDB's "
+    "nfc_normalize, both implement UAX #15); everything else stays "
+    "JVM-side regexp. Scale: pure scan-side projection, zero "
+    "shuffles; the Python stage is the narrow per-batch map that "
+    "mapInPandas multimodal kernels already pay, with no state. "
+    "Accent/control-char behavior pinned on a planted corpus in "
+    "tests/test_properties.py (the fixture text is ASCII, where NFC "
+    "is the identity).",
+)
+def x112_text_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.col("text")), r"[\x00-\x1f\x7f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("text").cast("bigint").alias("n_chars_before"),
+        F.length(clean).cast("bigint").alias("n_chars_after"),
+        (clean != F.col("text")).alias("changed"),
+    )

@@ -912,3 +912,129 @@ def s14o_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "update")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema from batch)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    stage = f"/tmp/pws_stream_{abs(hash(path))}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+@register(
+    "s14p_stream_weighted_sample",
+    # The SAME oracle as x109: A-ES top-k keys are a mergeable maximum, so
+    # the streaming fold is EXACTLY batching-independent — a streaming
+    # stateful operator with a full SQL oracle, not a rows-only check.
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(
+           ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 12)) AS BIGINT) + 1)
+              / 281474976710656.0)
+           / greatest(n_chars, 1), 12) AS aes_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, aes_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY aes_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, aes_key, sample_rank
+FROM ranked WHERE sample_rank <= 10
+""",
+    doc="S14/X109: STREAMING weighted sampling — x109's Efraimidis-"
+    "Spirakis top-k carried as GroupState across micro-batches via "
+    "applyInPandasWithState: per source, each batch computes its A-ES "
+    "keys (the same md5-48-bit u and ln(u)/n_chars as batch x109, "
+    "12dp-rounded), merges them with the <= k retained (key, doc_id, "
+    "n_chars) triples, and keeps the top k by (key DESC, doc_id). "
+    "Because a weighted sample's keys form a MERGEABLE maximum "
+    "(Efraimidis & Spirakis 2006 §3: top-k of a union = top-k of "
+    "per-part top-k's), the stream result is byte-identical to the "
+    "batch query no matter how the stream is batched — so this "
+    "stateful streaming operator carries x109's full SQL oracle, not "
+    "a rows-only check. State per source is k triples, constant in "
+    "stream length; each update emits the current sample (n_seen "
+    "tags the newest emission; the final filter keeps it).",
+)
+def s14p_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window as W
+
+    from presto_weather_spark.operators.corpus_stats import AES_TOPK
+
+    stream = documents_stream(spark, sf_dir)
+
+    def aes_key(doc_id: int, text: str, n_chars: int) -> float:
+        v = int(hashlib.md5(f"aes:{doc_id}:{text}".encode()).hexdigest()[:12], 16)
+        u = (v + 1) / 281474976710656.0
+        return round(math.log(u) / max(n_chars, 1), 12)
+
+    def fold(key, pdfs, state: GroupState):
+        (source,) = key
+        if state.exists:
+            ids, chars, keys, seen = state.get
+            ids, chars, keys = list(ids), list(chars), list(keys)
+        else:
+            ids, chars, keys, seen = [], [], [], 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                ids.append(int(doc_id))
+                chars.append(int(n_chars))
+                keys.append(aes_key(int(doc_id), text, int(n_chars)))
+            order = sorted(
+                range(len(ids)), key=lambda i: (-keys[i], ids[i])
+            )[:AES_TOPK]
+            ids = [ids[i] for i in order]
+            chars = [chars[i] for i in order]
+            keys = [keys[i] for i in order]
+        state.update((ids, chars, keys, seen))
+        yield pd.DataFrame(
+            {
+                "source": source,
+                "doc_id": ids,
+                "n_chars": chars,
+                "aes_key": keys,
+                "sample_rank": range(1, len(ids) + 1),
+                "n_seen": seen,
+            }
+        )
+
+    out = (
+        stream.select("source", "doc_id", "text", "n_chars")
+        .groupBy("source")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "source string, doc_id long, n_chars long, "
+                "aes_key double, sample_rank int, n_seen long"
+            ),
+            stateStructType=(
+                "ids array<long>, chars array<long>, "
+                "keys array<double>, seen long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = _run_to_memory(out, "update")
+    latest = W.partitionBy("source").orderBy(F.col("n_seen").desc())
+    return (
+        emitted.withColumn("max_seen", F.max("n_seen").over(latest))
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("source", "doc_id", "n_chars", "aes_key", "sample_rank")
+    )

@@ -908,3 +908,50 @@ def test_global_row_numbering_is_dense_and_ordered(spark, sf_dir):
     assert seqs == list(range(1, len(rows) + 1))
     by_key = sorted(rows, key=lambda r: r["o_orderkey"])
     assert [r["global_seq"] for r in by_key] == list(range(1, len(rows) + 1))
+
+
+def test_canonicalization_planted_unicode(spark):
+    # x112 on planted non-ASCII: combining-mark e + acute must NFC-compose
+    # to the single codepoint, control chars become spaces and collapse,
+    # and an already-clean doc reports changed = False.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    decomposed = "café menu"          # e + COMBINING ACUTE
+    composed = "café menu"             # precomposed é
+    dirty = "tab\there\x00null  and\x1fus"
+    rows = [
+        (1, decomposed, "fr", "s", len(decomposed)),
+        (2, dirty, "en", "s", len(dirty)),
+        (3, "already clean text", "en", "s", 18),
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_canon")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    res = {
+        r["doc_id"]: r
+        for r in all_queries()["x112_text_canonicalization"].fn(spark, out).collect()
+    }
+    assert res[1]["clean_text"] == composed and res[1]["changed"]
+    assert res[1]["n_chars_after"] == res[1]["n_chars_before"] - 1
+    assert res[2]["clean_text"] == "tab here null and us" and res[2]["changed"]
+    assert res[3]["clean_text"] == "already clean text" and not res[3]["changed"]
+
+
+def test_stream_weighted_sample_equals_batch(spark, sf_dir):
+    # s14p must be BYTE-identical to batch x109 — the mergeable-top-k
+    # property that justifies giving a stateful streaming operator a full
+    # SQL oracle.
+    from presto_weather_spark.registry import all_queries
+
+    qs = all_queries()
+    batch = sorted(
+        tuple(r) for r in qs["x109_weighted_sample_aes"].fn(spark, sf_dir)
+        .select("source", "doc_id", "n_chars", "aes_key", "sample_rank").collect()
+    )
+    stream = sorted(
+        tuple(r) for r in qs["s14p_stream_weighted_sample"].fn(spark, sf_dir).collect()
+    )
+    assert stream == batch and len(batch) > 0
