@@ -4549,3 +4549,189 @@ def x112_text_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("bigint").alias("n_chars_after"),
         (clean != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X106b — CCNet buckets via broadcast cut points (the x106 100-TB path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x106b_ccnet_buckets_banded",
+    # Banding replaces the exact per-lang NTILE sort with approx-percentile
+    # cut points -> bucket boundaries move by the sketch's rank error, so
+    # the result is not SQL-reproducible row-for-row; agreement with exact
+    # x106 is pinned in tests/test_properties.py instead.
+    oracle=None,
+    doc="X106b: the scale path x106's docstring promises, made real — "
+    "per-language head/middle/tail buckets WITHOUT the per-lang global "
+    "sort: percentile_approx (Greenwald-Khanna, accuracy 10k) computes "
+    "the two tercile cut points per language into a langs-sized table, "
+    "which broadcasts back onto the doc-score stream; bucket membership "
+    "becomes two scan-side comparisons. Same doc scoring as x106 (the "
+    "broadcast-LM mean log-prob), same output shape. At 100 TB this is "
+    "the difference between sorting every language's documents and one "
+    "extra vocab-sized aggregate: the NTILE sort is O(n log n) per lang "
+    "on the full doc table, the sketch is one pass with bounded state. "
+    "Cost: bucket edges move by the sketch's rank error (<= 1/accuracy) "
+    "— per-bucket doc counts agree with exact x106 within that bound "
+    "(pinned in tests).",
+)
+def x106b_ccnet_buckets_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    logp = F.log(F.col("tf") / F.col("t"))
+    doc = (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(28,18)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .localCheckpoint(eager=False)  # cuts AND the banding read it
+    )
+    cuts = doc.groupBy("lang").agg(
+        F.percentile_approx(
+            "avg_logprob", F.array(F.lit(2.0 / 3.0), F.lit(1.0 / 3.0)), 10000
+        ).alias("c")
+    ).select(
+        "lang", F.col("c")[0].alias("head_cut"), F.col("c")[1].alias("mid_cut")
+    )
+    b = doc.join(F.broadcast(cuts), "lang").withColumn(
+        "ppl_bucket",
+        F.when(F.col("avg_logprob") >= F.col("head_cut"), "head")
+        .when(F.col("avg_logprob") >= F.col("mid_cut"), "middle")
+        .otherwise("tail"),
+    )
+    return b.groupBy("lang", "ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bucket_tokens"),
+        F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+        F.round(
+            F.sum(F.col("avg_logprob").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bucket_avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X113 — ROUGE-L paraphrase decontamination (LCS recall vs the eval set)
+# ---------------------------------------------------------------------------
+
+ROUGE_CONTAM_MIN = 0.5  # LCS recall of the eval doc that flags a train doc
+
+
+@register(
+    "x113_rouge_decontamination",
+    # LCS is a dynamic program — not SQL-expressible; planted paraphrase /
+    # clean corpora pin the behavior in tests/test_properties.py.
+    oracle=None,
+    doc="X113: paraphrase-robust decontamination — x18's exact n-gram rule "
+    "misses eval text that leaked with insertions or light edits (every "
+    "shared n-gram is broken, the contamination is not). ROUGE-L "
+    "catches it: per (train, eval) candidate pair, the token-level "
+    "longest common subsequence as a fraction of the eval doc "
+    f"(recall >= {ROUGE_CONTAM_MIN} flags). Candidates block on shared "
+    f"{DECON_NGRAM}-grams (a paraphrase with edits every few tokens "
+    "still shares short runs), so the quadratic LCS kernel runs on the "
+    "gram-join survivors only — never all train x eval pairs; texts "
+    "stay OUT of the gram shuffle and join back per side by id before "
+    "one applyInPandas DP pass (O(|a|*|b|) per pair, token-int arrays). "
+    "Same eval convention as x18 (doc_id % 97 == 0).",
+)
+def x113_rouge_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    base = _spread(d).select("doc_id", toks.alias("ts"))
+    th = base.select("doc_id", F.posexplode("ts").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, DECON_NGRAM)
+    ]
+    grams = (
+        th.select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "gh"
+    )
+    tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_id"), "gh"
+    )
+    pairs = (
+        tr.join(F.broadcast(ev), "gh")  # eval side is 1/97th of the corpus
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    with_txt = (
+        pairs.join(base.select(F.col("doc_id").alias("train_id"),
+                               F.col("ts").alias("train_ts")), "train_id")
+        .join(F.broadcast(base.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+                          .select(F.col("doc_id").alias("eval_id"),
+                                  F.col("ts").alias("eval_ts"))), "eval_id")
+    )
+
+    def lcs_batch(batches):
+        for pdf in batches:
+            out = []
+            for train_id, eval_id, a, b in zip(
+                pdf["train_id"], pdf["eval_id"], pdf["train_ts"], pdf["eval_ts"]
+            ):
+                # int-encode tokens so the DP compares machine ints
+                vocab = {}
+                ai = np.array([vocab.setdefault(t, len(vocab)) for t in a])
+                bi = np.array([vocab.setdefault(t, len(vocab)) for t in b])
+                prev = np.zeros(len(bi) + 1, dtype=np.int32)
+                for x in ai:
+                    cur = prev.copy()
+                    match = prev[:-1] + (bi == x)
+                    for j in range(len(bi)):  # row-local; vectorizable via
+                        cur[j + 1] = max(cur[j], prev[j + 1], match[j])  # Hirschberg at scale
+                    prev = cur
+                lcs = int(prev[-1])
+                out.append((int(train_id), int(eval_id), lcs, len(bi)))
+            if out:
+                import pandas as pd  # noqa: PLC0415
+
+                o = pd.DataFrame(
+                    out, columns=["train_id", "eval_id", "lcs_tokens", "eval_tokens"]
+                )
+                yield o
+
+    scored = with_txt.mapInPandas(
+        lcs_batch,
+        "train_id long, eval_id long, lcs_tokens long, eval_tokens long",
+    )
+    recall = F.round(
+        F.col("lcs_tokens").cast("double") / F.col("eval_tokens"), 6
+    )
+    return scored.select(
+        "train_id",
+        "eval_id",
+        "lcs_tokens",
+        "eval_tokens",
+        recall.alias("rouge_l_recall"),
+        (recall >= ROUGE_CONTAM_MIN).alias("contaminated"),
+    )

@@ -955,3 +955,62 @@ def test_stream_weighted_sample_equals_batch(spark, sf_dir):
         tuple(r) for r in qs["s14p_stream_weighted_sample"].fn(spark, sf_dir).collect()
     )
     assert stream == batch and len(batch) > 0
+
+
+def test_banded_buckets_agree_with_exact_terciles(spark, sf_dir):
+    # x106b (sketch cut points) vs x106 (exact NTILE): per-(lang, bucket)
+    # doc counts may differ only by the sketch's rank error around the two
+    # cuts — at accuracy 10000 and fixture sizes, by at most 1 doc.
+    from presto_weather_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["lang"], r["ppl_bucket"]): r["n_docs"]
+        for r in qs["x106_ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()
+    }
+    banded = {
+        (r["lang"], r["ppl_bucket"]): r["n_docs"]
+        for r in qs["x106b_ccnet_buckets_banded"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(banded)
+    for k in exact:
+        assert abs(exact[k] - banded[k]) <= 1, (k, exact[k], banded[k])
+    assert sum(exact.values()) == sum(banded.values())
+
+
+def test_rouge_decontamination_catches_paraphrase(spark):
+    # x113 on a planted corpus: eval doc 0 (doc_id % 97 == 0) leaked into
+    # train doc 1 with an insertion every few tokens — every 8-gram is
+    # broken but the LCS covers the whole eval doc; an unrelated train doc
+    # shares a blocking gram yet scores low and is NOT flagged.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    ev = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    # same 12 tokens in order with insertions every 4 tokens (so one
+    # blocking 4-gram survives but longer grams break) -> LCS recall 1.0
+    leak = ("alpha beta gamma delta XX epsilon zeta eta theta YY iota "
+            "kappa lam mu")
+    # shares the 4-gram "alpha beta gamma delta" then diverges completely
+    near = ("alpha beta gamma delta quartz topaz opal jasper onyx agate "
+            "beryl garnet pearl amber lion tiger")
+    rows = [
+        (0, ev, "en", "s", 1),
+        (1, leak, "en", "s", 1),
+        (2, near, "en", "s", 1),
+        (3, "totally unrelated words only here nothing shared at all", "en", "s", 1),
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_rouge")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    res = {
+        (r["train_id"], r["eval_id"]): r
+        for r in all_queries()["x113_rouge_decontamination"].fn(spark, out).collect()
+    }
+    assert (1, 0) in res and res[(1, 0)]["rouge_l_recall"] == 1.0
+    assert res[(1, 0)]["contaminated"]
+    assert (2, 0) in res and not res[(2, 0)]["contaminated"]
+    assert res[(2, 0)]["lcs_tokens"] == 4
+    assert not any(t == 3 for (t, _e) in res)
