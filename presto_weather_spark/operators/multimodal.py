@@ -551,3 +551,102 @@ def x05e_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav.mapInPandas(dec, WAV_DECODE_SCHEMA).select(
         "doc_id", "sample_rate", "n_samples", "n_bytes", "duration_ms"
     )
+
+
+# ---------------------------------------------------------------------------
+# X5f — audio loudness screen over the real WAV decode path
+# ---------------------------------------------------------------------------
+
+LOUDNESS_RMS_GATE = 8000  # int16 RMS below this -> 'quiet'
+
+
+@register(
+    "x05f_audio_loudness_screen",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, (ascii(substr(text, i, 1)) - 128) * 256 AS s
+  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+),
+st AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(abs(s)) AS INT) AS peak,
+         CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         CAST(sum(s * s) AS BIGINT) AS sum_sq
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id, n_samples, peak,
+       round(CAST(sum_abs AS DOUBLE) / n_samples, 6) AS mean_abs,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
+       round(20 * log10(32767.0 / peak), 6) AS norm_gain_db,
+       CASE WHEN sum_sq < n_samples * {LOUDNESS_RMS_GATE * LOUDNESS_RMS_GATE}
+            THEN 'quiet' ELSE 'ok' END AS loudness_gate
+FROM st
+""",
+    doc="X5f: audio LOUDNESS screen — the curation rule the x05e decode "
+    "path exists to feed: per clip, peak amplitude, mean |amplitude|, "
+    "RMS, the gain (dB) that would normalize peak to full scale, and a "
+    "quiet/ok gate — the standard silence/low-energy filter before "
+    "audio enters a training mix. The kernel REALLY decodes: x05e's "
+    "PCM16 WAV payloads are parsed back with the stdlib wave codec and "
+    "the stats computed from the int16 frames (no source-text "
+    "peeking); the oracle replays the sample algebra ((byte-128)*256 "
+    "per utf-8 byte) so the full decode->stats round-trip is "
+    "hash-verified. Determinism: peak/sum|s|/sum s^2 are exact "
+    "integers (s^2 <= 2^30, summed in int64), the gate compares "
+    "sum_sq < n*gate^2 in INTEGER space, and only the final "
+    "mean/rms/dB divisions are floats (6dp-rounded). Scale: both "
+    "kernels are partition-local Arrow passes — encode and decode "
+    "fuse into one stage, zero shuffles.",
+)
+def x05f_audio_loudness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "peak", "mean_abs", "rms",
+                "norm_gain_db", "loudness_gate",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = encode_wav(text if isinstance(text, str) else None)
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+                if n == 0:
+                    continue  # empty clip: no stats row (oracle drops it too)
+                pcm = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                a = np.abs(pcm)
+                peak = int(a.max())
+                sum_abs = int(a.sum())
+                sum_sq = int((pcm * pcm).sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(n)
+                rows["peak"].append(peak)
+                rows["mean_abs"].append(round(sum_abs / n, 6))
+                rows["rms"].append(round(math.sqrt(sum_sq / n), 6))
+                rows["norm_gain_db"].append(
+                    round(20 * math.log10(32767.0 / peak), 6)
+                )
+                rows["loudness_gate"].append(
+                    "quiet"
+                    if sum_sq < n * LOUDNESS_RMS_GATE * LOUDNESS_RMS_GATE
+                    else "ok"
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id bigint, n_samples bigint, peak int, mean_abs double, "
+        "rms double, norm_gain_db double, loudness_gate string",
+    )

@@ -74,3 +74,28 @@ def test_x05e_query_matches_size_algebra(spark):
         assert got["n_samples"] == n_bytes_text
         assert got["n_bytes"] == 44 + 2 * n_bytes_text
         assert got["sample_rate"] == WAV_SAMPLE_RATE
+
+
+def test_loudness_screen_gates_planted_amplitudes(spark):
+    # x05f on planted clips: a low-byte-spread doc (letters only, |s| <=
+    # ~8k) gates 'quiet'; a doc with spaces (|s| = 24576 spikes) raises
+    # RMS past the 8000 gate -> 'ok'; gain is peak-referenced.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    rows = [
+        (1, "mmmmmmmm", "en", "s", 8),           # |s| = (109-128)*256 -> 4864
+        (2, "a b c d e f g h", "en", "s", 15),   # spaces spike to 24576
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_loudness")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    res = {
+        r["doc_id"]: r
+        for r in all_queries()["x05f_audio_loudness_screen"].fn(spark, out).collect()
+    }
+    assert res[1]["loudness_gate"] == "quiet" and res[1]["peak"] == 4864
+    assert res[1]["rms"] == 4864.0  # constant signal: rms == peak
+    assert res[2]["loudness_gate"] == "ok" and res[2]["peak"] == 24576
