@@ -850,3 +850,159 @@ def x109_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= AES_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# X114 — metadata information gain on the quality gate
+# ---------------------------------------------------------------------------
+
+
+def _x86_keep_sql() -> str:
+    """DuckDB expression for x86's integer-exact composite keep flag."""
+    return (
+        "(len(string_split(text, ' ')) BETWEEN 30 AND 10000) "
+        "AND length(text) - len(string_split(text, ' ')) + 1 "
+        "    >= 3 * len(string_split(text, ' ')) "
+        "AND length(text) - len(string_split(text, ' ')) + 1 "
+        "    <= 10 * len(string_split(text, ' ')) "
+        f"AND len(list_filter(string_split(text, ' '), "
+        f"        w -> list_contains({list(STOPWORDS)!r}, w))) * 50 "
+        "    >= len(string_split(text, ' ')) "
+        "AND (length(text) "
+        "     - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 10 "
+        "    <= length(text)"
+    )
+
+
+@register(
+    "x114_metadata_information_gain",
+    oracle=f"""
+WITH base AS (
+  SELECT lang, source, ({_x86_keep_sql()}) AS keep FROM documents
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+gate AS (
+  SELECT round(CAST(SUM(CAST(-(c / n) * ln(c / n) AS DECIMAL(28,18)))
+               AS DOUBLE), 6) AS h_gate
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM base GROUP BY keep)
+  CROSS JOIN tot
+),
+lab AS (
+  SELECT 'lang' AS field, lang AS v, keep FROM base
+  UNION ALL
+  SELECT 'source' AS field, source AS v, keep FROM base
+),
+cell AS (
+  SELECT field, v, keep, CAST(count(*) AS DOUBLE) AS c
+  FROM lab GROUP BY field, v, keep
+),
+grp AS (SELECT field, v, SUM(c) AS cv FROM cell GROUP BY field, v),
+hv AS (
+  SELECT cell.field, cell.v, any_value(grp.cv) AS cv,
+         SUM(CAST(-(cell.c / grp.cv) * ln(cell.c / grp.cv)
+                  AS DECIMAL(28,18))) AS h_v
+  FROM cell JOIN grp USING (field, v)
+  GROUP BY cell.field, cell.v
+)
+SELECT hv.field,
+       CAST(count(*) AS BIGINT) AS n_values,
+       gate.h_gate AS entropy_gate,
+       round(CAST(SUM(CAST((hv.cv / tot.n) * CAST(hv.h_v AS DOUBLE)
+                           AS DECIMAL(28,18))) AS DOUBLE), 6)
+           AS cond_entropy,
+       round(gate.h_gate
+             - CAST(SUM(CAST((hv.cv / tot.n) * CAST(hv.h_v AS DOUBLE)
+                             AS DECIMAL(28,18))) AS DOUBLE), 6) AS info_gain
+FROM hv CROSS JOIN tot CROSS JOIN gate
+GROUP BY hv.field, gate.h_gate
+""",
+    doc="X114: metadata INFORMATION GAIN on the quality gate — for each "
+    "metadata field (lang, source): H(gate) - H(gate | field), where "
+    "gate is x86's integer-exact Gopher keep/drop. The curation "
+    "read-out: high gain means the field already explains the quality "
+    "verdict (filter by metadata, skip the expensive content rules for "
+    "that slice — or conversely, a leaking proxy to audit); near-zero "
+    "gain means content rules are doing real work. Pure count algebra: "
+    "every probability is an exact-integer ratio, per-term ln goes "
+    "through DECIMAL(28,18) so both the per-value entropies and their "
+    "weighted sum are aggregation-order-exact, outputs 6dp. Scale: one "
+    "scan computes the gate (zero-shuffle projection), then two "
+    "aggregates over (field, value, gate) cells — cardinality = "
+    "languages + sources, vocab-sized however big the corpus.",
+)
+def x114_metadata_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import STOPWORDS as _SW
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n_words = F.size(ws).cast("bigint")
+    sum_word_len = (F.length("text") - F.size(ws) + 1).cast("bigint")
+    stop_lit = F.array(*[F.lit(s) for s in _SW])
+    stop_count = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_lit, w))
+    ).cast("bigint")
+    sym_count = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("bigint")
+    keep = (
+        n_words.between(30, 10000)
+        & (sum_word_len >= 3 * n_words)
+        & (sum_word_len <= 10 * n_words)
+        & (stop_count * 50 >= n_words)
+        & (sym_count * 10 <= F.length("text").cast("bigint"))
+    )
+    base = d.select("lang", "source", keep.alias("keep")).localCheckpoint(
+        eager=False
+    )  # gate entropy AND both field labelings read it
+    tot = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ent_term = lambda c, n: (  # noqa: E731
+        -(c / n) * F.log(c / n)
+    ).cast("decimal(28,18)")
+    gate = (
+        base.groupBy("keep")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(ent_term(F.col("c"), F.col("n"))).cast("double"), 6)
+            .alias("h_gate")
+        )
+    )
+    lab = base.select(
+        F.lit("lang").alias("field"), F.col("lang").alias("v"), "keep"
+    ).unionAll(
+        base.select(
+            F.lit("source").alias("field"), F.col("source").alias("v"), "keep"
+        )
+    )
+    cell = lab.groupBy("field", "v", "keep").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    grp = cell.groupBy("field", "v").agg(F.sum("c").alias("cv"))
+    hv = (
+        cell.join(F.broadcast(grp), ["field", "v"])
+        .groupBy("field", "v")
+        .agg(
+            F.any_value("cv").alias("cv"),
+            F.sum(ent_term(F.col("c"), F.col("cv"))).alias("h_v"),
+        )
+    )
+    cond = (F.col("cv") / F.col("n")) * F.col("h_v").cast("double")
+    return (
+        hv.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gate))
+        .groupBy("field", "h_gate")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.sum(cond.cast("decimal(28,18)")).cast("double"), 6)
+            .alias("cond_entropy"),
+        )
+        .select(
+            "field",
+            "n_values",
+            F.col("h_gate").alias("entropy_gate"),
+            "cond_entropy",
+            F.round(F.col("h_gate") - F.col("cond_entropy"), 6).alias(
+                "info_gain"
+            ),
+        )
+    )

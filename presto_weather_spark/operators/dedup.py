@@ -2102,3 +2102,155 @@ def x110_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("transitivity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X115 — dedup threshold sensitivity (pair mass vs Jaccard cutoff)
+# ---------------------------------------------------------------------------
+
+X115_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+@register(
+    "x115_dedup_threshold_sensitivity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(CAST(len(t) AS INT) - {CONTAIN_NGRAM - 1}, 0) + 1),
+           i -> array_to_string(list_slice(t, i, i + {CONTAIN_NGRAM - 1}), ' '))) AS gram
+  FROM toks WHERE len(t) >= {CONTAIN_NGRAM}
+),
+df AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(*) BETWEEN {CONTAIN_DF_MIN} AND {CONTAIN_DF_CAP}
+),
+capped AS (SELECT grams.doc_id, grams.gram FROM grams JOIN df USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT p.doc_a, p.doc_b,
+         round(CAST(p.inter_size AS DOUBLE)
+               / (sa.n_grams + sb.n_grams - p.inter_size), 6) AS j
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+),
+th AS (SELECT unnest([{', '.join(str(t) for t in X115_THRESHOLDS)}]) AS threshold),
+hits AS (SELECT th.threshold, jacc.doc_a, jacc.doc_b
+         FROM th JOIN jacc ON jacc.j >= th.threshold),
+pair_counts AS (
+  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM hits GROUP BY threshold
+),
+doc_counts AS (
+  SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+  FROM (SELECT threshold, doc_a AS d FROM hits
+        UNION ALL SELECT threshold, doc_b AS d FROM hits)
+  GROUP BY threshold
+)
+SELECT th.threshold,
+       COALESCE(pair_counts.n_pairs, 0) AS n_pairs,
+       COALESCE(doc_counts.n_docs_affected, 0) AS n_docs_affected
+FROM th
+LEFT JOIN pair_counts USING (threshold)
+LEFT JOIN doc_counts USING (threshold)
+""",
+    doc="X115: dedup threshold SENSITIVITY — before committing a near-dup "
+    "cutoff, the curve every curation run wants: for Jaccard thresholds "
+    f"{X115_THRESHOLDS}, how many candidate pairs survive and how many "
+    "documents are touched (the upper bound on removals). One exact "
+    "pair table (x40's df-capped [{0},{1}] inverted-index join — never "
+    "all-pairs) feeds every threshold: the sweep is a broadcast of 4 "
+    "threshold literals against the pair table, NOT 4 pipeline runs — "
+    "the cost of choosing a threshold is one pair materialization. "
+    "Thresholds compare against the 6dp-rounded Jaccard with identical "
+    "double literals in both engines; empty thresholds surface as "
+    "explicit 0 rows (LEFT JOIN), not absent rows. Scale: everything "
+    "after the gram join is pair-table-sized; the threshold explode "
+    "multiplies the PAIR table by 4, never the corpus.".format(
+        CONTAIN_DF_MIN, CONTAIN_DF_CAP
+    ),
+)
+def x115_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import _spread, _tokens
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    th_doc = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
+    ]
+    grams = (
+        th_doc.select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .select("doc_id", "gh")
+        .distinct()
+        .localCheckpoint(eager=False)  # df filter, sizes, both join sides
+    )
+    df_ok = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(CONTAIN_DF_MIN, CONTAIN_DF_CAP))
+        .select("gh")
+    )
+    capped = grams.join(F.broadcast(df_ok), "gh").localCheckpoint(eager=False)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "gh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    j = F.col("inter_size").cast("double") / (
+        F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("inter_size")
+    )
+    jacc = (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(j, 6).alias("j"))
+        .localCheckpoint(eager=False)  # 4-way threshold fan-out reads it
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in X115_THRESHOLDS], "threshold double"
+    )
+    hits = jacc.crossJoin(F.broadcast(th)).filter(
+        F.col("j") >= F.col("threshold")
+    )
+    pair_counts = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    doc_counts = (
+        hits.select("threshold", F.col("doc_a").alias("d"))
+        .unionAll(hits.select("threshold", F.col("doc_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs_affected"))
+    )
+    return (
+        th.join(F.broadcast(pair_counts), "threshold", "left")
+        .join(F.broadcast(doc_counts), "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs_affected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
