@@ -3985,3 +3985,76 @@ def s74_global_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.join(F.broadcast(offsets), "pid").select(
         "o_orderkey", (F.col("local_rn") + F.col("offset")).alias("global_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# X116 — semi-structured field census over the JSON props column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x116_json_field_census",
+    oracle="""
+WITH tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+),
+kv AS (
+  SELECT event_type, k.key,
+         json_extract_string(props, '$.' || k.key) AS val
+  FROM events, unnest(json_keys(props)) AS k(key)
+),
+typed AS (
+  SELECT event_type, key, val,
+         CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+              THEN CAST(val AS BIGINT) END AS iv
+  FROM kv
+)
+SELECT typed.event_type, typed.key,
+       CAST(count(*) AS BIGINT) AS n_with_key,
+       round(CAST(count(*) AS DOUBLE) / any_value(tot.n_events), 6)
+           AS presence_rate,
+       CAST(count(typed.iv) AS BIGINT) AS n_int_values,
+       CAST(min(typed.iv) AS BIGINT) AS min_v,
+       CAST(max(typed.iv) AS BIGINT) AS max_v,
+       round(CAST(SUM(typed.iv) AS DOUBLE) / count(typed.iv), 6) AS avg_v
+FROM typed JOIN tot USING (event_type)
+GROUP BY typed.event_type, typed.key
+""",
+    doc="X116: semi-structured FIELD CENSUS — the schema-inference audit "
+    "for a JSON payload column: per (event_type, json key), how often "
+    "the key is present, how often its value parses as an integer, and "
+    "the value range/mean — what you run before hardening a JSON blob "
+    "into typed columns (which keys are total? which are numeric? which "
+    "event types diverge?). Spark parses each payload ONCE with "
+    "from_json(map<string,string>) and explodes the map — no per-key "
+    "get_json_object re-parse (path literals would re-scan the blob per "
+    "key); the integer test is the same anchored regexp in both "
+    "engines, and integer SUMs stay exact. Scale: one scan + one "
+    "(event_type, key) shuffle whose cardinality is the distinct "
+    "payload schema — key-census tables are always tiny; the per-type "
+    "totals broadcast.",
+)
+def x116_json_field_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    kv = e.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val"),
+    )
+    iv = F.when(F.col("val").rlike(r"^-?[0-9]+$"), F.col("val").cast("bigint"))
+    return (
+        kv.withColumn("iv", iv)
+        .join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_key"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.any_value("n_events"), 6
+            ).alias("presence_rate"),
+            F.count("iv").alias("n_int_values"),
+            F.min("iv").alias("min_v"),
+            F.max("iv").alias("max_v"),
+            F.round(F.sum("iv").cast("double") / F.count("iv"), 6).alias("avg_v"),
+        )
+    )

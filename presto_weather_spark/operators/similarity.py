@@ -1758,3 +1758,115 @@ def x99_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.lit(TOP_K), 6).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X117 — embedding norm screen (degenerate-vector audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x117_embedding_norm_screen",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, label,
+         round({_SQL_NORM.format(v='embedding')}, 6) AS l2_norm
+  FROM embeddings
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         round(CAST(SUM(CAST(l2_norm AS DECIMAL(28,6))) AS DOUBLE)
+               / count(*), 6) AS mean_norm
+  FROM norms
+),
+s AS (
+  SELECT round(sqrt(CAST(SUM(CAST((l2_norm - m.mean_norm) * (l2_norm - m.mean_norm)
+                                  AS DECIMAL(28,18))) AS DOUBLE) / m.n), 6) AS std_norm
+  FROM norms CROSS JOIN m GROUP BY m.n
+)
+SELECT norms.vec_id, norms.label, norms.l2_norm,
+       CASE WHEN s.std_norm = 0 THEN 0.0
+            ELSE round((norms.l2_norm - m.mean_norm) / s.std_norm, 6)
+       END AS z_score,
+       CASE WHEN s.std_norm = 0 THEN 'ok'
+            WHEN abs(round((norms.l2_norm - m.mean_norm) / s.std_norm, 6)) > 3.0
+            THEN 'outlier' ELSE 'ok' END AS norm_flag
+FROM norms CROSS JOIN m CROSS JOIN s
+""",
+    doc="X117: embedding NORM screen — the degenerate-vector audit run "
+    "before any embedding-based dedup/ANN/clustering: per-vector L2 "
+    "norm, its z-score against the corpus distribution, and an "
+    "|z| > 3 outlier flag. Near-zero norms are encoder failures that "
+    "make cosine meaningless; extreme norms dominate un-normalized "
+    "dot products — both silently poison x03/x36-style pipelines. "
+    "Determinism: the norm is a fixed-order fold over the array "
+    "(identical in both engines, the x03 convention) rounded to 6dp; "
+    "mean and variance go through DECIMAL two-pass (never a one-pass "
+    "E[x^2]-E[x]^2, which cancels catastrophically), z is 6dp and the "
+    "flag compares the ROUNDED z; a constant-norm corpus (std 0 — "
+    "unit-normalized embeddings, the fixture case) defines z = 0 with "
+    "nothing flagged, decided by an exact compare on the rounded std. "
+    "Scale: one scan computes norms "
+    "(embeddings never shuffle), two scalar aggregates broadcast back "
+    "— the audit costs two reductions however many vectors.",
+)
+def x117_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ),
+        6,
+    )
+    norms = e.select("vec_id", "label", norm.alias("l2_norm")).localCheckpoint(
+        eager=False
+    )  # mean, std, and the final projection all read it
+    m = norms.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(
+            F.sum(F.col("l2_norm").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+    )
+    dev = (F.col("l2_norm") - F.col("mean_norm")) * (
+        F.col("l2_norm") - F.col("mean_norm")
+    )
+    s = (
+        norms.crossJoin(F.broadcast(m))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(dev.cast("decimal(28,18)")).cast("double") / F.col("n")
+                ),
+                6,
+            ).alias("std_norm")
+        )
+        .select("std_norm")
+    )
+    # a constant-norm corpus (e.g. unit-normalized embeddings, the fixture
+    # case) has std 0: z is defined as 0 and nothing flags — the guard is an
+    # exact compare on the ROUNDED std in both engines (no ANSI div-by-zero)
+    zero = F.col("std_norm") == 0.0
+    z = F.when(zero, F.lit(0.0)).otherwise(
+        F.round((F.col("l2_norm") - F.col("mean_norm")) / F.col("std_norm"), 6)
+    )
+    return (
+        norms.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            "label",
+            "l2_norm",
+            z.alias("z_score"),
+            F.when(zero, "ok")
+            .when(F.abs(z) > 3.0, "outlier")
+            .otherwise("ok")
+            .alias("norm_flag"),
+        )
+    )

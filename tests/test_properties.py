@@ -1014,3 +1014,36 @@ def test_rouge_decontamination_catches_paraphrase(spark):
     assert (2, 0) in res and not res[(2, 0)]["contaminated"]
     assert res[(2, 0)]["lcs_tokens"] == 4
     assert not any(t == 3 for (t, _e) in res)
+
+
+def test_norm_screen_flags_planted_outliers(spark):
+    # x117 on a planted embedding table: many unit-ish vectors, one
+    # near-zero (encoder failure) and one huge — both must flag 'outlier'
+    # with opposite z signs; the bulk stays 'ok'.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], i % 3) for i in range(40)]
+    rows.append((100, [0.001, 0.0, 0.0, 0.0], 0))   # near-zero norm
+    rows.append((101, [2.0, 0.0, 0.0, 0.0], 1))     # doubled norm
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_normscreen")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    res = {
+        r["vec_id"]: r
+        for r in all_queries()["x117_embedding_norm_screen"].fn(spark, out).collect()
+    }
+    assert res[100]["norm_flag"] == "outlier" and res[100]["z_score"] < 0
+    assert res[101]["norm_flag"] == "outlier" and res[101]["z_score"] > 0
+    assert all(res[i]["norm_flag"] == "ok" for i in range(40))
+
+
+def test_norm_screen_constant_corpus_defines_z_zero(spark, sf_dir):
+    # The fixture embeddings are unit-normalized -> std 0: every z must be
+    # exactly 0.0 and nothing flags (the degenerate-guard branch).
+    from presto_weather_spark.registry import all_queries
+
+    rows = all_queries()["x117_embedding_norm_screen"].fn(spark, sf_dir).collect()
+    assert rows and all(r["z_score"] == 0.0 and r["norm_flag"] == "ok" for r in rows)
