@@ -630,3 +630,103 @@ def s01d_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "c_custkey bigint, c_name string, c_mktsegment string, acctbal double"
     ).json(out)
+
+
+@register(
+    "s75_dynamic_partition_pruning",
+    oracle="""
+WITH stages(event_type, funnel_stage) AS (
+  VALUES ('view', 'awareness'), ('click', 'conversion'),
+         ('purchase', 'conversion'), ('signup', 'acquisition'),
+         ('logout', 'retention')
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events e
+JOIN stages ON stages.event_type = e.event_type
+WHERE stages.funnel_stage = 'conversion'
+GROUP BY e.event_type
+""",
+    doc="S75: DYNAMIC partition pruning — s02b prunes on a literal "
+    "predicate the planner sees; this is the join-driven case: the "
+    "fact is laid out partitionBy(event_type), the filter lives on a "
+    "DIMENSION attribute (funnel_stage = 'conversion'), so which fact "
+    "partitions survive is unknowable at plan time. Spark inserts a "
+    "DynamicPruningSubquery: the broadcast dim executes first and its "
+    "surviving join keys prune fact DIRECTORIES before any fact IO — "
+    "at 100 TB the difference between scanning 2 of N partitions and "
+    "scanning all of them, with no literal predicate anywhere. The "
+    "dynamicpruning expression in the scan's PartitionFilters is "
+    "plan-asserted; value sums ride DECIMAL for order-exactness.",
+)
+def s75_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    )
+    out = os.path.join(
+        scratch_root(),
+        "pws_dpp_fact",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    stages = spark.createDataFrame(
+        [
+            ("view", "awareness"),
+            ("click", "conversion"),
+            ("purchase", "conversion"),
+            ("signup", "acquisition"),
+            ("logout", "retention"),
+        ],
+        "event_type string, funnel_stage string",
+    )
+    dim = stages.filter(F.col("funnel_stage") == "conversion")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "x118_pseudonymized_export",
+    oracle="""
+SELECT event_id,
+       substr(sha256('pws:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_user,
+       event_type,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+""",
+    doc="X118: pseudonymized EXPORT — the privacy-preserving share shape "
+    "for training/analytics data: user_id replaced by a salted SHA-256 "
+    "digest (16 hex chars), timestamps coarsened to days, everything "
+    "else intact. The pseudonym is deterministic, so joins and "
+    "per-user aggregations still work downstream (same user -> same "
+    "token) while the raw id never leaves the engine — and because "
+    "the hash is content-derived it is stable across exports and "
+    "repartitionings, unlike a monotonically_increasing_id remap. "
+    "Both engines compute the identical lowercase-hex SHA-256 of the "
+    "same salted string, so the export is hash-verified end to end. "
+    "Scale: pure scan-side projection, zero shuffles; at 16 hex chars "
+    "(64 bits) the birthday collision odds at 10^9 users are ~3%, and "
+    "the full digest is one substr away when that matters.",
+)
+def x118_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pseudo = F.substring(
+        F.sha2(F.concat(F.lit("pws:"), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    return e.select(
+        "event_id",
+        pseudo.alias("pseudo_user"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )

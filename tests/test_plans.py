@@ -606,3 +606,12 @@ def test_global_row_numbering_no_single_partition_window(spark, sf_dir):
     assert "windowspecdefinition(pid#" in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """s75: the fact scan must carry a dynamicpruning subquery — the dim's
+    surviving join keys prune fact directories at runtime. Without it the
+    join scans every partition and the operator is just s04 with extra
+    steps."""
+    plan = formatted_plan(_df("s75_dynamic_partition_pruning", spark, sf_dir))
+    assert "dynamicpruning" in plan, plan[:2000]
