@@ -4058,3 +4058,90 @@ def x116_json_field_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("iv").cast("double") / F.count("iv"), 6).alias("avg_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X119 — association rules over per-user event baskets (support/lift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x119_event_association_rules",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+item AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a FROM baskets GROUP BY event_type),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / n.n_users, 6) AS support,
+       round(CAST(p.n_ab AS DOUBLE) / ia.n_a, 6) AS confidence_a_to_b,
+       round(CAST(p.n_ab AS DOUBLE) * n.n_users / (ia.n_a * ib.n_a), 6) AS lift
+FROM pair p
+JOIN item ia ON ia.event_type = p.type_a
+JOIN item ib ON ib.event_type = p.type_b
+CROSS JOIN n
+""",
+    doc="X119: association rules — market-basket analysis over per-user "
+    "event-type baskets: for every type pair, support (fraction of "
+    "users with both), confidence (P(B|A)), and lift (observed/expected "
+    "co-occurrence) — the classic 'users who X also Y' analytics "
+    "surface the engine was missing. All numerators/denominators are "
+    "exact BIGINT distinct counts; every ratio divides integers "
+    "(products < 2^53, exact in double) in identical expression shape, "
+    "6dp. Scale: baskets = one distinct on (user, type) — the same "
+    "shuffle a sessionization pays; the pair join explodes per-user "
+    "type sets, bounded by the TYPE vocabulary (k types -> <= k(k-1)/2 "
+    "rows per user), never by event volume; item/total tables are "
+    "type-vocabulary-sized and broadcast.",
+)
+def x119_event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )  # item counts, pair join (both sides), and n_users all read it
+    n = baskets.agg(F.count_distinct("user_id").alias("n_users"))
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    pair = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia, ib = item.alias("ia"), item.alias("ib")
+    return (
+        pair.join(F.broadcast(ia), F.col("type_a") == F.col("ia.event_type"))
+        .join(F.broadcast(ib), F.col("type_b") == F.col("ib.event_type"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("ia.n_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_users")
+                / (F.col("ia.n_a") * F.col("ib.n_a")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1038,3 +1038,122 @@ def s14p_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("max_seen"))
         .select("source", "doc_id", "n_chars", "aes_key", "sample_rank")
     )
+
+
+@register(
+    "s14q_stream_checkpoint_recovery",
+    # Exactly-once resume makes the final MV equal the batch aggregate, so
+    # the recovery scenario carries a full SQL oracle.
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="S14q: CHECKPOINT RECOVERY — the property streaming correctness "
+    "actually rests on, executed end to end: the events table is staged "
+    "as two files; run 1 streams file A into a foreachBatch MV merge "
+    "under a checkpoint; run 2 starts a NEW query against the SAME "
+    "checkpoint after file B lands, and the file-source offset log "
+    "replays NOTHING from A — only B's rows merge (per-epoch processed "
+    "counts are journaled and the no-reprocessing claim is pinned in "
+    "tests/test_stream_recovery.py). Because resume is exactly-once, "
+    "the final MV is byte-equal to the batch aggregate over the whole "
+    "table — a full SQL oracle for a crash-recovery scenario. Scale: "
+    "this is the operational shape of every production stream (restart "
+    "beats rewind); state is the MV itself, merge cost is per-batch "
+    "partials, and the checkpoint holds offsets, not data.",
+)
+def s14q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+
+    from presto_weather_spark.session import load_table as _load
+
+    base = _os.path.join(
+        scratch_root(),
+        "pws_stream_recovery",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = _os.path.join(base, "in")
+    mv_path = _os.path.join(base, "mv")
+    ckpt = _os.path.join(base, "ckpt")
+    journal = _os.path.join(base, "journal.jsonl")
+    _os.makedirs(stream_dir, exist_ok=True)
+
+    e = _load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # two arrival waves: A (even ids) lands before the first run, B after
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(stream_dir, "wave_a"))
+
+    schema = "event_id bigint, event_type string, value double"
+
+    def merge_into_mv(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+        )
+        if _os.path.isdir(mv_path):
+            merged = (
+                batch_df.sparkSession.read.parquet(mv_path)
+                .unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value_dec").alias("sum_value_dec"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = f"{mv_path}_epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.isdir(mv_path):
+            shutil.rmtree(mv_path)
+        _os.replace(tmp, mv_path)
+        with open(journal, "a") as fh:
+            fh.write(_json.dumps({"epoch": int(epoch_id), "rows": batch_df.count()}) + "\n")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(merge_into_mv)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes wave A only
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(stream_dir, "wave_b"))
+    run_once()  # SAME checkpoint: must replay nothing, merge only wave B
+
+    return (
+        spark.read.parquet(mv_path)
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value_dec").cast("double"), 6).alias("total_value"),
+        )
+        .localCheckpoint()
+    )
+
+
+def recovery_journal_path(sf_dir: str) -> str:
+    """Where s14q journals per-epoch processed row counts (for the
+    no-reprocessing pin in tests/test_stream_recovery.py)."""
+    import os as _os
+
+    return _os.path.join(
+        scratch_root(),
+        "pws_stream_recovery",
+        _os.path.basename(_os.path.normpath(sf_dir)),
+        "journal.jsonl",
+    )
