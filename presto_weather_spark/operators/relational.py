@@ -4145,3 +4145,164 @@ def x119_event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X120 — cohort retention matrix over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x120_cohort_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events
+),
+first_wk AS (
+  SELECT user_id, MIN(wk) AS cohort_week FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first_wk GROUP BY cohort_week
+),
+ret AS (
+  SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM activity a JOIN first_wk f USING (user_id)
+  GROUP BY f.cohort_week, a.wk - f.cohort_week
+)
+SELECT ret.cohort_week, ret.week_offset, ret.n_active, sizes.cohort_size,
+       round(CAST(ret.n_active AS DOUBLE) / sizes.cohort_size, 6) AS retention
+FROM ret JOIN sizes USING (cohort_week)
+""",
+    doc="X120: COHORT RETENTION — the product-analytics staple the engine "
+    "was missing: users grouped by first-activity week, then for every "
+    "(cohort, week-offset) the fraction still active. Weeks are integer "
+    "epoch-week numbers (floor(epoch/604800)) so the bucketing is "
+    "engine-exact — no date_trunc('week') start-of-week convention to "
+    "disagree on; counts are exact distinct BIGINTs, retention divides "
+    "integers, 6dp. Scale: one (user, week) distinct (the activity "
+    "spine), a per-user MIN, and one join back on user_id — all three "
+    "share the user_id partitioning; cohort tables are "
+    "weeks x offsets sized, trivially small at any event volume.",
+)
+def x120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    activity = e.select("user_id", wk.alias("wk")).distinct().localCheckpoint(
+        eager=False
+    )  # first_wk AND the retention join read it
+    first_wk = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = first_wk.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        activity.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X121 — RFM customer segmentation (quintile scores over orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x121_rfm_segmentation",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency, round(monetary, 2) AS monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN r_score <= 2 THEN 'recent'
+            WHEN f_score <= 2 THEN 'loyal_lapsing'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+    doc="X121: RFM SEGMENTATION — recency / frequency / monetary quintile "
+    "scores per customer plus the standard segment labels "
+    "(champion / recent / loyal_lapsing / hibernating / regular): the "
+    "marketing-analytics workhorse built from one orders aggregate. "
+    "Recency is integer days against the corpus max date (a broadcast "
+    "scalar), monetary rides DECIMAL(18,2), and every NTILE orders by "
+    "(metric, custkey) so quintile edges are engine-exact. Scale: one "
+    "custkey aggregate, then three rank windows over the CUSTOMER "
+    "table (orders never sort); at 100 TB the same swap as x106b "
+    "applies — approx-percentile cut points instead of NTILE ranking "
+    "if even the customer table outgrows per-partition sort.",
+)
+def x121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon_dec"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            F.col("mon_dec").cast("double").alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = (
+        per_cust.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
