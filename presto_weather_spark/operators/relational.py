@@ -4306,3 +4306,193 @@ def x121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X122 — A/B test analysis (hash-assigned variants, two-proportion z)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x122_ab_test_analysis",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 4)) AS INT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM assigned GROUP BY variant
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 'A' THEN n_users END) AS na,
+         MAX(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+         MAX(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+         MAX(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+  FROM cells
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0
+            ELSE round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                       / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                              * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                              * (1.0 / na + 1.0 / nb)), 6)
+       END AS z_statistic
+FROM w
+""",
+    doc="X122: A/B TEST analysis — the experimentation readout: users "
+    "hash-assigned to variants (the x07/x12 md5 primitive, so "
+    "assignment is reproducible, balanced, and stable under "
+    "repartitioning — exactly how production experiment bucketing "
+    "works), per-variant conversion (any purchase event), and the "
+    "pooled two-proportion z statistic. Every count is an exact "
+    "BIGINT; rates and z divide integer-derived doubles in identical "
+    "expression shape, 6dp; all-/none-converted pools (zero pooled "
+    "variance) define z = 0 via an integer equality — the pivoted "
+    "single-row output keeps the "
+    "final arithmetic scalar. Scale: one user_id aggregate (conversion "
+    "flag is a MAX over the user's events — no distinct explosion), "
+    "one 2-row variant aggregate, one pivot; assignment adds zero "
+    "data movement because it derives from the grouping key itself.",
+)
+def x122_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    assigned = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted"),
+    ).withColumn("variant", F.when(bucket == 0, "A").otherwise("B"))
+    cells = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = cells.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    # all-converted / none-converted pools make the pooled variance 0 —
+    # the z statistic is undefined; report 0.0, decided by an INTEGER
+    # equality in both engines (no float compare, no ANSI div-by-zero)
+    degenerate = (F.col("ca") + F.col("cb") == 0) | (
+        F.col("ca") + F.col("cb") == F.col("na") + F.col("nb")
+    )
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            ),
+            6,
+        )
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X123 — volume anomaly detection (median/MAD screen per event type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x123_volume_anomaly_mad",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+),
+med AS (
+  SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med_n
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT daily.event_type, daily.day, daily.n, med.med_n,
+         abs(daily.n - med.med_n) AS ad
+  FROM daily JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad_n
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, dev.day, dev.n, dev.med_n, mad.mad_n,
+       CASE WHEN mad.mad_n = 0
+            THEN (CASE WHEN dev.ad > 0 THEN 'anomaly' ELSE 'normal' END)
+            WHEN round(dev.ad / mad.mad_n, 6) > 3.5 THEN 'anomaly'
+            ELSE 'normal' END AS volume_flag
+FROM dev JOIN mad USING (event_type)
+""",
+    doc="X123: VOLUME ANOMALY screen — the ops-monitoring read on the "
+    "event stream: per (event_type, day) counts flagged against the "
+    "type's median via the MAD rule (|n - median| / MAD > 3.5, the "
+    "robust-statistics standard — mean/stddev screens are blown up by "
+    "the very outliers they hunt). Medians are the s58 exact "
+    "percentile_cont convention (6dp-rounded both sides); the MAD=0 "
+    "degenerate (a perfectly steady series) flags any deviation, "
+    "decided on the ROUNDED mad so both engines branch together. "
+    "Scale: daily counts are a (type, day) aggregate — the screen's "
+    "input is days x types rows however large the stream; the exact "
+    "medians run over that tiny table (the s58 bounded-group rule), "
+    "with the x100 sketch as the swap if the spine ever isn't tiny.",
+)
+def x123_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )  # the median AND the deviation join read it
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("med_n")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med_n"))
+    ).localCheckpoint(eager=False)  # the MAD AND the final join read it
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("ad", F.lit(0.5)), 6).alias("mad_n")
+    )
+    flag = (
+        F.when(
+            F.col("mad_n") == 0,
+            F.when(F.col("ad") > 0, "anomaly").otherwise("normal"),
+        )
+        .when(F.round(F.col("ad") / F.col("mad_n"), 6) > 3.5, "anomaly")
+        .otherwise("normal")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type", "day", "n", "med_n", "mad_n", flag.alias("volume_flag")
+    )
