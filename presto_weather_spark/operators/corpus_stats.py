@@ -1006,3 +1006,66 @@ def x114_metadata_information_gain(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X124 — Gini concentration of corpus mass across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x124_gini_concentration",
+    oracle="""
+WITH mass AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, chars,
+         row_number() OVER (ORDER BY chars, source) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(chars) OVER () AS BIGINT) AS total
+  FROM mass
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_sources,
+       CAST(any_value(total) AS BIGINT) AS total_chars,
+       round(CAST(2 * SUM(rk * chars) AS DOUBLE)
+             / (any_value(n) * any_value(total))
+             - CAST(any_value(n) + 1 AS DOUBLE) / any_value(n), 6) AS gini
+FROM ranked
+""",
+    doc="X124: GINI concentration — how unequal the corpus mass is across "
+    "sources (G = 2*Sigma(i*x_i)/(n*Sigma x) - (n+1)/n over ascending-"
+    "sorted mass): the one-number balance audit behind mixture "
+    "decisions — G near 0 says sources contribute evenly, G near 1 "
+    "says one scraper dominates and the x28/x93 reweighting operators "
+    "have work to do. Sigma(i*x_i) is an exact integer (rank x chars, "
+    "< 2^63 at any realistic corpus), so the 6dp Gini is "
+    "engine-identical; ranks tie-break on source name. Scale: the "
+    "sort/rank runs over the SOURCE table (one row per source), never "
+    "documents — the single corpus-sized operation is the per-source "
+    "SUM, one shuffle on a low-cardinality key (salt it if one source "
+    "is itself skewed, the s05h pattern).",
+)
+def x124_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mass = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    w_rk = Window.orderBy(F.col("chars"), F.col("source"))
+    w_all = Window.partitionBy()
+    ranked = mass.select(
+        "source",
+        "chars",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("chars").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("bigint").alias("n_sources"),
+        F.any_value("total").cast("bigint").alias("total_chars"),
+        F.round(
+            (2 * F.sum(F.col("rk") * F.col("chars"))).cast("double")
+            / (F.any_value("n") * F.any_value("total"))
+            - (F.any_value("n") + 1).cast("double") / F.any_value("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -4496,3 +4496,81 @@ def x123_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.join(F.broadcast(mad), "event_type").select(
         "event_type", "day", "n", "med_n", "mad_n", flag.alias("volume_flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# X125 — seasonal-naive forecast backtest over the event stream
+# ---------------------------------------------------------------------------
+
+SEASONAL_LAG_DAYS = 7
+
+
+@register(
+    "x125_seasonal_naive_backtest",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_no,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, floor(epoch(ts) / 86400)
+),
+joined AS (
+  SELECT a.event_type, a.day_no, a.n AS actual, f.n AS forecast
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type
+   AND f.day_no = a.day_no - {SEASONAL_LAG_DAYS}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(SUM(abs(actual - forecast)) AS BIGINT) AS abs_err_total,
+       round(CAST(SUM(abs(actual - forecast)) AS DOUBLE) / count(*), 6) AS mae,
+       round(CAST(SUM(CAST(round(CAST(abs(actual - forecast) AS DOUBLE)
+                                 / actual, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS mape
+FROM joined
+GROUP BY event_type
+""",
+    doc="X125: FORECAST BACKTEST — the seasonal-naive baseline "
+    "(yhat(d) = y(d-7)) every real forecasting effort must beat, "
+    "evaluated per event type with MAE and MAPE over the aligned "
+    "days. Days are integer epoch-day numbers (the x120 convention — "
+    "no date arithmetic to disagree on) and the 7-day alignment is an "
+    "integer equi-join; absolute errors are exact BIGINTs, each "
+    "per-day relative error is 6dp-rounded THEN DECIMAL-summed so "
+    "MAPE is aggregation-order-exact (actual > 0 by construction: "
+    "count rows exist only for active days). Scale: the backtest "
+    "input is the (type, day) count spine; the self-join is "
+    "spine-sized and co-partitioned on event_type — adding horizons "
+    "(d-1, d-14, ...) multiplies the SPINE, not the event volume.",
+)
+def x125_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day_no"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )  # both self-join sides read it
+    a, f_ = daily.alias("a"), daily.alias("f")
+    joined = a.join(
+        f_,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day_no") == F.col("a.day_no") - SEASONAL_LAG_DAYS),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("actual"),
+        F.col("f.n").alias("forecast"),
+    )
+    abs_err = F.abs(F.col("actual") - F.col("forecast"))
+    rel_err = F.round(abs_err.cast("double") / F.col("actual"), 6)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(abs_err).cast("bigint").alias("abs_err_total"),
+        F.round(F.sum(abs_err).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae"
+        ),
+        F.round(
+            F.sum(rel_err.cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+    )
