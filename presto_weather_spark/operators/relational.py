@@ -4574,3 +4574,155 @@ def x125_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X126 — user-journey Markov transitions (event-type flow matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x126_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+outdeg AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_out
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans, o.n_out,
+       round(CAST(t.n_trans AS DOUBLE) / o.n_out, 6) AS p_transition
+FROM trans t JOIN outdeg o USING (from_type)
+""",
+    doc="X126: MARKOV TRANSITION matrix — the user-journey flow readout: "
+    "for every (from, to) event-type pair, the first-order transition "
+    "probability P(next=to | current=from) over per-user time-ordered "
+    "event sequences. The product question it answers: where do users "
+    "actually go after a view / click / signup — the input to funnel "
+    "design, next-action prediction baselines, and journey anomaly "
+    "detection. Ordering ties break on (ts, event_id) — the composite "
+    "the fixtures require — so lead() pairs identically in both "
+    "engines; counts exact, probabilities 6dp integer ratios. Scale: "
+    "one user_id-partitioned window over events (the x13/s27 shuffle), "
+    "then aggregates on the types x types matrix — vocabulary-sized "
+    "output at any event volume.",
+)
+def x126_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    outdeg = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_out"))
+    return trans.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_out",
+        F.round(F.col("n_trans").cast("double") / F.col("n_out"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X127 — experiment power analysis (sample size per arm across MDE grid)
+# ---------------------------------------------------------------------------
+
+POWER_MDES = (0.01, 0.02, 0.05, 0.10)  # absolute minimum detectable effects
+Z_ALPHA_2 = 1.959964  # two-sided alpha = 0.05
+Z_BETA = 0.841621  # power = 0.80
+
+
+@register(
+    "x127_power_analysis",
+    oracle=f"""
+WITH base AS (
+  SELECT round(CAST(SUM(CASE WHEN has_p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS p0
+  FROM (
+    SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+    FROM events GROUP BY user_id
+  )
+),
+grid AS (SELECT unnest([{', '.join(str(m) for m in POWER_MDES)}]) AS mde),
+dirn AS (
+  SELECT grid.mde, base.p0,
+         CASE WHEN base.p0 + grid.mde > 1.0
+              THEN round(base.p0 - grid.mde, 6)
+              ELSE round(base.p0 + grid.mde, 6) END AS p1
+  FROM grid CROSS JOIN base
+)
+SELECT mde, p0, p1,
+       CAST(ceil(
+         power({Z_ALPHA_2} * sqrt(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
+               + {Z_BETA} * sqrt(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+         / (mde * mde)) AS BIGINT) AS n_per_arm
+FROM dirn
+""",
+    doc="X127: POWER ANALYSIS — the planning half of the x122 experiment "
+    "loop: given the observed baseline conversion rate p0, the sample "
+    "size per arm needed to detect each absolute MDE on a grid "
+    f"{POWER_MDES} at alpha=0.05 (two-sided) / power=0.80, via the "
+    "standard two-proportion formula n = (z_a*sqrt(2*pbar*qbar) + "
+    "z_b*sqrt(p0*q0 + p1*q1))^2 / mde^2. The z constants are shared "
+    "literals; p0 is a 6dp-rounded exact-integer ratio, so the whole "
+    "computation is identical scalar IEEE arithmetic in both engines, "
+    "with the one scale-sensitive step (ceil to an integer n) applied "
+    "to already-rounded inputs; a saturated baseline (p0 + mde > 1) "
+    "flips to the downward test of the same size, branch decided on "
+    "the 6dp p0 identically in both engines, "
+    "to a value whose inputs are already rounded. Like x103, the "
+    "grid math is corpus-independent — the only data touched is one "
+    "user-level aggregate for p0. Scale: one user_id aggregate + a "
+    "4-row grid cross join.",
+)
+def x127_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_p")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("has_p") > 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("p0")
+        )
+    )
+    grid = spark.createDataFrame([(m,) for m in POWER_MDES], "mde double")
+    p0, mde = F.col("p0"), F.col("mde")
+    # a saturated baseline (p0 + mde > 1, e.g. every fixture user converts)
+    # flips the test direction: detect the DOWNWARD effect of the same size
+    p1 = F.when(p0 + mde > 1.0, F.round(p0 - mde, 6)).otherwise(
+        F.round(p0 + mde, 6)
+    )
+    dirn = grid.crossJoin(F.broadcast(base)).select("mde", "p0", p1.alias("p1"))
+    p1c, pbar = F.col("p1"), (F.col("p0") + F.col("p1")) / 2
+    n = F.ceil(
+        F.pow(
+            F.lit(Z_ALPHA_2) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(Z_BETA) * F.sqrt(p0 * (1 - p0) + p1c * (1 - p1c)),
+            F.lit(2.0),
+        )
+        / (mde * mde)
+    ).cast("bigint")
+    return dirn.select("mde", "p0", "p1", n.alias("n_per_arm"))
