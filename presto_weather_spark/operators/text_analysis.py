@@ -4735,3 +4735,103 @@ def x113_rouge_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("rouge_l_recall"),
         (recall >= ROUGE_CONTAM_MIN).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X128 — reciprocal rank fusion (BM25 x quality-prior hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF smoothing constant (Cormack et al. 2009)
+RRF_TOP_K = 5
+
+
+def _quality_rank_sql() -> str:
+    return """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / length(text), 6) DESC, doc_id) AS q_rank
+FROM documents
+"""
+
+
+@register(
+    "x128_rrf_hybrid_retrieval",
+    oracle=None,  # composed below from x89's oracle at registration time
+    doc="X128: RECIPROCAL RANK FUSION — the standard hybrid-retrieval "
+    "combiner (Cormack et al. 2009): fuse the x89 BM25 ranking with a "
+    "corpus quality-prior ranking (x09's alphabetic-ratio score) via "
+    f"RRF(d) = 1/({RRF_K}+r_bm25) + 1/({RRF_K}+r_quality), keeping the "
+    f"top {RRF_TOP_K} per query — how production RAG stacks combine "
+    "lexical, vector, and prior signals without score calibration "
+    "(ranks are comparable when scores are not). Both input ranks are "
+    "exact integers (BM25 ranks from x89's DECIMAL-summed scores, "
+    "quality ranks tie-broken on doc_id), so the fused score is the "
+    "same two-term double expression in both engines, 6dp. Scale: the "
+    "fusion operates on the RETRIEVED lists (queries x k rows), not "
+    "the corpus; the quality prior is computed once per corpus and "
+    "joined by doc_id — its global rank is the x106b banding candidate "
+    "if the corpus outgrows a sortable partition.",
+)
+def x128_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = x89_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "doc_rank")
+    d = load_table(spark, sf_dir, "documents")
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    w_q = Window.orderBy(alpha.desc(), F.col("doc_id"))
+    quality = d.select("doc_id", F.row_number().over(w_q).alias("q_rank"))
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("doc_rank"))
+        + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("q_rank")),
+        6,
+    )
+    fused = bm.join(quality, "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("doc_rank").alias("bm25_rank"),
+        "q_rank",
+        rrf.alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= RRF_TOP_K)
+    )
+
+
+# Compose x128's oracle from x89's registered oracle (same CTE pipeline,
+# wrapped) so the two stay in lockstep if BM25 constants change.
+def _install_x128_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    bm_oracle = _REGISTRY["x89_bm25_topk"].oracle
+    q = _REGISTRY["x128_rrf_hybrid_retrieval"]
+    fused_sql = f"""
+WITH bm AS ({bm_oracle}),
+quality AS ({_quality_rank_sql()}),
+fused AS (
+  SELECT bm.query_id, bm.doc_id,
+         bm.doc_rank AS bm25_rank, quality.q_rank,
+         round(1.0 / ({RRF_K} + bm.doc_rank) + 1.0 / ({RRF_K} + quality.q_rank), 6)
+             AS rrf_score
+  FROM bm JOIN quality USING (doc_id)
+)
+SELECT query_id, doc_id, bm25_rank, q_rank, rrf_score,
+       CAST(rn AS BIGINT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= {RRF_TOP_K}
+"""
+    _REGISTRY["x128_rrf_hybrid_retrieval"] = Query(
+        name=q.name, fn=q.fn, oracle=fused_sql, doc=q.doc
+    )
+
+
+_install_x128_oracle()
