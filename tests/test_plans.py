@@ -615,3 +615,37 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     steps."""
     plan = formatted_plan(_df("s75_dynamic_partition_pruning", spark, sf_dir))
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_association_rules_pair_join_is_user_keyed(spark, sf_dir):
+    """x119: the basket self-join must be an equi-join on user_id (pair
+    fan-out bounded by the per-user type vocabulary) — a cartesian or
+    type-keyed join would explode with event volume."""
+    plan = simple_plan(_df("x119_event_association_rules", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert "user_id" in plan, plan[:900]
+
+
+def test_cohort_join_reuses_user_partitioning(spark, sf_dir):
+    """x120: the activity spine, per-user MIN, and the retention join all
+    key on user_id — no exchange on any other key may appear between
+    them (cohort/offset aggregation is the only non-user shuffle)."""
+    plan = simple_plan(_df("x120_cohort_retention", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:900]
+
+
+def test_markov_window_is_user_partitioned(spark, sf_dir):
+    """x126: the lead() window must partition by user_id — an
+    unpartitioned sequence window would funnel the event log through
+    one task."""
+    plan = simple_plan(_df("x126_markov_transitions", spark, sf_dir))
+    assert "windowspecdefinition(user_id#" in plan, plan[:1200]
+
+
+def test_rrf_fuses_retrieved_lists_not_corpus(spark, sf_dir):
+    """x128: the fusion join's BM25 side is the top-k list (WindowGroupLimit
+    upstream in x89), and the only global window is the corpus-sized
+    quality prior — pinned so a regression can't silently fuse the full
+    scored table."""
+    plan = simple_plan(_df("x128_rrf_hybrid_retrieval", spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:1200]
