@@ -4726,3 +4726,234 @@ def x127_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (mde * mde)
     ).cast("bigint")
     return dirn.select("mde", "p0", "p1", n.alias("n_per_arm"))
+
+
+# ---------------------------------------------------------------------------
+# X129 — churn-model feature table (per-user behavioral features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x129_user_feature_table",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+tmix AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tn AS (SELECT user_id, SUM(c) AS n FROM tmix GROUP BY user_id),
+ent AS (
+  SELECT tmix.user_id,
+         round(CAST(SUM(CAST(-(tmix.c / tn.n) * ln(tmix.c / tn.n)
+                             AS DECIMAL(28,18))) AS DOUBLE), 6) AS type_entropy
+  FROM tmix JOIN tn USING (user_id) GROUP BY tmix.user_id
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS active_span_us,
+         CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+         CAST(SUM(gap_us) // count(gap_us) AS BIGINT) AS mean_gap_us
+  FROM gaps GROUP BY user_id
+)
+SELECT agg.user_id, agg.n_events, agg.n_types, agg.active_span_us,
+       agg.min_gap_us, agg.max_gap_us,
+       CASE WHEN agg.n_events > 1 THEN agg.mean_gap_us END AS mean_gap_us,
+       ent.type_entropy
+FROM agg JOIN ent USING (user_id)
+""",
+    doc="X129: USER FEATURE TABLE — the feature-engineering shape every "
+    "churn/propensity model consumes, built in one pass: per user, "
+    "event volume, type diversity, active span, inter-event gap "
+    "min/max/mean (lag() over the per-user time order, ties broken on "
+    "event_id; the mean is an exact integer floor-division in MICROseconds "
+    "— a 6dp double mean sat exactly on a rounding boundary at sf0.1), and the Shannon entropy of the user's event-type mix "
+    "(the x108 DECIMAL idiom — high entropy = diverse engagement, near "
+    "zero = single-habit user). Gaps are exact integer MICROseconds "
+    "(unix_micros vs epoch_us — second-granularity epoch() truncates "
+    "differently across engines on sub-second timestamps); the "
+    "single-event user's undefined mean gap surfaces as an explicit "
+    "NULL in both engines. Scale: everything keys on user_id — the "
+    "lag window, both aggregates, and the final join share one "
+    "partitioning; output is one row per user, the natural feature-"
+    "store grain.",
+)
+def x129_user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    tmix = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tn = F.sum("c").over(Window.partitionBy("user_id"))
+    ent = (
+        tmix.withColumn("n", tn)
+        .withColumn(
+            "h",
+            (-(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))).cast(
+                "decimal(28,18)"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.round(F.sum("h").cast("double"), 6).alias("type_entropy"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(gap_us)")
+        .cast("bigint")
+        .alias("mean_gap_raw"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("active_span_us"),
+    )
+    ntypes = e.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    return (
+        agg.join(ntypes, "user_id")
+        .join(ent, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "active_span_us",
+            "min_gap_us",
+            "max_gap_us",
+            F.when(F.col("n_events") > 1, F.col("mean_gap_raw")).alias(
+                "mean_gap_us"
+            ),
+            "type_entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X130 — Kaplan-Meier survival curve (time to first purchase, censored)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x130_kaplan_meier_survival",
+    oracle="""
+WITH spans AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS tl
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id,
+         CAST((COALESCE(tp, tl) - t0) // 86400000000 AS BIGINT) AS t_day,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM spans
+),
+n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM subj),
+ev AS (
+  SELECT t_day,
+         CAST(SUM(observed) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS leaving
+  FROM subj GROUP BY t_day
+),
+risk AS (
+  SELECT t_day, d,
+         n_total.n - COALESCE(SUM(leaving) OVER (ORDER BY t_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM ev CROSS JOIN n_total
+)
+SELECT t_day, n_events, n_at_risk, survival
+FROM (
+  SELECT t_day, d AS n_events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+         round(exp(CAST(SUM(CAST(CASE WHEN d > 0 AND n_at_risk > d
+                                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                                      ELSE 0.0 END AS DECIMAL(28,18)))
+                        OVER (ORDER BY t_day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)), 6) AS survival,
+         d, n_at_risk AS nr
+  FROM risk
+)
+WHERE d > 0 AND nr > d
+""",
+    doc="X130: KAPLAN-MEIER survival — time-to-first-purchase with "
+    "right-censoring (users who never purchase are censored at their "
+    "last observed event): S(t) = prod over event days of "
+    "(1 - d_i / n_i), the estimator behind every retention/conversion-"
+    "time analysis. The product runs as exp(cumulative sum of ln "
+    "terms) with each ln through DECIMAL(28,18) — the x20 idiom lifted "
+    "to a running window, so the curve is aggregation-order-exact; "
+    "day indexing is integer microsecond arithmetic (the x129 "
+    "convention); the at-risk set is a prefix sum over the DAY table. "
+    "Days contribute a ln factor only when 0 < d < n_at_risk (d = 0 is "
+    "a censor-only day, factor 1; n_at_risk = d would drive S to exact "
+    "0 through ln(0)) — the gate is an integer predicate applied INSIDE "
+    "the running sum so filtered output rows cannot shift the curve. Scale: one user_id aggregate, then every window runs "
+    "over the distinct-DAY table — days x 1 rows however many users; "
+    "the single-partition prefix windows are day-count-sized, the s74 "
+    "rule.",
+)
+def x130_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("tp"),
+        F.max(F.unix_micros("ts")).alias("tl"),
+    )
+    subj = spans.select(
+        F.expr("(coalesce(tp, tl) - t0) div 86400000000")
+        .cast("bigint")
+        .alias("t_day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    n_total = subj.agg(F.count(F.lit(1)).alias("n"))
+    ev = subj.groupBy("t_day").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = ev.crossJoin(F.broadcast(n_total)).select(
+        "t_day",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    w_cum = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,18)")
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(F.exp(F.sum(ln_term).over(w_cum).cast("double")), 6),
+        )
+        .filter((F.col("d") > 0) & (F.col("n_at_risk") > F.col("d")))
+        .select(
+            "t_day",
+            F.col("d").alias("n_events"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            "survival",
+        )
+    )
