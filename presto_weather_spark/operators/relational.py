@@ -4957,3 +4957,82 @@ def x130_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X132 — temporal burstiness of user activity (exact-integer variance core)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x132_user_burstiness",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+         // 1000000 AS gap_s
+  FROM events
+),
+st AS (
+  SELECT user_id,
+         CAST(count(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+  FROM gaps GROUP BY user_id
+  HAVING count(gap_s) >= 2
+)
+SELECT user_id, n_gaps,
+       round(CAST(s1 AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+       round(sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps, 6) AS std_gap_s,
+       CASE WHEN n_gaps * s2 = s1 * s1 AND s1 = 0 THEN 0.0
+            ELSE round((sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                        - CAST(s1 AS DOUBLE) / n_gaps)
+                       / (sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / n_gaps
+                          + CAST(s1 AS DOUBLE) / n_gaps), 6)
+       END AS burstiness
+FROM st
+""",
+    doc="X132: temporal BURSTINESS — Goh & Barabasi 2008's B = "
+    "(sigma − mu)/(sigma + mu) over each user's inter-event gaps: "
+    "B → −1 is a metronome (bot-like regularity), B ~ 0 is Poisson, "
+    "B → 1 is extreme bursts — the behavioral signature that separates "
+    "organic users from schedulers and scrapers. The variance core is "
+    "EXACT integer algebra: gaps in whole seconds (integer floor-div "
+    "from exact microseconds), n·Σx² − (Σx)² as BIGINTs (bounded: "
+    "gap ≤ 3e6 s, gap² ≤ 9e12, × 1e4 events per user << 2^63), so "
+    "both engines take sqrt of the IDENTICAL integer — no two-pass "
+    "float variance needed; the all-zero-gap degenerate defines B = 0 "
+    "via integer equality. Scale: one user_id window + one user "
+    "aggregate, the x129 partitioning; output is per-user grain.",
+)
+def x132_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) over "
+            "(partition by user_id order by ts, event_id))) div 1000000"
+        ).alias("gap_s"),
+    )
+    st = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    var_num = F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(var_num.cast("double")) / F.col("n_gaps")
+    return st.select(
+        "user_id",
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.when((var_num == 0) & (F.col("s1") == 0), F.lit(0.0))
+        .otherwise(F.round((sigma - mu) / (sigma + mu), 6))
+        .alias("burstiness"),
+    )

@@ -4835,3 +4835,78 @@ FROM (
 
 
 _install_x128_oracle()
+
+
+# ---------------------------------------------------------------------------
+# X131 — readability scoring (Flesch reading ease, vowel-group syllables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x131_readability_score",
+    oracle=f"""
+WITH counts AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+             AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+           AS flesch_score,
+       CASE WHEN round(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) >= 60.0
+            THEN 'easy' ELSE 'hard' END AS readability_band
+FROM counts WHERE n_words > 0
+""",
+    doc="X131: READABILITY scoring — Flesch reading ease per document "
+    "(206.835 − 1.015·words/sentences − 84.6·syllables/words), with "
+    "syllables approximated as vowel-group runs ([aeiouy]+, the "
+    "standard cheap proxy) and sentences as punctuation runs floored "
+    "at 1 — a classic text-quality feature used to stratify training "
+    "corpora by difficulty (and a curriculum signal next to x76). All "
+    "three counts are exact integers from the same regexp semantics "
+    "in both engines; the score is one shared double expression, 6dp, "
+    "and the easy/hard band compares the ROUNDED score. Scale: pure "
+    "scan-side regexp projection, zero shuffles — the cheapest "
+    "feature shape.",
+)
+def x131_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    n_words = F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+        6,
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        score.alias("flesch_score"),
+        F.when(score >= 60.0, "easy").otherwise("hard").alias(
+            "readability_band"
+        ),
+    )
