@@ -1069,3 +1069,89 @@ def x124_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X134 — language budget planner (epochs-per-language under a token budget)
+# ---------------------------------------------------------------------------
+
+LANG_BUDGET_ALPHA = 0.5  # temperature smoothing for target shares
+LANG_EPOCH_CAP = 4.0  # upsampling beyond this repeats data too hard
+
+
+@register(
+    "x134_language_budget_planner",
+    oracle=f"""
+WITH mass AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total FROM mass),
+p AS (
+  SELECT lang, lang_tokens,
+         CAST(lang_tokens AS DOUBLE) / total AS share, total
+  FROM mass CROSS JOIN tot
+),
+z AS (
+  SELECT CAST(SUM(CAST(round(pow(share, {LANG_BUDGET_ALPHA}), 12)
+                       AS DECIMAL(28,18))) AS DOUBLE) AS z
+  FROM p
+)
+SELECT p.lang, p.lang_tokens,
+       round(p.share, 6) AS corpus_share,
+       round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z, 6)
+           AS target_share,
+       CAST(round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z
+                  * p.total, 0) AS BIGINT) AS allocated_tokens,
+       round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z
+             * p.total / p.lang_tokens, 6) AS epochs,
+       round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z
+             * p.total / p.lang_tokens, 6) > {LANG_EPOCH_CAP}
+           AS upsample_risk
+FROM p CROSS JOIN z
+""",
+    doc="X134: LANGUAGE BUDGET PLANNER — the table a multilingual data "
+    "recipe is decided from: per language, its token mass, its "
+    "temperature-smoothed target share (x95's alpha-sampling with "
+    f"alpha={LANG_BUDGET_ALPHA}), the token allocation under a budget "
+    "equal to the corpus total, and the implied EPOCHS (allocation / "
+    "native mass) — epochs > "
+    f"{LANG_EPOCH_CAP} flags languages the schedule would repeat too "
+    "hard (the known overfitting regime for low-resource upsampling). "
+    "Determinism is x95's recipe: pow 12dp-rounded before the DECIMAL "
+    "normalizer sum, every output 6dp, and the risk flag compares the "
+    "ROUNDED epochs. Scale: one tokenize scan into a per-lang "
+    "aggregate — the planner operates on a languages-sized table.",
+)
+def x134_language_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import _spread, _tokens
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    mass = d.groupBy("lang").agg(
+        F.sum(F.size(F.filter(_tokens(), lambda t: t != "")))
+        .cast("bigint")
+        .alias("lang_tokens")
+    )
+    tot = mass.agg(F.sum("lang_tokens").cast("bigint").alias("total"))
+    p = mass.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("lang_tokens").cast("double") / F.col("total")
+    )
+    smoothed = F.round(F.pow(F.col("share"), F.lit(LANG_BUDGET_ALPHA)), 12)
+    z = p.agg(
+        F.sum(smoothed.cast("decimal(28,18)")).cast("double").alias("z")
+    )
+    target = smoothed / F.col("z")
+    epochs = F.round(target * F.col("total") / F.col("lang_tokens"), 6)
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "lang_tokens",
+        F.round(F.col("share"), 6).alias("corpus_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target * F.col("total"), 0).cast("bigint").alias(
+            "allocated_tokens"
+        ),
+        epochs.alias("epochs"),
+        (epochs > LANG_EPOCH_CAP).alias("upsample_risk"),
+    )

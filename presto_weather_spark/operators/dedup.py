@@ -2254,3 +2254,64 @@ def x115_dedup_threshold_sensitivity(
             .alias("n_docs_affected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X133 — near-dup cluster-size histogram (the dedup aggressiveness report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x133_cluster_size_histogram",
+    oracle=None,  # composed from x02f's oracle at import time (see below)
+    doc="X133: CLUSTER-SIZE HISTOGRAM — the report read before signing off "
+    "a dedup run: for each near-dup cluster size s, how many clusters, "
+    "how many documents they hold, and how many a keep-one policy "
+    "removes ((s-1) per cluster) — a long tail of giant clusters means "
+    "the threshold chains unrelated docs (the x110 transitivity signal, "
+    "as a size distribution). Built ON x02f's connected components and "
+    "its oracle (composed textually at import, the x128 pattern), so "
+    "the histogram is hash-verified against the same recursive-CTE "
+    "ground truth. Scale: the histogram aggregates the LABEL table "
+    "(one row per doc) twice — cluster sizes, then size counts; both "
+    "shuffles are label-cardinality bounded.",
+)
+def x133_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = x02f_neardup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.any_value("cluster_size"))
+        .cast("bigint")
+        .alias("n_docs"),
+        (F.count(F.lit(1)) * (F.any_value("cluster_size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+def _install_x133_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    base = _REGISTRY["x02f_neardup_clusters"].oracle
+    q = _REGISTRY["x133_cluster_size_histogram"]
+    sql = f"""
+WITH labels AS ({base}),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * any_value(cluster_size) AS BIGINT) AS n_docs,
+       CAST(count(*) * (any_value(cluster_size) - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+"""
+    _REGISTRY["x133_cluster_size_histogram"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+_install_x133_oracle()
