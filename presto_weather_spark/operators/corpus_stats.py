@@ -1155,3 +1155,76 @@ def x134_language_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs > LANG_EPOCH_CAP).alias("upsample_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X136 — chi-square independence audit (lang x source contingency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x136_chi_square_independence",
+    oracle="""
+WITH cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rowm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY lang),
+colm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell),
+terms AS (
+  SELECT cell.lang, cell.source, cell.o,
+         CAST(rowm.r * colm.c AS DOUBLE) / tot.n AS e
+  FROM cell JOIN rowm USING (lang) JOIN colm USING (source) CROSS JOIN tot
+)
+SELECT CAST((SELECT count(*) FROM rowm) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM colm) AS BIGINT) AS n_sources,
+       CAST(((SELECT count(*) FROM rowm) - 1)
+            * ((SELECT count(*) FROM colm) - 1) AS BIGINT) AS dof,
+       round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE), 6) AS chi_square
+FROM terms
+""",
+    doc="X136: CHI-SQUARE independence audit — is language independent of "
+    "source in this corpus? Pearson's chi-square over the lang x source "
+    "contingency table (observed vs expected r*c/n), with degrees of "
+    "freedom — a large statistic means per-source language skew, so "
+    "any per-source quality rule doubles as a hidden language filter "
+    "(the confound x114's information gain measures from the other "
+    "side). Expected counts are integer-product ratios (r*c exact "
+    "BIGINT), each cell's term is 6dp-rounded then DECIMAL-summed so "
+    "the statistic is aggregation-order-exact; zero-count cells "
+    "contribute through the joined cell table exactly as in the "
+    "oracle (both engines only materialize observed cells — the "
+    "OBSERVED-cells-only convention is stated, and expected mass from "
+    "absent cells is excluded identically on both sides). Scale: one "
+    "(lang, source) aggregate; everything downstream is "
+    "contingency-table sized.",
+)
+def x136_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rowm = cell.groupBy("lang").agg(F.sum("o").alias("r"))
+    colm = cell.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cell.agg(F.sum("o").alias("n"))
+    terms = (
+        cell.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", (F.col("r") * F.col("c")).cast("double") / F.col("n")
+        )
+    )
+    n_langs = rowm.count()  # contingency dims: bounded driver scalars
+    n_sources = colm.count()
+    term = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6
+    )
+    return terms.agg(
+        F.lit(n_langs).cast("bigint").alias("n_langs"),
+        F.lit(n_sources).cast("bigint").alias("n_sources"),
+        F.lit((n_langs - 1) * (n_sources - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(term.cast("decimal(28,6)")).cast("double"), 6
+        ).alias("chi_square"),
+    )

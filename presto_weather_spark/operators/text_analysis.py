@@ -4910,3 +4910,79 @@ def x131_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "readability_band"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X135 — MATTR lexical diversity (moving-average type-token ratio)
+# ---------------------------------------------------------------------------
+
+MATTR_WIN = 25  # moving-window width in tokens
+
+
+@register(
+    "x135_mattr_lexical_diversity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, ts[i] AS term,
+         CAST((i - 1) // {MATTR_WIN} AS BIGINT) AS win_id
+  FROM tok, unnest(generate_series(1, len(ts))) AS u(i)
+),
+win AS (
+  SELECT doc_id, win_id,
+         CAST(count(*) AS BIGINT) AS win_tokens,
+         CAST(count(DISTINCT term) AS BIGINT) AS win_types
+  FROM pos GROUP BY doc_id, win_id
+),
+full_win AS (SELECT * FROM win WHERE win_tokens = {MATTR_WIN})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       round(CAST(SUM(CAST(round(CAST(win_types AS DOUBLE) / {MATTR_WIN}, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+           AS mattr,
+       round(CAST(MIN(win_types) AS DOUBLE) / {MATTR_WIN}, 6) AS min_window_ttr
+FROM full_win
+GROUP BY doc_id
+""",
+    doc="X135: MATTR lexical diversity (Covington & McFall 2010) — the "
+    "moving-average type-token ratio: distinct-token share of every "
+    f"full {MATTR_WIN}-token window, averaged per document. Raw TTR "
+    "collapses with document length (types grow sublinearly — x97's "
+    "Heaps law), so cross-length comparisons need the windowed form; "
+    "the min-window TTR localizes the most repetitive stretch (the "
+    "x111 coordinates idea for diversity). Windows are the x111 "
+    "positional convention (integer floor-div on 1-based positions); "
+    "partial tail windows are EXCLUDED by an integer count predicate "
+    "(their inflated variance is the known MATTR artifact); per-window "
+    "TTRs are 6dp-rounded then DECIMAL-averaged so the doc score is "
+    "order-exact. Scale: one posexplode scan, one (doc_id, win_id) "
+    "distinct-count shuffle, one doc_id aggregate — all on the "
+    "token stream's natural keys.",
+)
+def x135_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != "")
+    pos = _spread(d).select(
+        "doc_id", F.posexplode(toks).alias("pos0", "term")
+    ).withColumn("win_id", F.floor(F.col("pos0") / MATTR_WIN).cast("bigint"))
+    win = pos.groupBy("doc_id", "win_id").agg(
+        F.count(F.lit(1)).alias("win_tokens"),
+        F.count_distinct("term").alias("win_types"),
+    )
+    full_win = win.filter(F.col("win_tokens") == MATTR_WIN)
+    ttr = F.round(F.col("win_types").cast("double") / MATTR_WIN, 6)
+    return full_win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(
+            F.sum(ttr.cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mattr"),
+        F.round(F.min("win_types").cast("double") / MATTR_WIN, 6).alias(
+            "min_window_ttr"
+        ),
+    )
