@@ -2315,3 +2315,81 @@ FROM sizes GROUP BY cluster_size
 
 
 _install_x133_oracle()
+
+
+# ---------------------------------------------------------------------------
+# X138 — dedup impact on the training mixture (share shift + KL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x138_dedup_mixture_shift",
+    oracle="""
+WITH survivors AS (
+  SELECT lang, row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+  FROM documents
+),
+before AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY lang
+),
+after AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_after
+  FROM survivors WHERE rn = 1 GROUP BY lang
+),
+tb AS (SELECT CAST(SUM(n_before) AS BIGINT) AS t FROM before),
+ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS t FROM after)
+SELECT before.lang, before.n_before, after.n_after,
+       round(CAST(before.n_before AS DOUBLE) / tb.t, 6) AS share_before,
+       round(CAST(after.n_after AS DOUBLE) / ta.t, 6) AS share_after,
+       round(CAST(after.n_after AS DOUBLE) / ta.t
+             - CAST(before.n_before AS DOUBLE) / tb.t, 6) AS share_delta,
+       round(CAST(CAST(after.n_after AS DOUBLE) / ta.t
+                  * ln((CAST(after.n_after AS DOUBLE) / ta.t)
+                       / (CAST(before.n_before AS DOUBLE) / tb.t))
+             AS DECIMAL(28,18)), 6) AS kl_term
+FROM before JOIN after USING (lang) CROSS JOIN tb CROSS JOIN ta
+""",
+    doc="X138: DEDUP MIXTURE SHIFT — what keep-one exact dedup (x01's "
+    "lowest-doc_id-per-md5 survivor rule, restated as a window so the "
+    "oracle shares it) does to the language mixture: per language, "
+    "share before vs after, the delta, and the per-language KL term "
+    "q·ln(q/p) whose sum is D_KL(after || before) — duplication is "
+    "never uniform across languages, so dedup silently reweights the "
+    "recipe and x134's planner must run on POST-dedup mass. Counts "
+    "exact, shares 6dp integer ratios, the KL term through "
+    "DECIMAL(28,18) per the x20 convention (languages with zero "
+    "survivors would need an epsilon — the inner join surfaces only "
+    "langs present on both sides, stated convention). Scale: one md5 "
+    "window (the x01 digest shuffle) + two languages-sized aggregates.",
+)
+def x138_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = d.select("lang", F.row_number().over(w).alias("rn"))
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        survivors.filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").cast("bigint").alias("tb"))
+    ta = after.agg(F.sum("n_after").cast("bigint").alias("ta"))
+    p = F.col("n_before").cast("double") / F.col("tb")
+    q = F.col("n_after").cast("double") / F.col("ta")
+    return (
+        before.join(after, "lang")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            F.round(p, 6).alias("share_before"),
+            F.round(q, 6).alias("share_after"),
+            F.round(q - p, 6).alias("share_delta"),
+            F.round(
+                (q * F.log(q / p)).cast("decimal(28,18)").cast("double"), 6
+            ).alias("kl_term"),
+        )
+    )

@@ -5036,3 +5036,76 @@ def x132_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((sigma - mu) / (sigma + mu), 6))
         .alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X137 — Benford first-digit audit over order totals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x137_benford_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+expect(d, p) AS (
+  VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+         (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+         (9, 0.045757)
+)
+SELECT expect.d AS first_digit,
+       COALESCE(obs.n, 0) AS n_observed,
+       round(CAST(COALESCE(obs.n, 0) AS DOUBLE) / tot.total, 6) AS observed_p,
+       expect.p AS benford_p,
+       round(CAST(COALESCE(obs.n, 0) AS DOUBLE) / tot.total - expect.p, 6)
+           AS deviation
+FROM expect LEFT JOIN obs ON obs.d = expect.d CROSS JOIN tot
+""",
+    doc="X137: BENFORD first-digit audit — the classic fabricated-data "
+    "screen: the leading-digit distribution of order totals against "
+    "Benford's law (P(d) = log10(1+1/d), shipped as shared 6dp "
+    "literals so no engine computes a log). The first digit is "
+    "STRING-derived from the DECIMAL(18,2) rendering — not floor/log "
+    "float arithmetic — so digit extraction is engine-exact including "
+    "at powers of ten; observed shares divide exact BIGINTs; absent "
+    "digits surface as explicit 0 rows (LEFT JOIN from the expectation "
+    "table). Synthetic TPC-H prices are uniform-ish, so the deviations "
+    "themselves are the interesting output — the audit shape is what "
+    "ships. Scale: scan-side digit projection, one 9-key aggregate.",
+)
+def x137_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = spark.createDataFrame(
+        [
+            (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+            (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+            (9, 0.045757),
+        ],
+        "d int, p double",
+    )
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+    return (
+        benford.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("bigint").alias("first_digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_observed"),
+            F.round(share, 6).alias("observed_p"),
+            F.col("p").alias("benford_p"),
+            F.round(share - F.col("p"), 6).alias("deviation"),
+        )
+    )
