@@ -1047,3 +1047,19 @@ def test_norm_screen_constant_corpus_defines_z_zero(spark, sf_dir):
 
     rows = all_queries()["x117_embedding_norm_screen"].fn(spark, sf_dir).collect()
     assert rows and all(r["z_score"] == 0.0 and r["norm_flag"] == "ok" for r in rows)
+
+
+def test_mmr_local_and_distributed_paths_agree(spark, sf_dir):
+    # x98's hybrid contract: the driver-local greedy (active below
+    # MMR_LOCAL_LIMIT, i.e. in every test and bench run) must be
+    # row-identical to the distributed per-round path it replaces.
+    from presto_weather_spark.operators.similarity import (
+        _mmr_distributed,
+        _mmr_local,
+    )
+    from presto_weather_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(8, "vec_id")
+    local = sorted(tuple(r) for r in _mmr_local(emb).collect())
+    dist = sorted(tuple(r) for r in _mmr_distributed(emb).collect())
+    assert local == dist and len(local) > 0
