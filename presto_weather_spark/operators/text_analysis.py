@@ -3548,12 +3548,23 @@ def _weak_label_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LR_LOCAL_LIMIT = 100_000  # run the GD rounds driver-local below this
+
+
 def train_weak_label_lr(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, force_distributed: bool = False
 ) -> tuple[DataFrame, list[float], list[float]]:
     """Train logistic regression by full-batch GD; returns the CACHED
     standardized-feature DataFrame, the learned weights (bias last), and
-    the per-iteration log-loss trace. Caller must unpersist the frame."""
+    the per-iteration log-loss trace. Caller must unpersist the frame.
+
+    Below LR_LOCAL_LIMIT rows the 20 GD rounds run driver-local on the
+    collected (doc-sized) feature matrix — the x98/x65 hybrid contract:
+    each distributed round is one tiny aggregate whose job-launch
+    latency dominates at test scale (6.7 s -> ~1.5 s at sf0.1). The
+    feature table itself stays a cached DataFrame either way (the
+    scoring pass and the 100-TB path are unchanged); weight agreement
+    between paths is pinned in tests/test_weak_label_lr.py."""
     raw = _weak_label_features(spark, sf_dir)
     stats = raw.agg(
         *[F.avg(c).alias(f"m_{c}") for c in LR_FEATURES],
@@ -3570,6 +3581,33 @@ def train_weak_label_lr(
             for c in LR_FEATURES
         ],
     ).persist()
+
+    if not force_distributed and feats.count() <= LR_LOCAL_LIMIT:
+        import numpy as np
+
+        rows = feats.orderBy("doc_id").collect()
+        X = np.asarray(
+            [[float(r[c]) for c in LR_FEATURES] for r in rows], dtype=np.float64
+        )
+        yv = np.asarray([float(r["y"]) for r in rows], dtype=np.float64)
+        w = np.zeros(len(LR_FEATURES), dtype=np.float64)
+        b = 0.0
+        losses_l: list[float] = []
+        eps_l = 1e-12
+        for _ in range(LR_N_ITERS):
+            pv = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+            losses_l.append(
+                float(
+                    np.mean(
+                        -(yv * np.log(pv + eps_l) + (1.0 - yv) * np.log(1.0 - pv + eps_l))
+                    )
+                )
+            )
+            g = (pv - yv) @ X / len(yv)
+            gb = float(np.mean(pv - yv))
+            w -= LR_RATE * g
+            b -= LR_RATE * gb
+        return feats, [float(v) for v in w] + [b], losses_l
 
     weights = [0.0] * len(LR_FEATURES) + [0.0]  # bias last
     losses: list[float] = []

@@ -67,3 +67,19 @@ def test_scores_deterministic_across_runs(spark):
     )
     assert (a["score"] == b["score"]).all()
     assert (a["pred"] == b["pred"]).all()
+
+
+def test_lr_local_and_distributed_weights_agree(spark, sf_dir):
+    # The driver-local GD (active below LR_LOCAL_LIMIT) must learn the
+    # same model as the distributed per-round aggregates it replaces —
+    # identical math, float-noise tolerance only.
+    from presto_weather_spark.operators.text_analysis import train_weak_label_lr
+
+    f1, w_local, l_local = train_weak_label_lr(spark, sf_dir)
+    f1.unpersist()
+    f2, w_dist, l_dist = train_weak_label_lr(spark, sf_dir, force_distributed=True)
+    f2.unpersist()
+    assert len(w_local) == len(w_dist)
+    for a, b in zip(w_local, w_dist):
+        assert abs(a - b) < 1e-9, (w_local, w_dist)
+    assert abs(l_local[-1] - l_dist[-1]) < 1e-9
