@@ -3677,6 +3677,7 @@ def x91_weak_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXTRANK_ITERS = 8
 TEXTRANK_DAMP = 0.85
+TEXTRANK_LOCAL_LIMIT = 100_000  # collect the vocab graph below this edge count
 
 _TR_STOPLIST = ", ".join(repr(s) for s in STOPWORDS)
 
@@ -3787,6 +3788,36 @@ def x92_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # vocab-sized; consumed every round
     )
+    if g.count() <= TEXTRANK_LOCAL_LIMIT:
+        # Driver-local power iteration on the collected vocab graph (the
+        # x98/x91 hybrid contract: 8 vocab-sized join rounds pay 8 job
+        # launches at test scale — 3.0 s -> ~1.3 s at sf0.1). math.fsum
+        # per node reproduces the unrolled oracle's DECIMAL-exact sums;
+        # the distributed loop below is the at-scale path (a 100-TB
+        # vocabulary graph outgrows one driver).
+        import math
+        from collections import defaultdict
+
+        edges_l = [
+            (r["w1"], r["w2"], float(r["f"])) for r in g.collect()
+        ]
+        rank = {a: 1.0 for a, _b, _f in edges_l}
+        for _ in range(TEXTRANK_ITERS):
+            contrib: dict[str, list[float]] = defaultdict(list)
+            for a, b, f_ab in edges_l:
+                contrib[b].append(rank[a] * f_ab)
+            rank = {
+                b: round(
+                    (1.0 - TEXTRANK_DAMP) + TEXTRANK_DAMP * math.fsum(vs), 12
+                )
+                for b, vs in contrib.items()
+            }
+        ordered = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))
+        return spark.createDataFrame(
+            [(t, r, i + 1) for i, (t, r) in enumerate(ordered)],
+            "term string, rank double, kw_rank int",
+        )
+
     ranks = g.select(F.col("w1").alias("term")).distinct().withColumn(
         "rank", F.lit(1.0)
     )
