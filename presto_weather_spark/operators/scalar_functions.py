@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -839,4 +839,90 @@ def s15h_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pws_docs_melt d, LATERAL pws_melt(d.doc_id, d.lang, d.source, d.n_chars) t
         WHERE d.doc_id < 100
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# X139 — haversine nearest station (spatial join over the station table)
+# ---------------------------------------------------------------------------
+
+# Public city coordinates (the reference's weather-station domain).
+STATIONS: tuple[tuple[str, float, float], ...] = (
+    ("London", 51.50853, -0.12574),
+    ("Bristol", 51.45523, -2.59665),
+    ("Manchester", 53.48095, -2.23743),
+    ("Edinburgh", 55.95206, -3.19648),
+    ("Dublin", 53.33306, -6.24889),
+    ("Paris", 48.85341, 2.3488),
+    ("Amsterdam", 52.37403, 4.88969),
+    ("Berlin", 52.52437, 13.41053),
+)
+
+_STATION_VALUES = ", ".join(
+    f"('{n}', {la}, {lo})" for n, la, lo in STATIONS
+)
+
+
+@register(
+    "x139_haversine_nearest_station",
+    oracle=f"""
+WITH st(name, lat, lon) AS (VALUES {_STATION_VALUES}),
+pairs AS (
+  SELECT a.name AS station, b.name AS neighbor,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+  FROM st a JOIN st b ON a.name <> b.name
+)
+SELECT station, neighbor, dist_km
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY station
+                               ORDER BY dist_km, neighbor) AS rn
+  FROM pairs
+) WHERE rn = 1
+""",
+    doc="X139: HAVERSINE nearest station — the spatial primitive the "
+    "reference's domain implies (weather.py geocodes a city to lat/lon; "
+    "a fleet of stations needs 'which station covers this point'): "
+    "great-circle distance between every station pair and each "
+    "station's nearest neighbor. The haversine runs as one shared "
+    "trig expression (radians/sin/cos/asin are the r16 scalar "
+    "surface), 6dp-rounded before the argmin so the winner is "
+    "engine-exact, tie-break (dist, neighbor). The station table is a "
+    "shared VALUES literal of public coordinates. Scale: an all-pairs "
+    "join is right for a station DIMENSION (thousands); for "
+    "point-to-station assignment at event volume the documented plan "
+    "is geohash-prefix bucketing — band each point to its cell + "
+    "neighbor cells and join on the cell key, turning the cross join "
+    "into a bounded equi-join (the x36 orthant-blocking idea on a "
+    "sphere).",
+)
+def x139_haversine_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = spark.createDataFrame(
+        list(STATIONS), "name string, lat double, lon double"
+    ).coalesce(1)  # 8 rows; default parallelism would plan 256 join tasks
+    a, b = st.alias("a"), st.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat"))
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon"))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(F.col("a.lat")))
+        * F.cos(F.radians(F.col("b.lat")))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 6)
+    pairs = (
+        a.join(b, F.col("a.name") != F.col("b.name"))
+        .select(
+            F.col("a.name").alias("station"),
+            F.col("b.name").alias("neighbor"),
+            dist.alias("dist_km"),
+        )
+    )
+    w = Window.partitionBy("station").orderBy("dist_km", "neighbor")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("station", "neighbor", "dist_km")
     )
