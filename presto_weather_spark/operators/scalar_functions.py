@@ -926,3 +926,121 @@ def x139_haversine_nearest_station(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") == 1)
         .select("station", "neighbor", "dist_km")
     )
+
+@register(
+    "x139b_cell_bucketed_station_assign",
+    oracle=f"""
+WITH st(name, lat, lon) AS (VALUES {_STATION_VALUES}),
+cells AS (
+  SELECT st.name, st.lat, st.lon,
+         CAST(floor(st.lat / 4) AS BIGINT) + dy.d AS clat,
+         CAST(floor((st.lon + 8) / 4) AS BIGINT) + dx.d AS clon
+  FROM st, (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)
+),
+pts AS (
+  SELECT event_id,
+         48.0 + (event_id % 800) / 100.0 AS plat,
+         -7.0 + (event_id % 2100) / 100.0 AS plon
+  FROM events
+),
+cand AS (
+  SELECT p.event_id, c.name,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(c.lat - p.plat) / 2), 2)
+           + cos(radians(p.plat)) * cos(radians(c.lat))
+             * pow(sin(radians(c.lon - p.plon) / 2), 2))), 6) AS dist_km
+  FROM pts p JOIN cells c
+    ON CAST(floor(p.plat / 4) AS BIGINT) = c.clat
+   AND CAST(floor((p.plon + 8) / 4) AS BIGINT) = c.clon
+),
+best AS (
+  SELECT event_id, name, dist_km,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY dist_km, name) AS rn
+  FROM cand
+)
+SELECT name AS station,
+       count(*) AS n_points,
+       min(dist_km) AS min_km,
+       max(dist_km) AS max_km,
+       round(CAST(SUM(CAST(dist_km AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_km
+FROM best WHERE rn = 1
+GROUP BY name
+""",
+    doc="X139b: cell-bucketed point-to-station assignment — x139's "
+    "documented scale path (scalar_functions.py x139 docstring) made "
+    "executable.  Point coordinates derive from event_id by an exact "
+    "integer rule (lat = 48 + (id%800)/100, lon = -7 + (id%2100)/100) so "
+    "both engines bucket identically.  The grid is 4-degree integer "
+    "lat/lon cells (floor(lat/4), floor((lon+8)/4) — the +8 shift keeps "
+    "the lon numerator positive so floor == truncate in every engine); "
+    "each station replicates to its cell + 8 neighbor cells (8 stations "
+    "x 9 = 72 rows, a broadcast dimension), points equi-join on the cell "
+    "key, then a per-point argmin (6dp-rounded haversine, tie-break "
+    "name) picks the winner.  Semantics: nearest station WITHIN the 3x3 "
+    "cell neighborhood — the production contract where cell size bounds "
+    "station coverage radius; with this grid every fixture point has a "
+    "candidate.  At 100 TB the cross join of x139 becomes a broadcast "
+    "hash equi-join on the cell key + one shuffle on event_id for the "
+    "argmin window (WindowGroupLimit prunes to top-1 map-side), then a "
+    "stations-sized aggregate.  Plan-asserted: no "
+    "BroadcastNestedLoopJoin (tests/test_plans.py).",
+)
+def x139b_cell_bucketed_station_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    # 8 stations x 9 cells = 72 rows — a literal dimension, built driver-
+    # side (the station table is configuration, not data; at 100 TB the
+    # replicated-cell table is still stations x 9 and broadcasts).  The
+    # cell rule floor(lat/4) / floor((lon+8)/4) matches the point-side
+    # expression bit-for-bit: same IEEE doubles, same floor.
+    cell_rows = [
+        (n, la, lo,
+         math.floor(la / 4) + dy, math.floor((lo + 8) / 4) + dx)
+        for n, la, lo in STATIONS
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    cells = spark.createDataFrame(
+        cell_rows,
+        "name string, lat double, lon double, clat bigint, clon bigint",
+    ).coalesce(1)
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.lit(48.0) + (F.col("event_id") % 800) / 100.0).alias("plat"),
+        (F.lit(-7.0) + (F.col("event_id") % 2100) / 100.0).alias("plon"),
+    )
+    joined = pts.join(
+        F.broadcast(cells),
+        (F.floor(F.col("plat") / 4) == F.col("clat"))
+        & (F.floor((F.col("plon") + 8) / 4) == F.col("clon")),
+    )
+    dlat = F.radians(F.col("lat") - F.col("plat"))
+    dlon = F.radians(F.col("lon") - F.col("plon"))
+    h = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(F.col("plat")))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    cand = joined.select(
+        "event_id",
+        "name",
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 6).alias("dist_km"),
+    )
+    w = Window.partitionBy("event_id").orderBy("dist_km", "name")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy(F.col("name").alias("station")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("dist_km").alias("min_km"),
+        F.max("dist_km").alias("max_km"),
+        F.round(
+            F.sum(F.col("dist_km").cast(T.DecimalType(18, 6))).cast("double"),
+            6,
+        ).alias("sum_km"),
+    )

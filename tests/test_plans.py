@@ -649,3 +649,16 @@ def test_rrf_fuses_retrieved_lists_not_corpus(spark, sf_dir):
     scored table."""
     plan = simple_plan(_df("x128_rrf_hybrid_retrieval", spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan[:1200]
+
+
+def test_cell_bucketed_station_assign_is_equi_join(spark, sf_dir):
+    """x139b: the point-to-station join must be a broadcast HASH join on
+    the integer cell key — never a BroadcastNestedLoopJoin over the raw
+    distance predicate (that is exactly the cross join x139b exists to
+    replace), and the per-point argmin must plan WindowGroupLimit so
+    top-1 prunes map-side."""
+    plan = simple_plan(_df("x139b_cell_bucketed_station_assign", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:900]
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert "WindowGroupLimit" in plan, plan[:1200]
