@@ -41,7 +41,7 @@ WITH ranked AS (
 )
 SELECT event_id, user_id, event_type,
        round(value, 6) AS value,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+       CAST(date_trunc('second', ts) AS VARCHAR) AS ts_str
 FROM ranked WHERE rn = 1
 """,
     doc="X1: exact dedup keeping a deterministic survivor (latest ts, then "

@@ -146,8 +146,8 @@ s AS (
   FROM o
 )
 SELECT user_id,
-       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(date_trunc('second', MIN(ts)) AS VARCHAR) AS session_start,
+       CAST(date_trunc('second', MAX(ts)) AS VARCHAR) AS session_end,
        COUNT(*) AS n_events
 FROM s
 GROUP BY user_id, sess_id
@@ -406,7 +406,7 @@ def s01c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, event_type,
        round(value, 6) AS value,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+       CAST(date_trunc('second', ts) AS VARCHAR) AS ts_str
 FROM events
 WHERE event_type IN ('click', 'purchase')
 """,
@@ -700,7 +700,7 @@ def s75_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
 SELECT event_id,
        substr(sha256('pws:' || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_user,
        event_type,
-       strftime(ts, '%Y-%m-%d') AS day
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day
 FROM events
 """,
     doc="X118: pseudonymized EXPORT — the privacy-preserving share shape "

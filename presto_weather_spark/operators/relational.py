@@ -365,9 +365,9 @@ WITH ranked AS (
     ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 )
 SELECT event_id, user_id,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       CAST(date_trunc('second', ts) AS VARCHAR) AS event_ts,
        o_orderkey AS asof_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS asof_orderdate
 FROM ranked WHERE rn = 1
 """,
     doc="S4: as-of join — each event matched to the latest order at or "
@@ -425,7 +425,7 @@ def s04f_cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey,
        o_orderkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
        row_number() OVER w AS rn,
        rank() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS price_rank,
        dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense_rank,
@@ -504,6 +504,65 @@ def s06b_window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s06f_salted_running_window",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY event_type ORDER BY event_id) AS DOUBLE)
+         AS running_value
+FROM events
+""",
+    doc="S6f: salted two-pass RUNNING aggregate — the giant-window-"
+    "partition fix SCALE.md names (a hot event_type funnels the whole "
+    "log through ONE window task in the direct form, which is the "
+    "oracle here). Pass 1 buckets the order key into contiguous ranges "
+    "(event_id DIV 8192) and computes the running sum INSIDE each "
+    "(event_type, bucket) — parallel across buckets. Pass 2 cumulates "
+    "the per-bucket totals on a buckets-sized table (the only "
+    "single-key window, thousands of rows at any scale) to get each "
+    "bucket's starting offset, broadcast-joined back and added. "
+    "DECIMAL(18,2) partials make the split bit-identical to the "
+    "direct window regardless of aggregation order. Scale: the "
+    "row-grain window key is (event_type, bucket) — cardinality grows "
+    "with data volume, so no partition outgrows a task; the merge "
+    "table is |buckets| rows.",
+)
+def s06f_salted_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("event_id DIV 8192").alias("bucket"),
+    )
+    w_intra = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = ev.withColumn("intra", F.sum(dec(F.col("value"))).over(w_intra))
+    btot = ev.groupBy("event_type", "bucket").agg(
+        F.sum(dec(F.col("value"))).alias("btot")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_off), F.lit(0).cast("decimal(38,2)")).alias(
+            "offset"
+        ),
+    )
+    return intra.join(F.broadcast(offsets), ["event_type", "bucket"]).select(
+        "event_id",
+        "event_type",
+        (F.col("intra") + F.col("offset")).cast("double").alias("running_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S7 — sort / limit / top-k
 # ---------------------------------------------------------------------------
@@ -513,7 +572,7 @@ def s06b_window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s07_global_topk",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice,
-       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
 FROM orders
 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
 LIMIT 25
@@ -702,7 +761,7 @@ def s03b_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l.l_orderkey,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
        o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1203,7 +1262,7 @@ def s18_returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s06e_range_interval_window",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate
                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
@@ -1404,7 +1463,7 @@ WITH big AS (
   HAVING SUM(l_quantity) > 260
 )
 SELECT c.c_name, o.o_orderkey,
-       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
        round(o.o_totalprice, 2) AS totalprice,
        CAST(big.sum_qty AS DOUBLE) AS sum_qty
 FROM big
@@ -1470,7 +1529,7 @@ per_month AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
   FROM orders GROUP BY 1
 )
-SELECT strftime(s.m, '%Y-%m') AS month,
+SELECT substr(CAST(CAST(s.m AS DATE) AS VARCHAR), 1, 7) AS month,
        CAST(coalesce(p.n_orders, 0) AS BIGINT) AS n_orders,
        coalesce(p.month_total, 0.0) AS month_total
 FROM spine s LEFT JOIN per_month p ON p.m = s.m
@@ -1531,7 +1590,7 @@ sd AS (
   SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
   FROM lineitem GROUP BY 1
 )
-SELECT strftime(coalesce(od.d, sd.d), '%Y-%m-%d') AS day,
+SELECT CAST(CAST(coalesce(od.d, sd.d) AS DATE) AS VARCHAR) AS day,
        CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders,
        CAST(coalesce(sd.n_ships, 0) AS BIGINT) AS n_ships
 FROM od FULL OUTER JOIN sd ON od.d = sd.d
@@ -1568,9 +1627,9 @@ SELECT coalesce(y, 'ALL') AS y,
        coalesce(d, 'ALL') AS d,
        n_events, sum_value
 FROM (
-  SELECT strftime(ts, '%Y') AS y,
-         strftime(ts, '%m') AS m,
-         strftime(ts, '%d') AS d,
+  SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 4) AS y,
+         substr(CAST(CAST(ts AS DATE) AS VARCHAR), 6, 2) AS m,
+         substr(CAST(CAST(ts AS DATE) AS VARCHAR), 9, 2) AS d,
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
   FROM events
@@ -1762,7 +1821,7 @@ def s25_skew_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s26_total_order_export",
     oracle="""
 SELECT event_id, user_id, event_type,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+       CAST(date_trunc('second', ts) AS VARCHAR) AS ts_str
 FROM events ORDER BY ts, event_id
 """,
     doc="S26: totally-ordered export — the full table sorted by "
@@ -1830,10 +1889,8 @@ runs AS (
   FROM ordered GROUP BY user_id, event_type, grp
 )
 SELECT user_id, event_type,
-       strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-       strftime(
-         lead(valid_from_ts) OVER (PARTITION BY user_id ORDER BY valid_from_ts),
-         '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(date_trunc('second', valid_from_ts) AS VARCHAR) AS valid_from,
+       CAST(date_trunc('second', lead(valid_from_ts) OVER (PARTITION BY user_id ORDER BY valid_from_ts)) AS VARCHAR) AS valid_to,
        CAST(n_events AS BIGINT) AS n_events,
        CAST(lead(valid_from_ts) OVER (PARTITION BY user_id ORDER BY valid_from_ts)
               IS NULL AS BOOLEAN) AS is_current
@@ -1929,7 +1986,7 @@ grid AS (
   CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
               FROM bounds) g
 )
-SELECT grid.user_id, strftime(grid.day, '%Y-%m-%d') AS day,
+SELECT grid.user_id, CAST(CAST(grid.day AS DATE) AS VARCHAR) AS day,
        CAST(daily.day_avg IS NOT NULL AS BOOLEAN) AS observed,
        last_value(daily.day_avg IGNORE NULLS) OVER (
          PARTITION BY grid.user_id ORDER BY grid.day
@@ -2298,10 +2355,10 @@ hist AS (
   FROM runs
 )
 SELECT f.event_id, f.user_id,
-       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       CAST(date_trunc('second', f.ts) AS VARCHAR) AS purchase_ts,
        round(f.value, 6) AS value,
        h.event_type AS state_at_purchase,
-       strftime(h.valid_from_ts, '%Y-%m-%d %H:%M:%S') AS state_since
+       CAST(date_trunc('second', h.valid_from_ts) AS VARCHAR) AS state_since
 FROM events f
 JOIN hist h
   ON f.user_id = h.user_id
@@ -2360,7 +2417,7 @@ MV_DELTA_DAYS = 3  # the "newly arrived" tail refreshed incrementally
     oracle=f"""
 WITH m AS (SELECT date_trunc('day', MAX(ts)) - INTERVAL {MV_DELTA_DAYS} DAY AS cutoff
            FROM events)
-SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+SELECT CAST(CAST(date_trunc('day', e.ts) AS DATE) AS VARCHAR) AS day,
        e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -2731,10 +2788,10 @@ def s41_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s42_dynamic_partition_overwrite",
     oracle="""
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        event_id, user_id,
-       CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d')
-                 = (SELECT strftime(date_trunc('day', MAX(ts)), '%Y-%m-%d')
+       CASE WHEN CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                 = (SELECT CAST(CAST(date_trunc('day', MAX(ts)) AS DATE) AS VARCHAR)
                     FROM events)
             THEN round(round(value, 6) * 2, 6) ELSE round(value, 6) END AS value
 FROM events
@@ -2788,8 +2845,9 @@ def s42_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "s46_local_day_rollup",
     oracle="""
-SELECT strftime(date_trunc('day',
-                timezone('America/New_York', ts::TIMESTAMPTZ)), '%Y-%m-%d')
+SELECT CAST(CAST(date_trunc('day',
+                timezone('America/New_York',
+                         make_timestamptz(epoch_us(ts)))) AS DATE) AS VARCHAR)
          AS local_day,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -3011,7 +3069,7 @@ SELECT user_id,
        CAST(n_events AS BIGINT) AS n_events,
        round(list_sum(list_transform(evs[1:3], e -> round(e.value, 6))), 6)
          AS top3_sum,
-       strftime(evs[1].ts, '%Y-%m-%d %H:%M:%S') AS best_ts,
+       CAST(date_trunc('second', evs[1].ts) AS VARCHAR) AS best_ts,
        evs[1].event_id AS best_event_id
 FROM per_user
 """,
@@ -3073,7 +3131,7 @@ def s49_array_of_struct_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s50_exchange_reuse",
     oracle="""
 WITH daily AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
   FROM events GROUP BY 1
@@ -3193,8 +3251,8 @@ FROM lineitem
 UNION ALL
 SELECT 'l_shipdate', CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
        CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
-       strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
-       strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+       CAST(date_trunc('second', MIN(l_shipdate)) AS VARCHAR),
+       CAST(date_trunc('second', MAX(l_shipdate)) AS VARCHAR)
 FROM lineitem
 """,
     doc="S52: COLUMN-LEVEL PROFILE — the ANALYZE/catalog/dbt-docs report: "
@@ -4432,9 +4490,9 @@ def x122_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x123_volume_anomaly_mad",
     oracle="""
 WITH daily AS (
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
          CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+  FROM events GROUP BY event_type, CAST(CAST(ts AS DATE) AS VARCHAR)
 ),
 med AS (
   SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med_n

@@ -81,10 +81,10 @@ SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS order_year,
        CAST(month(o_orderdate) AS INT) AS order_month,
        CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,
-       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(date_trunc('second', o_orderdate) AS VARCHAR) AS order_ts_str,
        CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
-       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date,
        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
 FROM orders
 """,
@@ -529,8 +529,8 @@ def s15d_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s10b_calendar_arithmetic",
     oracle="""
 SELECT o_orderkey,
-       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
-       strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m,
+       CAST(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS month_end,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2m,
        CAST(quarter(o_orderdate) AS INT) AS order_quarter,
        CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
        dayname(CAST(o_orderdate AS DATE)) AS dow_name,

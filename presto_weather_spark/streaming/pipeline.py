@@ -88,9 +88,8 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
 @register(
     "s14_stream_tumbling_counts",
     oracle=f"""
-SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
-                + CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT) * INTERVAL 1 SECOND,
-                '%Y-%m-%d %H:%M:%S') AS window_start,
+SELECT CAST(date_trunc('second', TIMESTAMP '1970-01-01 00:00:00'
+                + CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT) * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -133,7 +132,7 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id AS station_id,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CAST(date_trunc('second', ts) AS VARCHAR) AS last_seen,
        round(value, 6) AS last_value,
        event_type AS last_event_type
 FROM ranked WHERE rn = 1
@@ -229,7 +228,7 @@ def run_display_pipeline(
 SELECT user_id,
        COUNT(*) AS n_events,
        round(MAX(value), 6) AS max_value,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+       CAST(date_trunc('second', MAX(ts)) AS VARCHAR) AS last_ts
 FROM events
 GROUP BY user_id
 """,
@@ -298,8 +297,7 @@ slid AS (
          event_type, value
   FROM events CROSS JOIN shifts
 )
-SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + wstart * INTERVAL 1 SECOND,
-                '%Y-%m-%d %H:%M:%S') AS window_start,
+SELECT CAST(date_trunc('second', TIMESTAMP '1970-01-01 00:00:00' + wstart * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -511,9 +509,8 @@ s AS (
   FROM o
 )
 SELECT user_id,
-       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       strftime(MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND,
-                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(date_trunc('second', MIN(ts)) AS VARCHAR) AS session_start,
+       CAST(date_trunc('second', MAX(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND) AS VARCHAR) AS session_end,
        COUNT(*) AS n_events
 FROM s
 GROUP BY user_id, sess_id
@@ -551,7 +548,7 @@ def s14j_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s24_file_sink_exactly_once",
     oracle="""
 SELECT event_id, user_id, event_type,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(date_trunc('second', ts) AS VARCHAR) AS ts_str,
        round(value, 6) AS value
 FROM events
 """,
@@ -607,8 +604,7 @@ b AS (
          event_type, value
   FROM events
 )
-SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + bucket * INTERVAL 1 SECOND,
-                '%Y-%m-%d %H:%M:%S') AS window_start,
+SELECT CAST(date_trunc('second', TIMESTAMP '1970-01-01 00:00:00' + bucket * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT hr) AS INT) AS n_hours_active,
@@ -748,7 +744,7 @@ MV_DELTA_DAYS = 3  # matches the batch MV (s37) refresh horizon
 @register(
     "s14n_stream_mv_maintenance",
     oracle=f"""
-SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
