@@ -237,6 +237,134 @@ def x05c_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PNG_WIDTH = 32  # fixed encode width; height grows with payload length
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(text: str | None) -> bytes:
+    """Render text bytes as a REAL 8-bit grayscale PNG (pixels = utf-8
+    bytes, row width PNG_WIDTH, zero-padded final row): signature + IHDR +
+    zlib-deflated filter-0 scanlines in IDAT + IEND, all CRC-correct —
+    parseable by any standards-compliant PNG reader."""
+    import struct
+    import zlib
+
+    raw = (text or "").encode("utf-8")
+    w = PNG_WIDTH
+    h = max((len(raw) + w - 1) // w, 1)
+    padded = raw + b"\x00" * (w * h - len(raw))
+    scan = b"".join(b"\x00" + padded[r * w : (r + 1) * w] for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a grayscale-8 PNG with the stdlib only: signature check,
+    chunk walk with CRC verification, IHDR header, zlib inflate of the
+    IDAT stream, and FULL scanline unfiltering (filter types 0-4: none/
+    sub/up/average/paeth). Returns (width, height, pixel bytes).
+
+    Failure modes (each pinned in tests/test_multimodal_png.py):
+    bad signature / truncated chunk / CRC mismatch / missing IDAT ->
+    ValueError; unsupported bit depth, color type or interlace ->
+    NotImplementedError (the honest boundary: this decoder handles the
+    grayscale-8 class for real, like x05e handles PCM16 WAV)."""
+    import struct
+    import zlib
+
+    data = bytes(payload)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color != 0:
+                raise NotImplementedError(
+                    f"only grayscale-8 supported (depth={depth}, color={color})"
+                )
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
+    scan = zlib.decompress(idat)
+    if len(scan) != (w + 1) * h:
+        raise ValueError("scanline size mismatch")
+    out = bytearray()
+    prev = bytearray(w)
+    for r in range(h):
+        ftype = scan[r * (w + 1)]
+        row = bytearray(scan[r * (w + 1) + 1 : (r + 1) * (w + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # sub (bpp=1)
+            for x in range(1, w):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # up
+            for x in range(w):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # average
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # paeth
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                c = prev[x - 1] if x else 0
+                row[x] = (row[x] + _paeth(left, prev[x], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out += row
+        prev = row
+    return w, h, bytes(out)
+
+
+
 RESIZE_SCHEMA = (
     "doc_id bigint, media_type string, orig_w int, orig_h int, "
     "out_w int, out_h int, out_bytes int"
@@ -247,18 +375,19 @@ RESIZE_TARGET = 64  # longest-edge pixels after resize
 def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     """mapInPandas resize stage — batch-local, shuffle-free.
 
-    STUB geometry decode (codecs absent in this container): the synthetic
-    header's dimensions derive from payload length; a real deployment swaps
-    the two marked lines for PIL's ``Image.open(...).size`` / ``thumbnail``
-    with the identical schema and batch shape. The aspect-preserving
-    longest-edge-to-``target`` arithmetic is the real production logic.
+    REAL geometry decode: ``decode_png`` (the x05g stdlib codec —
+    signature + CRC-verified chunk walk) reads each payload's IHDR for
+    the true dimensions; a PIL deployment would swap one line
+    (``Image.open(...).size``) with the identical schema and batch
+    shape. The aspect-preserving longest-edge-to-``target`` arithmetic
+    is the production logic; out_bytes is the grayscale-8 raster size.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf["n_bytes"].astype("int64")
-            w = (n % 640 + 16).astype("int64")  # STUB: real decode reads header
-            h = (n // 7 % 480 + 16).astype("int64")  # STUB
+            dims = [decode_png(p)[:2] for p in pdf["payload"]]
+            w = pd.Series([d[0] for d in dims], dtype="int64")
+            h = pd.Series([d[1] for d in dims], dtype="int64")
             scale = target / pd.concat([w, h], axis=1).max(axis=1)
             out_w = (w * scale).astype("int64").clip(lower=1)
             out_h = (h * scale).astype("int64").clip(lower=1)
@@ -270,7 +399,7 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
                     "orig_h": h,
                     "out_w": out_w,
                     "out_h": out_h,
-                    "out_bytes": out_w * out_h * 3,
+                    "out_bytes": out_w * out_h,
                 }
             )
 
@@ -280,38 +409,57 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
 @register(
     "x05d_media_resize",
     oracle=f"""
-WITH media AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'audio/wav'
-              ELSE 'video/mp4' END AS media_type,
-         octet_length(encode(text)) AS n_bytes
-  FROM documents
-),
-dims AS (
-  SELECT doc_id, media_type,
-         n_bytes % 640 + 16 AS w,
-         (n_bytes // 7) % 480 + 16 AS h
-  FROM media WHERE media_type = 'image/png'
+WITH dims AS (
+  SELECT doc_id, 'image/png' AS media_type,
+         {PNG_WIDTH} AS w,
+         greatest((octet_length(encode(coalesce(text, ''))) + {PNG_WIDTH - 1})
+                  // {PNG_WIDTH}, 1) AS h
+  FROM documents WHERE doc_id % 3 = 0
 )
 SELECT doc_id, media_type,
        CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
        CAST(greatest(CAST(floor(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_w,
        CAST(greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_h,
        CAST(greatest(CAST(floor(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1)
-            * greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) * 3 AS INT) AS out_bytes
+            * greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_bytes
 FROM dims
 """,
     doc="X5: image resize stage — aspect-preserving longest-edge-to-64 "
-    "thumbnailing over the binary media column via mapInPandas (decode "
-    "stubbed as in x05b/x05c; geometry arithmetic and Arrow plumbing "
-    "real, oracle-proved). Resize is the canonical pre-training image "
-    "normalization: batch-local and shuffle-free, so 100 TB of media "
-    "streams through at scan parallelism with no exchange.",
+    "thumbnailing over the binary media column via mapInPandas. The "
+    "geometry now comes from a REAL decode: the image/png slice "
+    "carries x05g's standards-compliant grayscale-8 payloads and "
+    "resize_media reads the true dimensions through decode_png's "
+    "CRC-verified IHDR parse (no payload-length arithmetic). The "
+    "oracle replays the raster rule (width 32, height ceil(bytes/32)) "
+    "plus the same floor/greatest resize algebra, so the real-decode "
+    "path is hash-verified end to end. Resize is the canonical "
+    "pre-training image normalization: batch-local and shuffle-free, "
+    "so 100 TB of media streams through at scan parallelism with no "
+    "exchange.",
 )
 def x05d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "image/png")
-    return resize_media(media.select("doc_id", "media_type", "n_bytes"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)  # the image/png class (x05b rule)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["image/png"] * len(pdf),
+                    "payload": [
+                        encode_png(t if isinstance(t, str) else None)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(enc, "doc_id bigint, media_type string, payload binary")
+    return resize_media(media)
 
 
 # ---------------------------------------------------------------------------
@@ -649,4 +797,102 @@ def x05f_audio_loudness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "doc_id bigint, n_samples bigint, peak int, mean_abs double, "
         "rms double, norm_gain_db double, loudness_gate string",
+    )
+
+# ---------------------------------------------------------------------------
+# X5g — real PNG decode (stdlib zlib inflate + scanline unfilter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x05g_png_decode",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, ascii(substr(text, CAST(u.i AS INT), 1)) AS b
+  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+),
+agg AS (
+  SELECT doc_id, CAST(sum(b) AS BIGINT) AS sum_b, CAST(max(b) AS INT) AS max_b
+  FROM chars GROUP BY doc_id
+),
+dims AS (
+  SELECT doc_id,
+         CAST(greatest((octet_length(encode(coalesce(text, ''))) + {PNG_WIDTH - 1})
+                       // {PNG_WIDTH}, 1) AS INT) AS height
+  FROM documents
+)
+SELECT d.doc_id,
+       {PNG_WIDTH} AS width,
+       dims.height AS height,
+       CAST({PNG_WIDTH} * dims.height AS INT) AS n_pixels,
+       CAST(coalesce(a.sum_b, 0) * 1000000 // ({PNG_WIDTH} * dims.height)
+            AS BIGINT) AS mean_pixel_e6,
+       CAST(coalesce(a.max_b, 0) AS INT) AS max_pixel
+FROM documents d
+JOIN dims USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+""",
+    doc="X5g: REAL image decode — the x05e pattern for the image class: "
+    "every document renders to a standards-compliant 8-bit grayscale "
+    "PNG (CRC-correct IHDR/IDAT/IEND, zlib-deflated filter-0 "
+    "scanlines; pixels = utf-8 text bytes on a 32-wide raster, "
+    "zero-padded), then a SECOND kernel decodes the BINARY back with "
+    "a stdlib-only decoder — signature check, chunk walk with CRC "
+    "verification, zlib inflate, and full scanline UNFILTERING "
+    "(all five PNG filter types, pinned against a reference forward-"
+    "filter in tests/test_multimodal_png.py) — no source-text "
+    "peeking. Emits header dims + pixel stats; the oracle replays "
+    "the raster algebra (width 32, height ceil(bytes/32), scaled-integer mean over "
+    "zero-padded pixels, max byte) so the encode->decode round-trip "
+    "is hash-verified. Decode failures (bad signature, truncated "
+    "chunk, CRC mismatch, unsupported color type, unknown filter) "
+    "raise — each mode unit-tested. Scale: both kernels are "
+    "partition-local Arrow passes, zero shuffles; at 100 TB the "
+    "decode inherits scan parallelism exactly like a PIL/ffmpeg "
+    "deployment with this schema.",
+)
+def x05g_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(t if isinstance(t, str) else None)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    png = d.mapInPandas(enc, "doc_id bigint, payload binary")
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels", "mean_pixel_e6",
+                "max_pixel",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, pixels = decode_png(payload)
+                n = w * h
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n)
+                # scaled-integer mean (micro-units): bit-exact in both
+                # engines — a 6dp float round sits ON the half boundary for
+                # dyadic quotients (sum/32h) and the engines disagree there
+                rows["mean_pixel_e6"].append(sum(pixels) * 1_000_000 // n)
+                rows["max_pixel"].append(max(pixels) if pixels else 0)
+            yield pd.DataFrame(rows)
+
+    return png.mapInPandas(
+        dec,
+        "doc_id bigint, width int, height int, n_pixels int, "
+        "mean_pixel_e6 bigint, max_pixel int",
     )
