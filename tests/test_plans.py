@@ -662,3 +662,18 @@ def test_cell_bucketed_station_assign_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:900]
     assert "BroadcastHashJoin" in plan, plan[:900]
     assert "WindowGroupLimit" in plan, plan[:1200]
+
+
+def test_salted_running_window_two_pass_shape(spark, sf_dir):
+    """s06f: the row-grain window must partition by (event_type, bucket) —
+    never bare event_type (that is the giant-partition hazard the rewrite
+    exists to fix); the bare-event_type window may appear only at bucket
+    grain (ordering by bucket), and the offset merge is a broadcast join."""
+    plan = simple_plan(_df("s06f_salted_running_window", spark, sf_dir))
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(windows) == 2, windows
+    row_grain = [l for l in windows if "event_id#" in l]
+    assert len(row_grain) == 1 and "bucket#" in row_grain[0], windows
+    bucket_grain = [l for l in windows if "event_id#" not in l]
+    assert len(bucket_grain) == 1 and "bucket#" in bucket_grain[0], windows
+    assert "BroadcastHashJoin" in plan, plan[:900]

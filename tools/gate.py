@@ -1,0 +1,110 @@
+"""End-of-round gate — run this as the LAST step before any end-of-round
+commit. It exists because round 5's only red mark was bookkeeping drift:
+x139 was registered in the final snapshot commit AFTER the audit log and
+baseline table were refreshed, so the round shipped with a failing drift
+test. This tool makes that slip mechanical to catch:
+
+    python tools/gate.py
+
+Checks (all must pass; exits non-zero otherwise):
+ 1. registry <-> SURVEY section-2 drift test (both directions), via the
+    same pytest the round bar uses;
+ 2. BASELINE.md completeness — every registered key has a numbers-table
+    row (the 2x perf gate needs a denominator for every key);
+ 3. sf0.1 audit-log coverage — the newest AUDIT_sf0.1_r*.log contains a
+    status line for every registered key and reports zero failures.
+
+If (3) names missing keys, refresh the log:
+
+    SF_DIR=/root/testdata/sf0.1 python tools/oracle_audit.py \
+        2>&1 | tee AUDIT_sf0.1_rNN.log
+
+and for (2) merge fresh bench numbers with tools/rebuild_baseline.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from presto_weather_spark.registry import all_queries  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROW = re.compile(r"^\| (\w+) \| [\d.]+ \| [\d.]+ \| .*? \| \d{4}-\d{2}-\d{2} \|$")
+STATUS = re.compile(r"^\s*(\w+): (ok|rows-only)")
+
+
+def main() -> int:
+    keys = sorted(all_queries())
+    problems: list[str] = []
+
+    # 1. drift test (registry <-> SURVEY section 2, both directions)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         "tests/test_survey_registry_drift.py", "-q", "--no-header"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        tail = "\n".join(r.stdout.strip().splitlines()[-3:])
+        problems.append(f"DRIFT: survey/registry drift test failed:\n{tail}")
+    else:
+        print(f"gate 1/3: drift test green ({len(keys)} registered keys)")
+
+    # 2. BASELINE.md row per key
+    rows = set()
+    for line in open(os.path.join(REPO, "BASELINE.md")):
+        m = ROW.match(line.rstrip())
+        if m:
+            rows.add(m.group(1))
+    missing = [k for k in keys if k not in rows]
+    if missing:
+        problems.append(
+            f"BASELINE: {len(missing)} registered key(s) lack a BASELINE.md "
+            f"row (run bench.py + tools/rebuild_baseline.py): {missing[:10]}"
+        )
+    else:
+        print(f"gate 2/3: BASELINE.md covers all {len(keys)} keys")
+
+    # 3. newest sf0.1 audit log covers every key with zero failures
+    logs = sorted(glob.glob(os.path.join(REPO, "AUDIT_sf0.1_r*.log")))
+    if not logs:
+        problems.append("AUDIT: no AUDIT_sf0.1_r*.log present")
+    else:
+        latest = logs[-1]
+        text = open(latest, errors="replace").read()
+        seen = {m.group(1) for m in
+                (STATUS.match(l) for l in text.splitlines()) if m}
+        uncovered = [k for k in keys if k not in seen]
+        fail_m = re.search(r"(\d+) ok, (\d+) fail", text)
+        if uncovered:
+            problems.append(
+                f"AUDIT: {os.path.basename(latest)} lacks entries for "
+                f"{len(uncovered)} key(s): {uncovered[:10]} — refresh the "
+                f"full sf0.1 audit log"
+            )
+        elif not fail_m or int(fail_m.group(2)) != 0:
+            problems.append(
+                f"AUDIT: {os.path.basename(latest)} does not report '0 fail'"
+            )
+        else:
+            print(
+                f"gate 3/3: {os.path.basename(latest)} covers all "
+                f"{len(keys)} keys, {fail_m.group(1)} ok / 0 fail"
+            )
+
+    if problems:
+        print("\nGATE FAILED:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print("\nGATE PASSED — safe to commit the end-of-round snapshot.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
