@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from presto_weather_spark.registry import register
+from presto_weather_spark.registry import defer_install, register
 from presto_weather_spark.session import load_table
 
 
@@ -1228,3 +1228,286 @@ def x136_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term.cast("decimal(28,6)")).cast("double"), 6
         ).alias("chi_square"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X140 — lexicon/blocklist screen (the C4/RefinedWeb badword gate)
+# ---------------------------------------------------------------------------
+
+BLOCKLIST = ("slow", "error", "dup", "spam")  # policy lexicon (configurable)
+BLOCKLIST_GATE = 50  # flag when flagged tokens exceed 1/GATE of the doc
+
+
+@register(
+    "x140_blocklist_screen",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ws, w -> list_contains(
+              {list(BLOCKLIST)!r}, w))) AS BIGINT) AS n_flagged
+  FROM t
+)
+SELECT doc_id, n_tokens, n_flagged,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE n_flagged * 1000000 // n_tokens END AS BIGINT)
+         AS flag_rate_e6,
+       CASE WHEN n_flagged * {BLOCKLIST_GATE} > n_tokens
+            THEN 'flag' ELSE 'ok' END AS gate
+FROM c
+""",
+    doc="X140: LEXICON/BLOCKLIST screen — the C4/RefinedWeb badword gate "
+    "x86's statistical rule battery deliberately lacks: per document, "
+    "how many tokens hit a policy lexicon, the hit rate, and a "
+    "flag/ok gate at >2% lexicon mass (integer compare n_flagged*50 > "
+    "n_tokens — keep/drop never rides float noise; rate reported as a "
+    "scaled integer for the same reason). The fixture lexicon "
+    "intersects the synthetic vocabulary so the gate actually fires; "
+    "a deployment swaps the tuple for its policy list. Plan: pure "
+    "scan-side HOF array arithmetic — tokenize, filter, count inside "
+    "one projection, ZERO shuffles at any corpus size (the cheapest "
+    "possible screen, like x86/x131).",
+)
+def x140_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    flagged = F.filter(
+        ws, lambda w: w.isin(*BLOCKLIST)
+    )
+    c = d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(flagged).cast("bigint").alias("n_flagged"),
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "n_flagged",
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr("n_flagged * 1000000 DIV n_tokens")
+        )
+        .cast("bigint")
+        .alias("flag_rate_e6"),
+        F.when(
+            F.col("n_flagged") * BLOCKLIST_GATE > F.col("n_tokens"), "flag"
+        )
+        .otherwise("ok")
+        .alias("gate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X141 — quality-score calibration (reliability of x20's LM score vs x86)
+# ---------------------------------------------------------------------------
+
+CALIB_BINS_PER_UNIT = 2  # half-logprob-unit equal-width bins
+
+
+@register(
+    "x141_score_calibration",
+    oracle=None,  # composed from x20's + x86's oracles at import (see below)
+    doc="X141: QUALITY-SCORE CALIBRATION — before thresholding a corpus "
+    "on a quality score, check the score actually orders quality: bin "
+    "x20's unigram-LM document score into equal-width half-unit bins "
+    "and report, per bin, the document count and the rate at which "
+    "x86's independent rule-battery gate says keep — a reliability "
+    "table (monotone keep-rate = the score is a usable ranking; flat "
+    "= thresholding it is noise). Bin = floor(score * 2): the score "
+    "is ALREADY 6dp-rounded identically in both engines, so the "
+    "floor is engine-exact — no data-dependent quantiles, no global "
+    "sort (the equal-width variant of calibration exists precisely "
+    "because equal-mass deciles need a rank pass). keep_rate in "
+    "scaled-integer micro-units; mean score via DECIMAL sum. Oracle "
+    "composed textually from x20's and x86's registered oracles at "
+    "import (the x128/x133 pattern) so all three stay in lockstep. "
+    "Scale: two doc-grain aggregates joined on doc_id + one bins-"
+    "sized rollup; every shuffle is doc- or bins-bounded.",
+)
+def x141_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import (
+        x20_unigram_logprob,
+    )
+
+    score = x20_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    keep = x86_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("keep_i")
+    )
+    joined = score.join(keep, "doc_id").select(
+        F.floor(F.col("avg_logprob") * CALIB_BINS_PER_UNIT)
+        .cast("bigint")
+        .alias("bin"),
+        "avg_logprob",
+        "keep_i",
+    )
+    return joined.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("keep_i").cast("bigint").alias("n_keep"),
+        F.expr(
+            "CAST(CAST(sum(keep_i) AS BIGINT) * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("keep_rate_e6"),
+        F.round(
+            F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+    )
+
+
+def _install_x141_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    x20 = _REGISTRY["x20_unigram_logprob"].oracle
+    x86 = _REGISTRY["x86_quality_rules"].oracle
+    q = _REGISTRY["x141_score_calibration"]
+    sql = f"""
+WITH score AS ({x20}),
+keep AS ({x86}),
+joined AS (
+  SELECT CAST(floor(score.avg_logprob * {CALIB_BINS_PER_UNIT}) AS BIGINT)
+           AS bin,
+         score.avg_logprob,
+         CAST(keep.keep AS INT) AS keep_i
+  FROM score JOIN keep USING (doc_id)
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep_i) AS BIGINT) AS n_keep,
+       CAST(CAST(sum(keep_i) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         AS keep_rate_e6,
+       round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_score
+FROM joined GROUP BY bin
+"""
+    _REGISTRY["x141_score_calibration"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+defer_install(_install_x141_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X142 — cross-split n-gram leakage audit (8-gram overlap over x07's split)
+# ---------------------------------------------------------------------------
+
+LEAK_N = 8  # n-gram order (the x88 decontamination convention)
+
+
+@register(
+    "x142_split_ngram_leakage",
+    oracle=None,  # composed from x07's oracle at import (see below)
+    doc="X142: CROSS-SPLIT N-GRAM LEAKAGE — x53 makes the split "
+    "group-safe and x71 checks its balance; this measures what "
+    "neither does: how much verbatim 8-gram mass the test split "
+    "shares with train anyway (near-identical docs that straddle the "
+    "hash split inflate eval scores exactly like external benchmark "
+    "contamination, x88's problem pointed at one's own split). Per "
+    "language: distinct test-split 8-grams, how many also occur in "
+    "train (any language), and the leaked share in scaled-integer "
+    "micro-units. The split label is x07's md5 rule computed "
+    "scan-side in the same projection as the grams (no join against "
+    "the split table), and the oracle composes x07's registered "
+    "oracle textually so the rule cannot drift. Scale: gram explode "
+    "-> one distinct-aggregate shuffle on the gram key (grams could "
+    "carry a 64-bit hash instead of the string for a ~10x narrower "
+    "exchange, the x84 note); leakage is a per-gram boolean "
+    "aggregate, the report a languages-sized rollup.",
+)
+def x142_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    ws = F.split(F.col("text"), " ")
+    grams = d.select(
+        "lang",
+        split.alias("split"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) "
+                f"- {LEAK_N - 1}, 0)), "
+                f"i -> array_join(slice(split(text, ' '), i, {LEAK_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).filter(F.col("split") != "valid")
+    per_gram = grams.groupBy("gram").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.collect_set(
+            F.when(F.col("split") == "test", F.col("lang"))
+        ).alias("test_langs"),
+    )
+    test_grams = per_gram.select(
+        F.explode("test_langs").alias("lang"), "in_train"
+    )
+    return test_grams.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_grams"),
+        F.sum("in_train").cast("bigint").alias("n_leaked"),
+        F.expr(
+            "CAST(CAST(sum(in_train) AS BIGINT) * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("leaked_share_e6"),
+    )
+
+
+def _install_x142_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    x07 = _REGISTRY["x07_train_test_split"].oracle
+    q = _REGISTRY["x142_split_ngram_leakage"]
+    sql = f"""
+WITH split AS ({x07}),
+grams AS (
+  SELECT d.lang, s.split,
+         array_to_string(ws[CAST(t.i AS INT):CAST(t.i + {LEAK_N - 1} AS INT)], ' ') AS gram
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) d
+  JOIN split s USING (doc_id),
+  UNNEST(generate_series(1, len(d.ws) - {LEAK_N - 1})) AS t(i)
+  WHERE s.split <> 'valid'
+),
+per_gram AS (
+  SELECT gram,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         list_distinct(list(CASE WHEN split = 'test' THEN lang END))
+           AS test_langs
+  FROM grams GROUP BY gram
+),
+test_grams AS (
+  SELECT unnest(list_filter(test_langs, x -> x IS NOT NULL)) AS lang,
+         in_train
+  FROM per_gram
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_test_grams,
+       CAST(sum(in_train) AS BIGINT) AS n_leaked,
+       CAST(CAST(sum(in_train) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         AS leaked_share_e6
+FROM test_grams GROUP BY lang
+"""
+    _REGISTRY["x142_split_ngram_leakage"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+defer_install(_install_x142_oracle)

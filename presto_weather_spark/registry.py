@@ -69,6 +69,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 _LOADED = False
+_DEFERRED: list[Callable[[], None]] = []
+
+
+def defer_install(fn: Callable[[], None]) -> None:
+    """Queue a composed-oracle installer to run after ALL operator modules
+    are imported — for oracles composed from a key registered in a module
+    that loads later (the import-order-safe variant of the x133 pattern)."""
+    _DEFERRED.append(fn)
 
 
 def _load_all() -> None:
@@ -93,4 +101,7 @@ def _load_all() -> None:
     from presto_weather_spark.sources import open_meteo  # noqa: F401
     from presto_weather_spark.streaming import pipeline  # noqa: F401
 
+    for fn in _DEFERRED:
+        fn()
+    _DEFERRED.clear()
     _LOADED = True

@@ -677,3 +677,21 @@ def test_salted_running_window_two_pass_shape(spark, sf_dir):
     bucket_grain = [l for l in windows if "event_id#" not in l]
     assert len(bucket_grain) == 1 and "bucket#" in bucket_grain[0], windows
     assert "BroadcastHashJoin" in plan, plan[:900]
+
+
+def test_blocklist_screen_is_zero_shuffle(spark, sf_dir):
+    """x140: the lexicon gate must stay a scan-side projection — any
+    Exchange means the screen stopped being the cheapest possible pass."""
+    plan = simple_plan(_df("x140_blocklist_screen", spark, sf_dir))
+    assert "Exchange" not in plan, plan[:900]
+
+
+def test_split_leakage_shuffles_grams_once(spark, sf_dir):
+    """x142: exactly one aggregate exchange keyed on the gram, plus the
+    final languages-sized rollup — the split label must be a scan-side
+    expression (no join against a split table)."""
+    plan = simple_plan(_df("x142_split_ngram_leakage", spark, sf_dir))
+    assert "Join" not in plan, plan[:900]
+    gram_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning(gram#" in l]
+    assert len(gram_ex) == 1, plan[:1200]
