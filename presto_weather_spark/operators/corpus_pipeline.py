@@ -24,7 +24,7 @@ from presto_weather_spark.registry import register
 from presto_weather_spark.session import load_table
 
 MIN_CHARS = 100  # quality gate: minimum document length
-MAX_DUP_RATIO = 0.25  # near-dup gate: max duplicated-chunk ratio
+MAX_DUP_RATIO_DEN = 4  # near-dup gate: keep while dup chunks <= 1/4 of chunks
 
 
 @register(
@@ -51,14 +51,15 @@ ch AS (
 freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h),
 ratio AS (
   SELECT ch.doc_id,
-         count(*) FILTER (freq.n_docs > 1) * 1.0 / count(*) AS dup_ratio
+         CAST(count(*) FILTER (freq.n_docs > 1) AS BIGINT) AS dup_n,
+         CAST(count(*) AS BIGINT) AS tot_n
   FROM ch JOIN freq USING (h)
   GROUP BY ch.doc_id
 ),
 kept AS (
   SELECT e.doc_id, e.lang, e.text
   FROM exact e JOIN ratio USING (doc_id)
-  WHERE ratio.dup_ratio <= {MAX_DUP_RATIO}
+  WHERE ratio.dup_n * {MAX_DUP_RATIO_DEN} <= ratio.tot_n
 )
 SELECT d.lang,
        CAST(count(*) AS BIGINT) AS docs_in,
@@ -107,11 +108,12 @@ def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = (
         per_pair.withColumn("nd", nd)
         .groupBy("doc_id")
-        .agg((dup_c / F.sum("c")).alias("dup_ratio"))
+        # integer gate: dup/tot <= 1/4 <=> 4*dup <= tot (no float quotient)
+        .agg(dup_c.alias("dup_n"), F.sum("c").alias("tot_n"))
     )
     kept = (
         exact.join(ratio, "doc_id")
-        .filter(F.col("dup_ratio") <= MAX_DUP_RATIO)
+        .filter(F.col("dup_n") * MAX_DUP_RATIO_DEN <= F.col("tot_n"))
         .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
     )
 

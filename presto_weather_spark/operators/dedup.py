@@ -230,7 +230,7 @@ jacc AS (
   FROM pairs p
   JOIN sizes sa ON p.doc_a = sa.doc_id
   JOIN sizes sb ON p.doc_b = sb.doc_id
-  WHERE CAST(p.inter_size AS DOUBLE) / (sa.n_grams + sb.n_grams - p.inter_size) >= 0.2
+  WHERE p.inter_size * 5 >= (sa.n_grams + sb.n_grams - p.inter_size)
 )"""
 
 
@@ -270,8 +270,15 @@ def x02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        # threshold in INTEGER space (inter/union >= 1/5 <=> 5*inter >=
+        # union; union > 0 always) — the float quotient sits exactly ON
+        # the boundary for unions divisible by 5, where a double compare
+        # is engine-representation roulette
+        .filter(
+            F.col("inter_size") * 5
+            >= F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("inter_size")
+        )
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.2)
     )
 
 

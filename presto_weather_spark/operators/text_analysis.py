@@ -141,7 +141,7 @@ stats AS (
 )
 SELECT doc_id, lang,
        round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.1 THEN 'en' ELSE 'other' END AS lang_guess
+       CASE WHEN n_stop * 10 >= n_tokens THEN 'en' ELSE 'other' END AS lang_guess
 FROM stats
 """,
     doc="X8: n-gram/stopword-ratio language-ID heuristic — a deterministic, "
@@ -162,7 +162,10 @@ def x08_language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.round(ratio, 6).alias("stopword_ratio"),
-        F.when(ratio >= 0.1, "en").otherwise("other").alias("lang_guess"),
+        # integer gate: n_stop/n_tokens >= 0.1 <=> 10*n_stop >= n_tokens
+        F.when(F.col("n_stop") * 10 >= F.col("n_tokens"), "en")
+        .otherwise("other")
+        .alias("lang_guess"),
     )
 
 
@@ -175,7 +178,7 @@ SELECT doc_id,
        round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
        round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
        CASE WHEN length(text) BETWEEN 20 AND 10000
-             AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) < 0.2
+             AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 5 < length(text)
             THEN 'keep' ELSE 'drop' END AS quality_gate
 FROM documents
 """,
@@ -196,7 +199,8 @@ def x09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(alpha.cast("double") / text_len, 6).alias("alpha_ratio"),
         F.when(
-            text_len.between(20, 10000) & (punct_ratio < 0.2), "keep"
+            # integer gate: punct/len < 0.2 <=> 5*punct < len
+            text_len.between(20, 10000) & (punct * 5 < text_len), "keep"
         )
         .otherwise("drop")
         .alias("quality_gate"),
@@ -475,7 +479,7 @@ agg AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot
         FROM cnt GROUP BY doc_id)
 SELECT doc_id,
        round(CAST(mx AS DOUBLE) / tot, 6) AS top_bigram_ratio,
-       CASE WHEN CAST(mx AS DOUBLE) / tot > 0.2 THEN 'drop' ELSE 'keep' END
+       CASE WHEN mx * 5 > tot THEN 'drop' ELSE 'keep' END
            AS repetition_gate
 FROM agg
 """,
@@ -505,7 +509,10 @@ def x17_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id",
         F.round(ratio, 6).alias("top_bigram_ratio"),
-        F.when(ratio > 0.2, "drop").otherwise("keep").alias("repetition_gate"),
+        # integer gate: mx/tot > 0.2 <=> 5*mx > tot
+        F.when(F.col("mx") * 5 > F.col("tot"), "drop")
+        .otherwise("keep")
+        .alias("repetition_gate"),
     )
 
 
@@ -774,8 +781,8 @@ WITH toks AS (
 ),
 pred AS (
   SELECT doc_id, any_value(lang) AS lang,
-         CASE WHEN CAST(SUM(CASE WHEN term IN ({', '.join(repr(s) for s in STOPWORDS)}) THEN 1 ELSE 0 END) AS DOUBLE)
-                   / COUNT(*) >= 0.1
+         CASE WHEN 10 * SUM(CASE WHEN term IN ({', '.join(repr(s) for s in STOPWORDS)}) THEN 1 ELSE 0 END)
+                   >= COUNT(*)
               THEN 'en' ELSE 'other' END AS lang_guess
   FROM toks WHERE term <> '' GROUP BY doc_id
 )
@@ -804,7 +811,8 @@ def x25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = toks.groupBy("doc_id").agg(
         F.any_value("lang").alias("lang"),
         F.when(
-            F.sum(is_stop).cast("double") / F.count(F.lit(1)) >= 0.1, "en"
+            # integer gate: stop share >= 0.1 <=> 10*n_stop >= n_tokens
+            F.sum(is_stop) * 10 >= F.count(F.lit(1)), "en"
         ).otherwise("other").alias("lang_guess"),
     )
     cells = pred.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -4302,9 +4310,9 @@ def x106_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=f"""
 WITH lab AS (
   SELECT doc_id,
-         CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t IN ({', '.join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
-                   >= 0.1 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+         CASE WHEN 10 * len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN ({', '.join(repr(s) for s in STOPWORDS)})))
+                   >= len(list_filter(string_split_regex(lower(text), '\\s+'),
                                 t -> t <> ''))
               THEN 'en' ELSE 'other' END AS label_a,
          CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label_b
@@ -4358,7 +4366,8 @@ def x107_annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFram
     toks = F.filter(_tokens(), lambda t: t != "")
     n_stop = F.size(F.filter(_tokens(), lambda t: F.array_contains(stop_lit, t)))
     label_a = F.when(
-        n_stop.cast("double") >= 0.1 * F.size(toks), "en"
+        # integer gate: stop share >= 0.1 <=> 10*n_stop >= n_tokens
+        n_stop * 10 >= F.size(toks), "en"
     ).otherwise("other")
     label_b = F.when(F.col("lang") == "en", "en").otherwise("other")
     lab = d.select(label_a.alias("label_a"), label_b.alias("label_b"))
