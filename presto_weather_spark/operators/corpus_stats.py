@@ -1438,18 +1438,25 @@ def x142_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
     )
-    ws = F.split(F.col("text"), " ")
-    grams = d.select(
+    # materialize the token array ONCE per row before the generator —
+    # written inline, projection collapse re-inlines split(text) into
+    # every use site inside the transform lambda (one split per GRAM,
+    # the HOF trap the MinHash kernel hit)
+    words = d.select(
         "lang",
         split.alias("split"),
+        F.split(F.col("text"), " ").alias("ws"),
+    ).filter(F.col("split") != "valid")
+    grams = words.select(
+        "lang",
+        "split",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) "
-                f"- {LEAK_N - 1}, 0)), "
-                f"i -> array_join(slice(split(text, ' '), i, {LEAK_N}), ' '))"
+                f"transform(sequence(1, greatest(size(ws) - {LEAK_N - 1}, 0)), "
+                f"i -> array_join(slice(ws, i, {LEAK_N}), ' '))"
             )
         ).alias("gram"),
-    ).filter(F.col("split") != "valid")
+    )
     per_gram = grams.groupBy("gram").agg(
         F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
             "in_train"

@@ -899,9 +899,14 @@ FROM (
     "sphere).",
 )
 def x139_haversine_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = spark.createDataFrame(
-        list(STATIONS), "name string, lat double, lon double"
-    ).coalesce(1)  # 8 rows; default parallelism would plan 256 join tasks
+    # Pure-JVM literal relation (LocalTableScan, one partition). NOT
+    # createDataFrame(...).coalesce(1): python-list conversion plans
+    # defaultParallelism pickled partitions and the coalesce makes ONE
+    # task drain all of them through the Python worker serially —
+    # measured ~4.5 s of fixed overhead PER ACTION for 8 rows.
+    st = spark.sql(
+        f"SELECT * FROM VALUES {_STATION_VALUES} AS t(name, lat, lon)"
+    )
     a, b = st.alias("a"), st.alias("b")
     dlat = F.radians(F.col("b.lat") - F.col("a.lat"))
     dlon = F.radians(F.col("b.lon") - F.col("a.lon"))
@@ -996,17 +1001,19 @@ def x139b_cell_bucketed_station_assign(
     # replicated-cell table is still stations x 9 and broadcasts).  The
     # cell rule floor(lat/4) / floor((lon+8)/4) matches the point-side
     # expression bit-for-bit: same IEEE doubles, same floor.
-    cell_rows = [
-        (n, la, lo,
-         math.floor(la / 4) + dy, math.floor((lo + 8) / 4) + dx)
+    cell_values = ", ".join(
+        f"('{n}', CAST({la!r} AS DOUBLE), CAST({lo!r} AS DOUBLE), "
+        f"{math.floor(la / 4) + dy}L, {math.floor((lo + 8) / 4) + dx}L)"
         for n, la, lo in STATIONS
         for dy in (-1, 0, 1)
         for dx in (-1, 0, 1)
-    ]
-    cells = spark.createDataFrame(
-        cell_rows,
-        "name string, lat double, lon double, clat bigint, clon bigint",
-    ).coalesce(1)
+    )
+    # Pure-JVM literal relation — see x139's note: a python-list
+    # createDataFrame + coalesce(1) costs ~4.5 s of Python-worker
+    # round-trips per action; VALUES is a LocalTableScan.
+    cells = spark.sql(
+        f"SELECT * FROM VALUES {cell_values} AS t(name, lat, lon, clat, clon)"
+    )
     pts = load_table(spark, sf_dir, "events").select(
         "event_id",
         (F.lit(48.0) + (F.col("event_id") % 800) / 100.0).alias("plat"),

@@ -27,11 +27,9 @@ from presto_weather_spark.registry import all_queries  # noqa: E402
 # (plan changed, or the verdict ordered a re-record). Empty between such
 # events — "first run defines baseline" for everything else.
 RE_RECORD: set[str] = {
-    # round 6: x44 plan changed (vocab aggregate checkpointed once +
-    # broadcast pair join); x05d plan changed (real PNG IHDR decode
-    # replaced payload-length arithmetic) — verdict-sanctioned re-records
-    "x44_js_divergence",
-    "x05d_media_resize",
+    # round 6 (late): x142 re-planned — words array materialized before
+    # the gram generator (split ran once per GRAM via projection collapse)
+    "x142_split_ngram_leakage",
 }
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
