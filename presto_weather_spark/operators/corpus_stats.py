@@ -1518,3 +1518,124 @@ FROM test_grams GROUP BY lang
 
 
 defer_install(_install_x142_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X143 — the complete Gopher repeated-n-gram table (Rae et al. 2021, A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_TOP_NS = (2, 3, 4)  # most-frequent-n-gram mass
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)  # duplicated-n-gram mass
+
+
+@register(
+    "x143_gopher_dup_ngrams",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nt, n.n AS n,
+         array_to_string(w[CAST(t.i AS INT):CAST(t.i + n.n - 1 AS INT)], ' ')
+           AS gram
+  FROM ws, (VALUES {', '.join(f'({n})' for n in GOPHER_TOP_NS + GOPHER_DUP_NS)}) n(n),
+       UNNEST(generate_series(1, len(w) - n.n + 1)) t(i)
+  WHERE len(w) >= n.n
+),
+c AS (
+  SELECT doc_id, n, gram, any_value(nt) AS nt, count(*) AS c
+  FROM g GROUP BY doc_id, n, gram
+),
+m AS (
+  SELECT doc_id, n, any_value(nt) AS nt, max(c) AS mx,
+         coalesce(sum(c) FILTER (c >= 2), 0) AS dup
+  FROM c GROUP BY doc_id, n
+),
+f AS (
+  SELECT doc_id, n,
+         CAST((CASE WHEN n <= {max(GOPHER_TOP_NS)} THEN mx ELSE dup END)
+              * n * 1000000 // nt AS BIGINT) AS e6
+  FROM m
+)
+SELECT d.doc_id,
+{','.join(f"       coalesce(max(CASE WHEN f.n = {n} THEN f.e6 END), 0) AS top{n}_e6"
+          for n in GOPHER_TOP_NS)},
+{','.join(f"       coalesce(max(CASE WHEN f.n = {n} THEN f.e6 END), 0) AS dup{n}_e6"
+          for n in GOPHER_DUP_NS)}
+FROM documents d LEFT JOIN f USING (doc_id)
+GROUP BY d.doc_id
+""",
+    doc="X143: the COMPLETE Gopher repeated-n-gram table (Rae et al. 2021 "
+    "Appendix A1.1, public) — x85 implements the word-grain third of the "
+    "MassiveText repetition battery; this adds the remaining nine rules: "
+    "token mass of the single most frequent {2,3,4}-gram and token mass "
+    "inside duplicated (count >= 2) {5..10}-grams, per document. "
+    "Convention (stated, identical in both engines): mass is occurrences "
+    "x n tokens over total tokens — overlapping occurrences double-count, "
+    "so a fraction may exceed 1; reported as scaled-integer micro-units "
+    "via integer division, never a float quotient. Docs shorter than n "
+    "report 0 via LEFT JOIN. Plan: ONE tokenize feeding one tagged "
+    "generator (9 n-values in a single explode — the x85 kind-tag shape), "
+    "then two hash aggregates whose (doc, n, gram) partials combine "
+    "map-side, and a doc-grain pivot; at 100 TB the gram stream is the "
+    "only fan-out and it shuffles once on (doc, n, gram).",
+)
+def x143_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ns = GOPHER_TOP_NS + GOPHER_DUP_NS
+    # words array materialized as a column BEFORE the generator (the x142
+    # lesson: inline split() is re-inlined into every lambda use site)
+    # One narrow exchange on doc_id BEFORE the 9-way gram fan-out: a
+    # doc's grams then stay in one partition, so hashpartitioning(doc_id)
+    # satisfies the clustering of BOTH downstream aggregates — the 60M-row
+    # gram stream never shuffles (measured 7.4 s -> the doc-grain plan).
+    ws = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(1, size(w) - {n - 1}), "
+            f"i -> named_struct('n', {n}, 'gram', "
+            f"array_join(slice(w, i, {n}), ' '))) "
+            f"ELSE array() END"
+        )
+        for n in ns
+    ]
+    g = ws.select(
+        "doc_id",
+        "nt",
+        F.explode(F.concat(*gram_arrays)).alias("s"),
+    ).select("doc_id", "nt", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    c = g.groupBy("doc_id", "n", "gram").agg(
+        F.any_value("nt").alias("nt"), F.count(F.lit(1)).alias("c")
+    )
+    m = c.groupBy("doc_id", "n").agg(
+        F.any_value("nt").alias("nt"),
+        F.max("c").alias("mx"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)).alias(
+            "dup"
+        ),
+    )
+    f = m.select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"CAST((CASE WHEN n <= {max(GOPHER_TOP_NS)} THEN mx ELSE dup END)"
+            f" * n * 1000000 DIV nt AS BIGINT)"
+        ).alias("e6"),
+    )
+    pivoted = (
+        d.select("doc_id")
+        .join(f, "doc_id", "left")
+        .groupBy("doc_id")
+        .pivot("n", list(ns))
+        .agg(F.first("e6"))
+    )
+    cols = [F.coalesce(F.col(f"`{n}`"), F.lit(0)).alias(
+        f"top{n}_e6" if n in GOPHER_TOP_NS else f"dup{n}_e6") for n in ns]
+    return pivoted.select("doc_id", *cols)

@@ -26,11 +26,7 @@ from presto_weather_spark.registry import all_queries  # noqa: E402
 # Keys whose existing BASELINE row should be OVERWRITTEN by this run
 # (plan changed, or the verdict ordered a re-record). Empty between such
 # events — "first run defines baseline" for everything else.
-RE_RECORD: set[str] = {
-    # round 6 (late): x142 re-planned — words array materialized before
-    # the gram generator (split ran once per GRAM via projection collapse)
-    "x142_split_ngram_leakage",
-}
+RE_RECORD: set[str] = set()
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
 
