@@ -1942,3 +1942,168 @@ def x117_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("norm_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X144 — margin-based bitext mining (Artetxe & Schwenk 2019, public)
+# ---------------------------------------------------------------------------
+
+BITEXT_SRC_LANG = "en"
+BITEXT_TGT_LANG = "fr"
+BITEXT_K = 4  # neighborhood size for the margin denominator
+BITEXT_MARGIN = 1.0  # keep mutual-best pairs whose ratio margin exceeds this
+
+
+@register(
+    "x144_margin_bitext_mining",
+    oracle=f"""
+WITH src AS (
+  SELECT e.vec_id AS src_id, e.embedding AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = '{BITEXT_SRC_LANG}'
+),
+tgt AS (
+  SELECT e.vec_id AS tgt_id, e.embedding AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = '{BITEXT_TGT_LANG}'
+),
+pairs AS (
+  SELECT s.src_id, t.tgt_id,
+         round({_SQL_DOT.format(a='s.v', b='t.v')} /
+               ({_SQL_NORM.format(v='s.v')} * {_SQL_NORM.format(v='t.v')}),
+               6) AS cos6
+  FROM src s CROSS JOIN tgt t
+),
+nn_src AS (
+  SELECT src_id,
+         CAST(SUM(CAST(cos6 AS DECIMAL(18,6))) AS DOUBLE) AS s_sum
+  FROM (
+    SELECT src_id, cos6,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cos6 DESC, tgt_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {BITEXT_K} GROUP BY src_id
+),
+nn_tgt AS (
+  SELECT tgt_id,
+         CAST(SUM(CAST(cos6 AS DECIMAL(18,6))) AS DOUBLE) AS t_sum
+  FROM (
+    SELECT tgt_id, cos6,
+           row_number() OVER (PARTITION BY tgt_id
+                              ORDER BY cos6 DESC, src_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {BITEXT_K} GROUP BY tgt_id
+),
+scored AS (
+  SELECT p.src_id, p.tgt_id, p.cos6,
+         round(p.cos6 * {2 * BITEXT_K} / (n1.s_sum + n2.t_sum), 6) AS margin
+  FROM pairs p
+  JOIN nn_src n1 USING (src_id)
+  JOIN nn_tgt n2 USING (tgt_id)
+),
+best AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS r_src,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY margin DESC, src_id) AS r_tgt
+  FROM scored
+)
+SELECT src_id, tgt_id, cos6 AS cosine_sim, margin
+FROM best
+WHERE r_src = 1 AND r_tgt = 1 AND margin > {BITEXT_MARGIN}
+""",
+    doc="X144: MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019; the "
+    "LASER/CCMatrix parallel-corpus recipe, public) — mine translation "
+    "pairs between the en and fr slices of the corpus: the ratio margin "
+    "cos(x,y) / mean(k-NN cosines of both sides) demotes hub vectors "
+    "that raw cosine over-selects, and only MUTUAL best-margin pairs "
+    "above the threshold survive. Determinism: cosines 6dp-rounded at "
+    "the kernel (the x02d parity precedent), k-NN denominators are "
+    "DECIMAL sums of rounded values under (cos desc, id) tie-break, "
+    "margins re-rounded before the mutual argmax. Plan: the tgt slice "
+    "rides the kernel closure (minority-language side, bounded — the "
+    "x02d broadcast pattern) and each src Arrow batch is ONE BLAS "
+    "matmul; everything after the kernel is relational (two top-k "
+    "windows, two joins, mutual filter). At 100 TB both sides are "
+    "first blocked by x03b's LSH buckets so only intra-bucket pairs "
+    "are scored — the same margin algebra per bucket.",
+)
+def x144_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    tgt = (
+        sides.filter(F.col("lang") == BITEXT_TGT_LANG)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    tids = np.asarray([r["vec_id"] for r in tgt], dtype=np.int64)
+    tmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in tgt])
+    tunit = tmat / np.linalg.norm(tmat, axis=1, keepdims=True)
+
+    def pairs_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(unit @ tunit.T, 6)  # (n_src_batch, n_tgt)
+            ids = pdf["src_id"].to_numpy().astype(np.int64)
+            n, m = sims.shape
+            yield pd.DataFrame(
+                {
+                    "src_id": np.repeat(ids, m),
+                    "tgt_id": np.tile(tids, n),
+                    "cos6": sims.ravel(),
+                }
+            )
+
+    pairs = (
+        sides.filter(F.col("lang") == BITEXT_SRC_LANG)
+        .select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("v"))
+        .mapInPandas(pairs_kernel, "src_id bigint, tgt_id bigint, cos6 double")
+        .localCheckpoint()  # consumed by three downstream readers
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.col("cos6").desc(), "tgt_id")
+    nn_src = (
+        pairs.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum(F.col("cos6").cast("decimal(18,6)")).cast("double").alias("s_sum"))
+    )
+    w_t = Window.partitionBy("tgt_id").orderBy(F.col("cos6").desc(), "src_id")
+    nn_tgt = (
+        pairs.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum(F.col("cos6").cast("decimal(18,6)")).cast("double").alias("t_sum"))
+    )
+    scored = (
+        pairs.join(F.broadcast(nn_src), "src_id")
+        .join(F.broadcast(nn_tgt), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos6",
+            F.round(
+                F.col("cos6") * (2 * BITEXT_K) / (F.col("s_sum") + F.col("t_sum")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    r_src = Window.partitionBy("src_id").orderBy(F.col("margin").desc(), "tgt_id")
+    r_tgt = Window.partitionBy("tgt_id").orderBy(F.col("margin").desc(), "src_id")
+    return (
+        scored.withColumn("r_src", F.row_number().over(r_src))
+        .withColumn("r_tgt", F.row_number().over(r_tgt))
+        .filter(
+            (F.col("r_src") == 1)
+            & (F.col("r_tgt") == 1)
+            & (F.col("margin") > BITEXT_MARGIN)
+        )
+        .select("src_id", "tgt_id", F.col("cos6").alias("cosine_sim"), "margin")
+    )
