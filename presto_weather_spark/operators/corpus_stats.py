@@ -1639,3 +1639,187 @@ def x143_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.coalesce(F.col(f"`{n}`"), F.lit(0)).alias(
         f"top{n}_e6" if n in GOPHER_TOP_NS else f"dup{n}_e6") for n in ns]
     return pivoted.select("doc_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# X145 — quality-screen ensemble agreement (pairwise Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+SCREEN_GATES = ("g86", "g09", "g17", "g140")  # column order fixes pair ids
+
+
+@register(
+    "x145_screen_agreement",
+    oracle=None,  # composed from the four screens' oracles at import
+    doc="X145: QUALITY-SCREEN ENSEMBLE AGREEMENT — before combining "
+    "filters into a pipeline, measure how much they agree: for every "
+    "pair of the four rule gates (x86 Gopher battery, x09 "
+    "length/punctuation, x17 repetition, x140 blocklist), the 2x2 "
+    "keep/drop confusion counts and Cohen's kappa. Near-1 kappa means "
+    "a redundant screen (drop it, save a pass); near-0 means the "
+    "screens fire on DIFFERENT documents and stacking them multiplies "
+    "yield loss — the filter-ensemble ablation signal. Determinism: "
+    "the four gate columns compose textually from the registered "
+    "oracles (defer_install), x17's short-doc gap defaults to keep "
+    "via LEFT JOIN, and kappa is exact-integer algebra (n(a+d) - "
+    "marginal products over n^2 - the same) with a single 6dp "
+    "division; the degenerate pe=1 case is an INTEGER equality branch "
+    "(x107's rule). Scale: one doc-grain gate table (four scan-side "
+    "rules joined on doc_id), then SIX constant-size aggregates over "
+    "it — the audit costs one corpus pass regardless of pair count.",
+)
+def x145_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators.text_analysis import (
+        x09_quality_score,
+        x17_repetition_filter,
+    )
+
+    g86 = x86_quality_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("g86")
+    )
+    g09 = x09_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality_gate") == "keep").cast("int").alias("g09")
+    )
+    g17 = x17_repetition_filter(spark, sf_dir).select(
+        "doc_id", (F.col("repetition_gate") == "keep").cast("int").alias("g17")
+    )
+    g140 = x140_blocklist_screen(spark, sf_dir).select(
+        "doc_id", (F.col("gate") == "ok").cast("int").alias("g140")
+    )
+    gates = (
+        g86.join(g09, "doc_id")
+        .join(g17, "doc_id", "left")  # x17 emits no row for <2-token docs
+        .join(g140, "doc_id")
+        .select(
+            "doc_id",
+            "g86",
+            "g09",
+            F.coalesce(F.col("g17"), F.lit(1)).alias("g17"),
+            "g140",
+        )
+    )
+    # ALL six confusions in ONE aggregate pass (24 conditional sums) —
+    # separate per-pair aggregates launch six jobs over the same table
+    # and job latency dominates at any scale; then unstack to pair rows.
+    pairs = [
+        (SCREEN_GATES[i], SCREEN_GATES[j])
+        for i in range(len(SCREEN_GATES))
+        for j in range(i + 1, len(SCREEN_GATES))
+    ]
+    sums = []
+    for ga, gb in pairs:
+        for va, vb, tag in ((1, 1, "kk"), (1, 0, "kd"), (0, 1, "dk"), (0, 0, "dd")):
+            sums.append(
+                F.sum(
+                    ((F.col(ga) == va) & (F.col(gb) == vb)).cast("bigint")
+                ).alias(f"{ga}_{gb}_{tag}")
+            )
+    one = gates.agg(*sums)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(ga).alias("gate_a"),
+                F.lit(gb).alias("gate_b"),
+                F.col(f"{ga}_{gb}_kk").alias("n_keep_keep"),
+                F.col(f"{ga}_{gb}_kd").alias("n_keep_drop"),
+                F.col(f"{ga}_{gb}_dk").alias("n_drop_keep"),
+                F.col(f"{ga}_{gb}_dd").alias("n_drop_drop"),
+            )
+            for ga, gb in pairs
+        ]
+    )
+    conf = one.select(F.explode(rows).alias("r")).select("r.*")
+    n = (
+        F.col("n_keep_keep")
+        + F.col("n_keep_drop")
+        + F.col("n_drop_keep")
+        + F.col("n_drop_drop")
+    )
+    pe_num = (F.col("n_keep_keep") + F.col("n_keep_drop")) * (
+        F.col("n_keep_keep") + F.col("n_drop_keep")
+    ) + (F.col("n_drop_keep") + F.col("n_drop_drop")) * (
+        F.col("n_keep_drop") + F.col("n_drop_drop")
+    )
+    num = n * (F.col("n_keep_keep") + F.col("n_drop_drop")) - pe_num
+    den = n * n - pe_num
+    return conf.select(
+        "gate_a",
+        "gate_b",
+        "n_keep_keep",
+        "n_keep_drop",
+        "n_drop_keep",
+        "n_drop_drop",
+        # degenerate pe=1 (both screens unanimous): kappa := 1 by the
+        # INTEGER equality den == 0, never a float compare
+        F.when(den == 0, F.lit(1.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("kappa"),
+    )
+
+
+def _install_x145_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    x86 = _REGISTRY["x86_quality_rules"].oracle
+    x09 = _REGISTRY["x09_quality_score"].oracle
+    x17 = _REGISTRY["x17_repetition_filter"].oracle
+    x140 = _REGISTRY["x140_blocklist_screen"].oracle
+    pairs_sql = []
+    names = list(SCREEN_GATES)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            ga, gb = names[i], names[j]
+            pairs_sql.append(f"""
+SELECT '{ga}' AS gate_a, '{gb}' AS gate_b,
+       CAST(SUM(CASE WHEN {ga} = 1 AND {gb} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_keep,
+       CAST(SUM(CASE WHEN {ga} = 1 AND {gb} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_drop,
+       CAST(SUM(CASE WHEN {ga} = 0 AND {gb} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_keep,
+       CAST(SUM(CASE WHEN {ga} = 0 AND {gb} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_drop
+FROM gates""")
+    union = "\nUNION ALL\n".join(pairs_sql)
+    q = _REGISTRY["x145_screen_agreement"]
+    sql = f"""
+WITH s86 AS ({x86}),
+s09 AS ({x09}),
+s17 AS ({x17}),
+s140 AS ({x140}),
+gates AS (
+  SELECT s86.doc_id,
+         CAST(s86.keep AS INT) AS g86,
+         CASE WHEN s09.quality_gate = 'keep' THEN 1 ELSE 0 END AS g09,
+         coalesce(CASE WHEN s17.repetition_gate = 'keep' THEN 1 ELSE 0 END, 1)
+           AS g17,
+         CASE WHEN s140.gate = 'ok' THEN 1 ELSE 0 END AS g140
+  FROM s86
+  JOIN s09 USING (doc_id)
+  LEFT JOIN s17 USING (doc_id)
+  JOIN s140 USING (doc_id)
+),
+conf AS ({union})
+SELECT gate_a, gate_b, n_keep_keep, n_keep_drop, n_drop_keep, n_drop_drop,
+       CASE WHEN (n_keep_keep + n_keep_drop + n_drop_keep + n_drop_drop)
+                 * (n_keep_keep + n_keep_drop + n_drop_keep + n_drop_drop)
+                 - ((n_keep_keep + n_keep_drop) * (n_keep_keep + n_drop_keep)
+                    + (n_drop_keep + n_drop_drop) * (n_keep_drop + n_drop_drop))
+                 = 0
+            THEN 1.0
+            ELSE round(
+              CAST((n_keep_keep + n_keep_drop + n_drop_keep + n_drop_drop)
+                   * (n_keep_keep + n_drop_drop)
+                   - ((n_keep_keep + n_keep_drop) * (n_keep_keep + n_drop_keep)
+                      + (n_drop_keep + n_drop_drop) * (n_keep_drop + n_drop_drop))
+                   AS DOUBLE)
+              / CAST((n_keep_keep + n_keep_drop + n_drop_keep + n_drop_drop)
+                     * (n_keep_keep + n_keep_drop + n_drop_keep + n_drop_drop)
+                     - ((n_keep_keep + n_keep_drop) * (n_keep_keep + n_drop_keep)
+                        + (n_drop_keep + n_drop_drop) * (n_keep_drop + n_drop_drop))
+                     AS DOUBLE), 6)
+       END AS kappa
+FROM conf
+"""
+    _REGISTRY["x145_screen_agreement"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+defer_install(_install_x145_oracle)
