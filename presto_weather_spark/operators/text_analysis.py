@@ -5069,3 +5069,241 @@ def x135_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_window_ttr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X147 — DSIR importance weights (Xie et al. 2023, public)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"  # the in-domain slice the weights steer toward
+
+
+@register(
+    "x147_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, t.term
+  FROM (SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS term FROM documents) t
+  WHERE t.term <> ''
+),
+tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+vocab AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM tok GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         CAST(SUM(cr) AS BIGINT) AS nr,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+lr AS (
+  SELECT term,
+         ln((ct + 1.0) * (nr + v) / ((cr + 1.0) * (nt + v))) AS term_lr
+  FROM vocab CROSS JOIN tot
+)
+SELECT tc.doc_id,
+       CAST(SUM(tc.c) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(tc.c * lr.term_lr AS DECIMAL(28,18)))
+                  AS DOUBLE), 6) AS log_weight,
+       CASE WHEN round(CAST(SUM(CAST(tc.c * lr.term_lr AS DECIMAL(28,18)))
+                            AS DOUBLE), 6) > 0
+            THEN 'select' ELSE 'skip' END AS dsir_gate
+FROM tc JOIN lr USING (term)
+GROUP BY tc.doc_id
+""",
+    doc="X147: DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling', public) — the "
+    "data-selection workhorse x20's absolute LM score cannot express: "
+    "per document, the log importance ratio between a TARGET unigram "
+    "distribution (the in-domain slice, here lang='en') and the raw "
+    "corpus distribution, log w = sum c_t * ln(p_target(t)/p_raw(t)) "
+    "with +1 Laplace smoothing over the shared vocabulary — positive "
+    "weight means the doc looks more like the target than the corpus "
+    "and survives resampling (the paper hashes n-gram features; the "
+    "unigram form is the same algebra and the hashing is a stated "
+    "knob). Determinism: counts and totals are exact integers, the "
+    "per-term log-ratio is ONE double expression from identical "
+    "integers, per-doc sums go through DECIMAL(28,18) (the x44 "
+    "idiom), the gate compares the 6dp-ROUNDED weight. Plan: one "
+    "tokenize feeds both the (doc, term) counts and the vocab's "
+    "conditional target/raw counts (single pass, no second scan); "
+    "scalars ride a 3-number closure; the vocab log-ratio table "
+    "broadcasts back onto doc-term counts; shuffles are doc- and "
+    "vocab-bounded.",
+)
+def x147_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        _spread(d)
+        .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .localCheckpoint()  # consumed by the scalar agg AND the join
+    )
+    nt, nr, v = vocab.agg(
+        F.sum("ct"), F.sum("cr"), F.count(F.lit(1))
+    ).first()
+    lr = vocab.select(
+        "term",
+        F.log(
+            (F.col("ct") + 1.0)
+            * float(nr + v)
+            / ((F.col("cr") + 1.0) * float(nt + v))
+        ).alias("term_lr"),
+    )
+    dec = "decimal(28,18)"
+    weight = F.round(
+        F.sum((F.col("c") * F.col("term_lr")).cast(dec)).cast("double"), 6
+    )
+    return (
+        tc.join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            weight.alias("log_weight"),
+            F.when(weight > 0, "select").otherwise("skip").alias("dsir_gate"),
+        )
+    )
+
+
+DSIR_BUCKETS = 8192  # hashed-feature space (the paper's 10k, power-of-2)
+
+
+@register(
+    "x148_dsir_hashed_features",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY doc_id, b),
+feat AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM bi GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+         CAST(SUM(cr) AS BIGINT) AS nr
+  FROM feat
+),
+lr AS (
+  SELECT b,
+         ln((ct + 1.0) * (nr + {DSIR_BUCKETS})
+            / ((cr + 1.0) * (nt + {DSIR_BUCKETS}))) AS f_lr
+  FROM feat CROSS JOIN tot
+)
+SELECT bc.doc_id,
+       CAST(SUM(bc.c) AS BIGINT) AS n_features,
+       round(CAST(SUM(CAST(bc.c * lr.f_lr AS DECIMAL(28,18)))
+                  AS DOUBLE), 6) AS log_weight,
+       CASE WHEN round(CAST(SUM(CAST(bc.c * lr.f_lr AS DECIMAL(28,18)))
+                            AS DOUBLE), 6) > 0
+            THEN 'select' ELSE 'skip' END AS dsir_gate
+FROM bc JOIN lr USING (b)
+GROUP BY bc.doc_id
+""",
+    doc="X148: DSIR with HASHED N-GRAM FEATURES — x147's stated scale "
+    "knob made executable (the x73b/x106b/x139b pattern): Xie et al. "
+    "2023's actual feature space is hashed n-grams into a FIXED bucket "
+    "count, which caps the feature table at {8192} rows however large "
+    "the web-scale vocabulary grows (raw unigram vocab grows with the "
+    "corpus by Heaps' law; the hash space does not). Bigrams hash "
+    "through md5 — the one hash both engines define identically (the "
+    "x07 idiom: first 8 hex chars as a BIGINT, mod buckets) — so the "
+    "bucketed distribution estimate is hash-verified, not rows-only. "
+    "Same exact-integer counts, one-double-expression log-ratio, "
+    "DECIMAL(28,18) per-doc sums, and 6dp-rounded gate as x147. "
+    "Plan: one tokenize, bigram fan-out feeds both the (doc, bucket) "
+    "counts and the bucket's conditional counts; the log-ratio table "
+    "is buckets-sized and broadcasts; shuffles doc- and "
+    "buckets-bounded at any corpus size.",
+)
+def x148_dsir_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _spread(d).select(
+        "doc_id",
+        "lang",
+        F.filter(_tokens(), lambda t: t != F.lit("")).alias("t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flat = toks.filter(F.size("t") >= 2).select(
+        "doc_id", "lang", F.posexplode("t").alias("pos", "tok")
+    )
+    nxt = F.lead("tok").over(w)
+    bi = (
+        flat.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.col("tok"), nxt)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("b"),
+            nxt.alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .drop("nxt")
+    )
+    bc = bi.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    feat = (
+        bi.groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .localCheckpoint()
+    )
+    nt, nr = feat.agg(F.sum("ct"), F.sum("cr")).first()
+    lr = feat.select(
+        "b",
+        F.log(
+            (F.col("ct") + 1.0)
+            * float(nr + DSIR_BUCKETS)
+            / ((F.col("cr") + 1.0) * float(nt + DSIR_BUCKETS))
+        ).alias("f_lr"),
+    )
+    dec = "decimal(28,18)"
+    weight = F.round(
+        F.sum((F.col("c") * F.col("f_lr")).cast(dec)).cast("double"), 6
+    )
+    return (
+        bc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_features"),
+            weight.alias("log_weight"),
+            F.when(weight > 0, "select").otherwise("skip").alias("dsir_gate"),
+        )
+    )
