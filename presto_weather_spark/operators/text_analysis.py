@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from presto_weather_spark.registry import register
+from presto_weather_spark.registry import defer_install, register
 from presto_weather_spark.session import load_table
 
 # A tiny fixed English stopword list shared by Spark and oracle SQL.
@@ -5307,3 +5307,107 @@ def x148_dsir_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(weight > 0, "select").otherwise("skip").alias("dsir_gate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X149 — score/length confound audit (per-lang Pearson r, DECIMAL-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x149_score_length_confound",
+    oracle=None,  # composed from x20's oracle at import (see below)
+    doc="X149: SCORE-LENGTH CONFOUND AUDIT — 'is my quality score just "
+    "measuring length?': per language, the Pearson correlation between "
+    "document length (chars) and x20's unigram-LM score, plus the "
+    "group size and both means. |r| near 1 means thresholding the "
+    "score silently becomes a length filter (x114's confound question "
+    "for a CONTINUOUS feature). Determinism: x = length is an exact "
+    "integer, y = the score is already 6dp-rounded identically in "
+    "both engines and enters as DECIMAL(18,6), so x*y, y*y are EXACT "
+    "decimal products and all five moment sums are exact DECIMAL "
+    "aggregates — r is ONE double expression over identical exact "
+    "inputs, 6dp-rounded; the zero-variance degenerate (all-equal x "
+    "or y) defines r=0 via an exact-decimal equality, not a float "
+    "compare. Oracle composed from x20's registered oracle "
+    "(defer_install). Scale: one doc-grain join on doc_id, then a "
+    "languages-sized moment aggregate — the audit is one pass.",
+)
+def x149_score_length_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("x")
+    )
+    score = x20_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").cast("decimal(18,6)").alias("y")
+    )
+    j = d.join(score, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,6)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,6)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias("syy"),
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "lang",
+        "n",
+        F.round(F.col("sx").cast("double") / n, 6).alias("mean_len"),
+        F.round(F.col("sy").cast("double") / n, 6).alias("mean_score"),
+        # degenerate: zero variance on either side -> r defined as 0,
+        # decided on the EXACT decimal variance, never a float compare
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            )
+        )
+        .alias("pearson_r"),
+    )
+
+
+def _install_x149_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    x20 = _REGISTRY["x20_unigram_logprob"].oracle
+    q = _REGISTRY["x149_score_length_confound"]
+    sql = f"""
+WITH score AS ({x20}),
+j AS (
+  SELECT d.lang, CAST(length(d.text) AS BIGINT) AS x,
+         CAST(score.avg_logprob AS DECIMAL(18,6)) AS y
+  FROM documents d JOIN score ON d.doc_id = score.doc_id
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(38,6)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,6)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(38,6)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(38,6)) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM j GROUP BY lang
+)
+SELECT lang, n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_len,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_score,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN 0.0
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS pearson_r
+FROM agg
+"""
+    _REGISTRY["x149_score_length_confound"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+defer_install(_install_x149_oracle)
