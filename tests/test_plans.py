@@ -695,3 +695,23 @@ def test_split_leakage_shuffles_grams_once(spark, sf_dir):
     gram_ex = [l for l in plan.splitlines()
                if "Exchange hashpartitioning(gram#" in l]
     assert len(gram_ex) == 1, plan[:1200]
+
+
+def test_gopher_ngram_table_never_shuffles_grams(spark, sf_dir):
+    """x143: the only row-grain exchange must be the doc_id repartition
+    BEFORE the 9-way gram fan-out — hashpartitioning(doc_id) satisfies
+    both downstream aggregates, so no exchange keyed on the gram."""
+    plan = simple_plan(_df("x143_gopher_dup_ngrams", spark, sf_dir))
+    gram_ex = [l for l in plan.splitlines()
+               if "Exchange hashpartitioning" in l and "gram#" in l]
+    assert not gram_ex, gram_ex
+    assert "REPARTITION_BY_NUM" in plan, plan[:900]
+
+
+def test_dsir_logratio_tables_broadcast(spark, sf_dir):
+    """x147/x148: the vocab/bucket log-ratio table must broadcast back
+    onto the doc-feature counts — a shuffled join there would move the
+    doc-grain side twice for a vocab-sized dimension."""
+    for key in ("x147_dsir_importance", "x148_dsir_hashed_features"):
+        plan = simple_plan(_df(key, spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (key, plan[:900])
