@@ -5411,3 +5411,115 @@ FROM agg
 
 
 defer_install(_install_x149_oracle)
+
+
+@register(
+    "x150_dsir_hash_fidelity",
+    oracle=None,  # composed from x147's + x148's oracles at import
+    doc="X150: DSIR HASH-FIDELITY AUDIT — how faithful is x148's "
+    "fixed-bucket approximation to x147's exact-vocabulary weights? "
+    "The 2x2 select/skip confusion between the two gates plus Cohen's "
+    "kappa and the scaled-integer agreement rate — the sketch-vs-exact "
+    "evaluation every approximation in this engine ships with (x115 "
+    "for LSH, x106b for banded buckets, now the DSIR bucket knob). "
+    "Low kappa says the bucket count is too small for the vocabulary; "
+    "the fix is raising DSIR_BUCKETS, not trusting the sketch. Kappa "
+    "is x145's exact-integer algebra (one 6dp division, pe=1 by "
+    "integer equality); both gate columns compose textually from the "
+    "registered oracles via defer_install so all three operators stay "
+    "in lockstep. Scale: two doc-grain gate tables join on doc_id "
+    "into ONE all-to-one aggregate — a single corpus pass.",
+)
+def x150_dsir_hash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = x147_dsir_importance(spark, sf_dir).select(
+        "doc_id", (F.col("dsir_gate") == "select").cast("int").alias("ge")
+    )
+    hashed = x148_dsir_hashed_features(spark, sf_dir).select(
+        "doc_id", (F.col("dsir_gate") == "select").cast("int").alias("gh")
+    )
+    conf = exact.join(hashed, "doc_id").agg(
+        F.sum(((F.col("ge") == 1) & (F.col("gh") == 1)).cast("bigint")).alias(
+            "n_sel_sel"
+        ),
+        F.sum(((F.col("ge") == 1) & (F.col("gh") == 0)).cast("bigint")).alias(
+            "n_sel_skip"
+        ),
+        F.sum(((F.col("ge") == 0) & (F.col("gh") == 1)).cast("bigint")).alias(
+            "n_skip_sel"
+        ),
+        F.sum(((F.col("ge") == 0) & (F.col("gh") == 0)).cast("bigint")).alias(
+            "n_skip_skip"
+        ),
+    )
+    a, b = F.col("n_sel_sel"), F.col("n_sel_skip")
+    c, dd = F.col("n_skip_sel"), F.col("n_skip_skip")
+    n = a + b + c + dd
+    pe_num = (a + b) * (a + c) + (c + dd) * (b + dd)
+    num = n * (a + dd) - pe_num
+    den = n * n - pe_num
+    return conf.select(
+        "n_sel_sel",
+        "n_sel_skip",
+        "n_skip_sel",
+        "n_skip_skip",
+        F.expr(
+            "CAST((n_sel_sel + n_skip_skip) * 1000000 DIV "
+            "(n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip) AS BIGINT)"
+        ).alias("agree_rate_e6"),
+        F.when(den == 0, F.lit(1.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("kappa"),
+    )
+
+
+def _install_x150_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    x147 = _REGISTRY["x147_dsir_importance"].oracle
+    x148 = _REGISTRY["x148_dsir_hashed_features"].oracle
+    q = _REGISTRY["x150_dsir_hash_fidelity"]
+    sql = f"""
+WITH exact_w AS ({x147}),
+hashed_w AS ({x148}),
+conf AS (
+  SELECT
+    CAST(SUM(CASE WHEN e.dsir_gate = 'select' AND h.dsir_gate = 'select'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sel_sel,
+    CAST(SUM(CASE WHEN e.dsir_gate = 'select' AND h.dsir_gate = 'skip'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sel_skip,
+    CAST(SUM(CASE WHEN e.dsir_gate = 'skip' AND h.dsir_gate = 'select'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_skip_sel,
+    CAST(SUM(CASE WHEN e.dsir_gate = 'skip' AND h.dsir_gate = 'skip'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_skip_skip
+  FROM exact_w e JOIN hashed_w h USING (doc_id)
+)
+SELECT n_sel_sel, n_sel_skip, n_skip_sel, n_skip_skip,
+       CAST((n_sel_sel + n_skip_skip) * 1000000
+            // (n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip)
+            AS BIGINT) AS agree_rate_e6,
+       CASE WHEN (n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip)
+                 * (n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip)
+                 - ((n_sel_sel + n_sel_skip) * (n_sel_sel + n_skip_sel)
+                    + (n_skip_sel + n_skip_skip) * (n_sel_skip + n_skip_skip))
+                 = 0
+            THEN 1.0
+            ELSE round(
+              CAST((n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip)
+                   * (n_sel_sel + n_skip_skip)
+                   - ((n_sel_sel + n_sel_skip) * (n_sel_sel + n_skip_sel)
+                      + (n_skip_sel + n_skip_skip) * (n_sel_skip + n_skip_skip))
+                   AS DOUBLE)
+              / CAST((n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip)
+                     * (n_sel_sel + n_sel_skip + n_skip_sel + n_skip_skip)
+                     - ((n_sel_sel + n_sel_skip) * (n_sel_sel + n_skip_sel)
+                        + (n_skip_sel + n_skip_skip) * (n_sel_skip + n_skip_skip))
+                     AS DOUBLE), 6)
+       END AS kappa
+FROM conf
+"""
+    _REGISTRY["x150_dsir_hash_fidelity"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+defer_install(_install_x150_oracle)
