@@ -715,3 +715,20 @@ def test_dsir_logratio_tables_broadcast(spark, sf_dir):
     for key in ("x147_dsir_importance", "x148_dsir_hashed_features"):
         plan = simple_plan(_df(key, spark, sf_dir))
         assert "BroadcastHashJoin" in plan, (key, plan[:900])
+
+
+def test_voiced_spans_zero_ensure_requirements(spark, sf_dir):
+    """x146: decode + framing + segmentation fuse into one partition-local
+    Arrow stage — the only exchange is the explicit doc_id repartition,
+    never an aggregation/join shuffle."""
+    plan = simple_plan(_df("x146_audio_voiced_spans", spark, sf_dir))
+    assert "ENSURE_REQUIREMENTS" not in plan, plan[:900]
+
+
+def test_bitext_mining_broadcasts_denominators(spark, sf_dir):
+    """x144: the k-NN denominator tables join back by BROADCAST (they are
+    language-slice-sized) and no stage plans a cartesian product — the
+    pair fan-out lives inside the Arrow kernel, not a join."""
+    plan = simple_plan(_df("x144_margin_bitext_mining", spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:900]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
