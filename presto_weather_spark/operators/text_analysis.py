@@ -5523,3 +5523,96 @@ FROM conf
 
 
 defer_install(_install_x150_oracle)
+
+
+@register(
+    "x151_dsir_mixture_shift",
+    oracle=None,  # composed from x147's oracle at import
+    doc="X151: DSIR SELECTION MIXTURE SHIFT — x138 asks what DEDUP does "
+    "to the language mixture; this asks the same of DSIR SELECTION, "
+    "which is deliberately non-uniform (x147 steers toward a target "
+    "lang), so the recipe planner must budget on POST-selection mass: "
+    "per language, docs in, docs selected, the scaled-integer keep "
+    "rate, and the mixture share before vs after selection with its "
+    "delta (shares as micro-unit integers via the exact global "
+    "counts, never a float quotient). The gate column composes "
+    "textually from x147's registered oracle (defer_install). Scale: "
+    "x147's doc-grain gate aggregates straight to a languages-sized "
+    "table; the global totals ride a window over that tiny table.",
+)
+def x151_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    g = x147_dsir_importance(spark, sf_dir).select(
+        "doc_id", (F.col("dsir_gate") == "select").cast("int").alias("sel")
+    )
+    per_lang = (
+        d.join(g, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_in"),
+            F.sum("sel").cast("bigint").alias("docs_selected"),
+        )
+    )
+    w = Window.partitionBy()
+    # integer DIV against windowed totals — a double `/` then cast would
+    # truncate a value the float rounding may have already pushed across
+    # an integer boundary; DIV is exact like the oracle's //
+    with_tot = per_lang.select(
+        "lang",
+        "docs_in",
+        "docs_selected",
+        F.sum("docs_in").over(w).alias("tot_in"),
+        F.sum("docs_selected").over(w).alias("tot_sel"),
+    )
+    return with_tot.select(
+        "lang",
+        "docs_in",
+        "docs_selected",
+        F.expr("CAST(docs_selected * 1000000 DIV docs_in AS BIGINT)").alias(
+            "keep_rate_e6"
+        ),
+        F.expr("CAST(docs_in * 1000000 DIV tot_in AS BIGINT)").alias(
+            "share_before_e6"
+        ),
+        F.expr("CAST(docs_selected * 1000000 DIV tot_sel AS BIGINT)").alias(
+            "share_after_e6"
+        ),
+        F.expr(
+            "CAST(docs_selected * 1000000 DIV tot_sel AS BIGINT)"
+            " - CAST(docs_in * 1000000 DIV tot_in AS BIGINT)"
+        ).alias("share_delta_e6"),
+    )
+
+
+def _install_x151_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    x147 = _REGISTRY["x147_dsir_importance"].oracle
+    q = _REGISTRY["x151_dsir_mixture_shift"]
+    sql = f"""
+WITH w AS ({x147}),
+per_lang AS (
+  SELECT d.lang,
+         CAST(count(*) AS BIGINT) AS docs_in,
+         CAST(SUM(CASE WHEN w.dsir_gate = 'select' THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_selected
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+  GROUP BY d.lang
+)
+SELECT lang, docs_in, docs_selected,
+       CAST(docs_selected * 1000000 // docs_in AS BIGINT) AS keep_rate_e6,
+       CAST(docs_in * 1000000 // SUM(docs_in) OVER () AS BIGINT)
+         AS share_before_e6,
+       CAST(docs_selected * 1000000 // SUM(docs_selected) OVER () AS BIGINT)
+         AS share_after_e6,
+       CAST(docs_selected * 1000000 // SUM(docs_selected) OVER () AS BIGINT)
+         - CAST(docs_in * 1000000 // SUM(docs_in) OVER () AS BIGINT)
+         AS share_delta_e6
+FROM per_lang
+"""
+    _REGISTRY["x151_dsir_mixture_shift"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+defer_install(_install_x151_oracle)
