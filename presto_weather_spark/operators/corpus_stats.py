@@ -1450,10 +1450,16 @@ def x142_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = words.select(
         "lang",
         "split",
+        # docs shorter than LEAK_N tokens contribute no grams. The guard
+        # must be a CASE, not greatest(..., 0): sequence(1, 0) in Spark
+        # steps DOWNWARD to [1, 0] and the i=0 slice then raises
+        # INVALID_PARAMETER_VALUE.START on any short document.
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(ws) - {LEAK_N - 1}, 0)), "
-                f"i -> array_join(slice(ws, i, {LEAK_N}), ' '))"
+                f"CASE WHEN size(ws) >= {LEAK_N} THEN "
+                f"transform(sequence(1, size(ws) - {LEAK_N - 1}), "
+                f"i -> array_join(slice(ws, i, {LEAK_N}), ' ')) "
+                f"ELSE array() END"
             )
         ).alias("gram"),
     )

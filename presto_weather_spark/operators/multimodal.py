@@ -805,6 +805,13 @@ def x05f_audio_loudness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x05g_png_decode",
+    # ORACLE ASSUMPTION (shared with x05e/x05f/x146): the per-CHARACTER
+    # codepoint stream below equals the kernel's utf-8 BYTE stream only
+    # while every fixture document is pure ASCII — verified for all SFs by
+    # tests/test_properties.py::test_fixture_documents_are_ascii, which
+    # fails loudly (instead of a silent hash mismatch) if the fixture ever
+    # gains multi-byte text. The kernels themselves are byte-correct for
+    # any input.
     oracle=f"""
 WITH chars AS (
   SELECT doc_id, ascii(substr(text, CAST(u.i AS INT), 1)) AS b

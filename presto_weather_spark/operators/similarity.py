@@ -2041,6 +2041,13 @@ def x144_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not tgt:
+        # empty target-language slice is valid input (the oracle's CROSS
+        # JOIN just yields zero pairs); np.stack on [] would raise instead
+        return spark.createDataFrame(
+            [],
+            "src_id bigint, tgt_id bigint, cosine_sim double, margin double",
+        )
     tids = np.asarray([r["vec_id"] for r in tgt], dtype=np.int64)
     tmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in tgt])
     tunit = tmat / np.linalg.norm(tmat, axis=1, keepdims=True)

@@ -5574,11 +5574,17 @@ def x151_dsir_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(docs_in * 1000000 DIV tot_in AS BIGINT)").alias(
             "share_before_e6"
         ),
-        F.expr("CAST(docs_selected * 1000000 DIV tot_sel AS BIGINT)").alias(
-            "share_after_e6"
-        ),
+        # tot_sel = 0 (nothing passed the gate, a valid degenerate corpus)
+        # must be guarded in BOTH engines: Spark DIV returns NULL but
+        # DuckDB's // raises division-by-zero — the x145/x150 kappa
+        # convention. Zero selection => zero post-selection share.
         F.expr(
-            "CAST(docs_selected * 1000000 DIV tot_sel AS BIGINT)"
+            "CASE WHEN tot_sel = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(docs_selected * 1000000 DIV tot_sel AS BIGINT) END"
+        ).alias("share_after_e6"),
+        F.expr(
+            "CASE WHEN tot_sel = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(docs_selected * 1000000 DIV tot_sel AS BIGINT) END"
             " - CAST(docs_in * 1000000 DIV tot_in AS BIGINT)"
         ).alias("share_delta_e6"),
     )
@@ -5603,9 +5609,13 @@ SELECT lang, docs_in, docs_selected,
        CAST(docs_selected * 1000000 // docs_in AS BIGINT) AS keep_rate_e6,
        CAST(docs_in * 1000000 // SUM(docs_in) OVER () AS BIGINT)
          AS share_before_e6,
-       CAST(docs_selected * 1000000 // SUM(docs_selected) OVER () AS BIGINT)
+       CASE WHEN SUM(docs_selected) OVER () = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(docs_selected * 1000000 // SUM(docs_selected) OVER ()
+                      AS BIGINT) END
          AS share_after_e6,
-       CAST(docs_selected * 1000000 // SUM(docs_selected) OVER () AS BIGINT)
+       CASE WHEN SUM(docs_selected) OVER () = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(docs_selected * 1000000 // SUM(docs_selected) OVER ()
+                      AS BIGINT) END
          - CAST(docs_in * 1000000 // SUM(docs_in) OVER () AS BIGINT)
          AS share_delta_e6
 FROM per_lang

@@ -1063,3 +1063,85 @@ def test_mmr_local_and_distributed_paths_agree(spark, sf_dir):
     local = sorted(tuple(r) for r in _mmr_local(emb).collect())
     dist = sorted(tuple(r) for r in _mmr_distributed(emb).collect())
     assert local == dist and len(local) > 0
+
+
+def test_split_ngram_leakage_short_docs(spark):
+    # x142 regression (round-7 ADVICE, high): a doc with < 8 whitespace
+    # tokens used to crash the gram generator — Spark's sequence(1, 0)
+    # steps DOWNWARD to [1, 0] and slice(ws, 0, 8) raises
+    # INVALID_PARAMETER_VALUE.START. Short docs must contribute zero
+    # grams, matching DuckDB's empty generate_series(1, 0).
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    long_doc = " ".join(f"w{i}" for i in range(12))   # 12 tokens -> 5 grams
+    rows = [
+        (1, "tiny", "en", "s", 4),                    # 1 token
+        (2, "a b c d e f g", "en", "s", 13),          # 7 tokens (= N-1)
+        (3, long_doc, "en", "s", len(long_doc)),
+        (4, long_doc, "fr", "s", len(long_doc)),      # duplicate content
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_leak_short")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    # Must not raise; every reported gram count comes from the >= 8-token
+    # docs only (5 grams each at most, per language that landed in test).
+    res = all_queries()["x142_split_ngram_leakage"].fn(spark, out).collect()
+    for r in res:
+        assert 0 <= r["n_leaked"] <= r["n_test_grams"] <= 5
+
+
+def test_fixture_documents_are_ascii(spark):
+    # The x05e/x05f/x05g/x146 multimodal oracles walk the text per
+    # CHARACTER (ascii(substr(...))) while the kernels operate on utf-8
+    # BYTES; the two streams agree only for pure-ASCII text. This pins
+    # that fixture property at every committed scale factor so a fixture
+    # change surfaces as a named failure here, not as a silent hash
+    # mismatch in the audit (round-7 ADVICE item).
+    import os
+
+    import pyspark.sql.functions as F
+
+    from presto_weather_spark.session import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = os.path.join("/root/testdata", sf)
+        if not os.path.isdir(sf_dir):
+            continue
+        bad = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.length("text") != F.octet_length("text"))
+            .count()
+        )
+        assert bad == 0, f"{sf}: {bad} non-ASCII documents break the multimodal oracles"
+
+
+def test_bitext_mining_empty_target_slice(spark):
+    # x144 regression (round-7 ADVICE): a corpus with no target-language
+    # (fr) documents is valid input — the oracle's CROSS JOIN yields zero
+    # pairs — but np.stack([]) used to raise ValueError and fail the
+    # whole query. Must return an empty frame with the output schema.
+    from presto_weather_spark.registry import all_queries
+    import os
+    import tempfile
+
+    rows = [(i, f"english only doc {i}", "en", "s", 20) for i in range(6)]
+    emb = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_bitext_empty")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    res = all_queries()["x144_margin_bitext_mining"].fn(spark, out)
+    assert res.columns == ["src_id", "tgt_id", "cosine_sim", "margin"]
+    assert res.count() == 0

@@ -12,12 +12,20 @@ Checks (all must pass; exits non-zero otherwise):
  2. BASELINE.md completeness — every registered key has a numbers-table
     row (the 2x perf gate needs a denominator for every key);
  3. sf0.1 audit-log coverage — the newest AUDIT_sf0.1_r*.log contains a
-    status line for every registered key and reports zero failures.
+    status line for every registered key and reports zero failures;
+ 4. README.md's "Registered queries: **N**" line matches the registry
+    (round 6 shipped README saying 309 against a 318-key registry);
+ 5. (only with --require-sf001) the newest AUDIT_sf0.01_r*.log ALSO covers
+    every key with zero failures — sf0.01 is the scale the DRIVER samples
+    at, and dialect drift can be scale-dependent (integer DIV boundaries,
+    empty-group degenerates), so a round may opt into proving both.
 
-If (3) names missing keys, refresh the log:
+If (3)/(5) name missing keys, refresh the log:
 
     SF_DIR=/root/testdata/sf0.1 python tools/oracle_audit.py \
         2>&1 | tee AUDIT_sf0.1_rNN.log
+    SF_DIR=/root/testdata/sf0.01 python tools/oracle_audit.py \
+        2>&1 | tee AUDIT_sf0.01_rNN.log
 
 and for (2) merge fresh bench numbers with tools/rebuild_baseline.py.
 """
@@ -53,7 +61,7 @@ def main() -> int:
         tail = "\n".join(r.stdout.strip().splitlines()[-3:])
         problems.append(f"DRIFT: survey/registry drift test failed:\n{tail}")
     else:
-        print(f"gate 1/3: drift test green ({len(keys)} registered keys)")
+        print(f"gate 1: drift test green ({len(keys)} registered keys)")
 
     # 2. BASELINE.md row per key
     rows = set()
@@ -68,13 +76,19 @@ def main() -> int:
             f"row (run bench.py + tools/rebuild_baseline.py): {missing[:10]}"
         )
     else:
-        print(f"gate 2/3: BASELINE.md covers all {len(keys)} keys")
+        print(f"gate 2: BASELINE.md covers all {len(keys)} keys")
 
     # 3. newest sf0.1 audit log covers every key with zero failures
-    logs = sorted(glob.glob(os.path.join(REPO, "AUDIT_sf0.1_r*.log")))
-    if not logs:
-        problems.append("AUDIT: no AUDIT_sf0.1_r*.log present")
-    else:
+    #    (5., opt-in: same check against the newest sf0.01 log — the
+    #    driver's own scale factor)
+    audits = [("gate 3", "AUDIT_sf0.1_r*.log", "sf0.1")]
+    if "--require-sf001" in sys.argv:
+        audits.append(("gate 5", "AUDIT_sf0.01_r*.log", "sf0.01"))
+    for label, pattern, sf in audits:
+        logs = sorted(glob.glob(os.path.join(REPO, pattern)))
+        if not logs:
+            problems.append(f"AUDIT: no {pattern} present")
+            continue
         latest = logs[-1]
         text = open(latest, errors="replace").read()
         seen = {m.group(1) for m in
@@ -85,7 +99,7 @@ def main() -> int:
             problems.append(
                 f"AUDIT: {os.path.basename(latest)} lacks entries for "
                 f"{len(uncovered)} key(s): {uncovered[:10]} — refresh the "
-                f"full sf0.1 audit log"
+                f"full {sf} audit log"
             )
         elif not fail_m or int(fail_m.group(2)) != 0:
             problems.append(
@@ -93,9 +107,22 @@ def main() -> int:
             )
         else:
             print(
-                f"gate 3/3: {os.path.basename(latest)} covers all "
+                f"{label}: {os.path.basename(latest)} covers all "
                 f"{len(keys)} keys, {fail_m.group(1)} ok / 0 fail"
             )
+
+    # 4. README registered-query count must match the registry
+    readme = open(os.path.join(REPO, "README.md"), errors="replace").read()
+    m = re.search(r"Registered queries: \*\*(\d+)\*\*", readme)
+    if not m:
+        problems.append("README: no 'Registered queries: **N**' line found")
+    elif int(m.group(1)) != len(keys):
+        problems.append(
+            f"README: says {m.group(1)} registered queries but the registry "
+            f"holds {len(keys)} — update the README line"
+        )
+    else:
+        print(f"gate 4: README count matches registry ({len(keys)})")
 
     if problems:
         print("\nGATE FAILED:")
