@@ -1145,3 +1145,63 @@ def test_bitext_mining_empty_target_slice(spark):
     res = all_queries()["x144_margin_bitext_mining"].fn(spark, out)
     assert res.columns == ["src_id", "tgt_id", "cosine_sim", "margin"]
     assert res.count() == 0
+
+
+def test_twonn_sample_gate_is_deterministic(spark, monkeypatch):
+    # x94's count gate (round-6 verdict's one `weak` item, now in code):
+    # above TWONN_SAMPLE_LIMIT the estimator runs on a deterministic
+    # md5-rank sample. Pin (a) membership is a pure function of vec_id
+    # (identical under different partitionings and across runs), (b) it
+    # matches an independently computed md5-rank top-n, and (c) the gated
+    # x94 output on the sampled corpus equals x94 run directly on a
+    # corpus that contains only the sample members.
+    import hashlib
+    import os
+    import tempfile
+
+    from presto_weather_spark.operators import similarity as sim
+    from presto_weather_spark.registry import all_queries
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 13), float((i * 5 + j) % 11), float(i % 7), 1.0])
+        for i in range(120)
+        for j in [0]
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_twonn_gate")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    # (b) expected membership: md5("twonn:" + vec_id) rank, ties by id
+    def key(i):
+        return hashlib.md5(f"twonn:{i}".encode()).hexdigest()
+
+    expect = set(sorted(range(120), key=lambda i: (key(i), i))[:50])
+
+    emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+    got1 = {r["vec_id"] for r in sim._twonn_sample(emb, 50).collect()}
+    got2 = {
+        r["vec_id"]
+        for r in sim._twonn_sample(emb.repartition(7, "vec_id"), 50).collect()
+    }
+    assert got1 == got2 == expect
+
+    # (c) gate trips at limit 50: gated run == direct run on the members
+    monkeypatch.setattr(sim, "TWONN_SAMPLE_LIMIT", 50)
+    gated = sorted(
+        tuple(r) for r in all_queries()["x94_twonn_intrinsic_dim"].fn(spark, out).collect()
+    )
+    assert len(gated) == 50
+    sub = os.path.join(tempfile.gettempdir(), "pws_prop_twonn_gate_sub")
+    spark.createDataFrame(
+        [r for r in rows if r[0] in expect], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sub, "embeddings.parquet")
+    )
+    monkeypatch.setattr(sim, "TWONN_SAMPLE_LIMIT", 100_000)
+    direct = sorted(
+        tuple(r) for r in all_queries()["x94_twonn_intrinsic_dim"].fn(spark, sub).collect()
+    )
+    assert gated == direct
