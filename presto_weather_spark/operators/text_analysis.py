@@ -1844,25 +1844,67 @@ GROUP BY lang, pred_lang
     "Output is the confusion matrix of true vs predicted language.",
 )
 def x45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The corpus is tokenized EXACTLY ONCE: one aggregate collapses the
-    # token stream to the per-(doc, term) frequency table, which is
-    # localCheckpoint-ed and then feeds the five downstream consumers
-    # (class priors, doc total, class-term counts, vocab size, scoring).
-    # The round-4 shape re-tokenized the corpus for each consumer — six
-    # corpus passes; at 100 TB this materialization (persist-to-disk
-    # there) is the difference between one scan and six. Scoring uses
-    # sum(lp * tf) over the frequency table, which equals the oracle's
-    # per-occurrence SUM(lp) exactly: lp is DECIMAL(28,18) and tf rides
-    # as DECIMAL(9,0), so the product stays inside DECIMAL(38,18) with
-    # no precision loss.
-    doc_term = (
+    pred = _nb_predictions(_nb_doc_features(spark, sf_dir, hashed=False))
+    return pred.groupBy("lang", F.col("c").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+NBH_BUCKETS = 8192  # fixed hashed-feature space for x45b (the x148 cap)
+
+
+def _nb_doc_features(spark: SparkSession, sf_dir: str, hashed: bool) -> DataFrame:
+    """Per-(doc, lang, term, tf) frequency table, tokenized EXACTLY ONCE.
+
+    One aggregate collapses the token stream to the frequency table,
+    which is localCheckpoint-ed and then feeds the five downstream
+    consumers (class priors, doc total, class-term counts, vocab size,
+    scoring). The round-4 shape re-tokenized the corpus for each
+    consumer — six corpus passes; at 100 TB this materialization
+    (persist-to-disk there) is the difference between one scan and six.
+
+    hashed=True replaces the raw term with its md5 bucket in
+    [0, NBH_BUCKETS) — the x148/x07 idiom (first 8 md5 hex chars as a
+    BIGINT, mod buckets; both engines define it identically) — so the
+    downstream model tables are buckets-bounded however large the
+    vocabulary grows.
+    """
+    base = (
         _spread(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
         .filter(F.col("term") != "")
-        .groupBy("doc_id", "lang", "term")
+    )
+    if hashed:
+        base = base.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint")
+                % NBH_BUCKETS
+            ).alias("term"),
+        )
+    return (
+        base.groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()
     )
+
+
+def _nb_predictions(
+    doc_term: DataFrame, vocab_size: float | None = None
+) -> DataFrame:
+    """Multinomial-NB argmax per doc over the given frequency table.
+
+    Returns one row per doc: (doc_id, lang, c) with c the predicted
+    class — the shared core of x45 (exact terms, vocab_size computed
+    from the corpus) and x45b (hashed buckets, vocab_size fixed at
+    NBH_BUCKETS so the smoothing denominator is corpus-independent).
+    Scoring uses sum(lp * tf) over the frequency table, which equals a
+    per-occurrence SUM(lp) exactly: lp is DECIMAL(28,18) and tf rides
+    as DECIMAL(9,0), so the product stays inside DECIMAL(38,18) with no
+    precision loss; the argmax breaks ties by class name, making the
+    prediction engine-identical.
+    """
     classes = doc_term.groupBy(F.col("lang").alias("c")).agg(
         F.countDistinct("doc_id").cast("double").alias("docs_c")
     )
@@ -1871,7 +1913,12 @@ def x45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("c_tc")
     )
     tot = counts.groupBy("c").agg(F.sum("c_tc").cast("double").alias("n_c"))
-    v = doc_term.agg(F.countDistinct("term").cast("double").alias("vs"))
+    if vocab_size is None:
+        v = doc_term.agg(F.countDistinct("term").cast("double").alias("vs"))
+    else:
+        v = doc_term.sparkSession.range(1).select(
+            F.lit(float(vocab_size)).alias("vs")
+        )
     vocab = counts.select("term").distinct()
     grid = (
         vocab.crossJoin(F.broadcast(classes.select("c")))
@@ -1908,7 +1955,79 @@ def x45_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "c")
-    pred = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "score")
+    )
+
+
+@register(
+    "x45b_naive_bayes_hashed",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS raw FROM documents
+),
+t AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(raw), 1, 8)) AS BIGINT) % {NBH_BUCKETS}
+           AS term
+  FROM tok WHERE raw <> ''
+),
+classes AS (
+  SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS docs_c
+  FROM t GROUP BY lang
+),
+d AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM t),
+counts AS (SELECT lang AS c, term, COUNT(*) AS c_tc FROM t GROUP BY lang, term),
+tot AS (SELECT c, CAST(SUM(c_tc) AS DOUBLE) AS n_c FROM counts GROUP BY c),
+grid AS (
+  SELECT vt.term, cl.c,
+         CAST(ln((COALESCE(ct.c_tc, 0) + {NB_ALPHA})
+                 / (tot.n_c + {NB_ALPHA} * {NBH_BUCKETS}))
+              AS DECIMAL(28,18)) AS lp
+  FROM (SELECT DISTINCT term FROM t) vt
+  CROSS JOIN classes cl
+  JOIN tot ON tot.c = cl.c
+  LEFT JOIN counts ct ON ct.term = vt.term AND ct.c = cl.c
+),
+sums AS (
+  SELECT t.doc_id, t.lang, g.c, SUM(g.lp) AS sum_lp
+  FROM t JOIN grid g ON g.term = t.term
+  GROUP BY t.doc_id, t.lang, g.c
+),
+scored AS (
+  SELECT s.doc_id, s.lang, s.c,
+         s.sum_lp + CAST(ln(cl.docs_c / d.n_docs) AS DECIMAL(28,18)) AS score
+  FROM sums s JOIN classes cl ON cl.c = s.c CROSS JOIN d
+),
+pred AS (
+  SELECT doc_id, lang, c AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+  FROM scored
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY lang, pred_lang
+""",
+    doc="X45b: naive Bayes over HASHED features — x45's What's-wrong knob "
+    "made executable (the x148-for-DSIR move applied to the language "
+    "model): terms hash into a FIXED {8192}-bucket space via the x07 md5 "
+    "idiom (first 8 hex chars as BIGINT, mod buckets — the one hash both "
+    "engines define identically, so the bucketed model is hash-verified, "
+    "not rows-only), and the smoothing denominator uses the constant "
+    "bucket count, so every model table (class-bucket counts, grid, "
+    "broadcast) is buckets-bounded however large the web-scale "
+    "vocabulary grows — x45's V x C grid grows with Heaps'-law vocab, "
+    "this one cannot. Same single-tokenize checkpointed frequency table, "
+    "DECIMAL(28,18)-exact scoring, and name-tie-broken argmax as x45 "
+    "(shared _nb_predictions core); output is the same confusion-matrix "
+    "shape. x152 measures what the hashing costs in prediction fidelity.",
+)
+def x45b_naive_bayes_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _nb_predictions(
+        _nb_doc_features(spark, sf_dir, hashed=True), vocab_size=NBH_BUCKETS
+    )
     return pred.groupBy("lang", F.col("c").alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -5626,3 +5745,169 @@ FROM per_lang
 
 
 defer_install(_install_x151_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X152 — hashed-NB fidelity audit (x45 vs x45b confusion + kappa)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x152_nb_hash_fidelity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS raw FROM documents
+),
+te AS (SELECT doc_id, lang, raw AS term FROM tok WHERE raw <> ''),
+th AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(raw), 1, 8)) AS BIGINT) % {NBH_BUCKETS}
+           AS term
+  FROM tok WHERE raw <> ''
+),
+ce AS (SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS docs_c
+       FROM te GROUP BY lang),
+de AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM te),
+cte AS (SELECT lang AS c, term, COUNT(*) AS c_tc FROM te GROUP BY lang, term),
+tote AS (SELECT c, CAST(SUM(c_tc) AS DOUBLE) AS n_c FROM cte GROUP BY c),
+ve AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS vs FROM te),
+ge AS (
+  SELECT vt.term, cl.c,
+         CAST(ln((COALESCE(ct.c_tc, 0) + {NB_ALPHA})
+                 / (tote.n_c + {NB_ALPHA} * ve.vs)) AS DECIMAL(28,18)) AS lp
+  FROM (SELECT DISTINCT term FROM te) vt
+  CROSS JOIN ce cl JOIN tote ON tote.c = cl.c CROSS JOIN ve
+  LEFT JOIN cte ct ON ct.term = vt.term AND ct.c = cl.c
+),
+se AS (SELECT t.doc_id, g.c, SUM(g.lp) AS sum_lp
+       FROM te t JOIN ge g ON g.term = t.term GROUP BY t.doc_id, g.c),
+sce AS (
+  SELECT s.doc_id, s.c,
+         s.sum_lp + CAST(ln(cl.docs_c / de.n_docs) AS DECIMAL(28,18)) AS score
+  FROM se s JOIN ce cl ON cl.c = s.c CROSS JOIN de
+),
+pe AS (
+  SELECT doc_id, c AS pred_exact_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+  FROM sce
+),
+ch AS (SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS docs_c
+       FROM th GROUP BY lang),
+dh AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM th),
+cth AS (SELECT lang AS c, term, COUNT(*) AS c_tc FROM th GROUP BY lang, term),
+toth AS (SELECT c, CAST(SUM(c_tc) AS DOUBLE) AS n_c FROM cth GROUP BY c),
+gh AS (
+  SELECT vt.term, cl.c,
+         CAST(ln((COALESCE(ct.c_tc, 0) + {NB_ALPHA})
+                 / (toth.n_c + {NB_ALPHA} * {NBH_BUCKETS}))
+              AS DECIMAL(28,18)) AS lp
+  FROM (SELECT DISTINCT term FROM th) vt
+  CROSS JOIN ch cl JOIN toth ON toth.c = cl.c
+  LEFT JOIN cth ct ON ct.term = vt.term AND ct.c = cl.c
+),
+sh AS (SELECT t.doc_id, g.c, SUM(g.lp) AS sum_lp
+       FROM th t JOIN gh g ON g.term = t.term GROUP BY t.doc_id, g.c),
+sch AS (
+  SELECT s.doc_id, s.c,
+         s.sum_lp + CAST(ln(cl.docs_c / dh.n_docs) AS DECIMAL(28,18)) AS score
+  FROM sh s JOIN ch cl ON cl.c = s.c CROSS JOIN dh
+),
+ph AS (
+  SELECT doc_id, c AS pred_hashed_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+  FROM sch
+),
+j AS (
+  SELECT e.doc_id, e.pred_exact_lang, h.pred_hashed_lang
+  FROM pe e JOIN ph h USING (doc_id)
+  WHERE e.rn = 1 AND h.rn = 1
+),
+cells AS (
+  SELECT pred_exact_lang, pred_hashed_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY pred_exact_lang, pred_hashed_lang
+),
+me AS (SELECT pred_exact_lang AS c, CAST(SUM(n_docs) AS BIGINT) AS ne
+       FROM cells GROUP BY pred_exact_lang),
+mh AS (SELECT pred_hashed_lang AS c, CAST(SUM(n_docs) AS BIGINT) AS nh
+       FROM cells GROUP BY pred_hashed_lang),
+s2 AS (SELECT CAST(COALESCE(SUM(me.ne * mh.nh), 0) AS BIGINT) AS s2
+       FROM me JOIN mh USING (c)),
+tots AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pred_exact_lang = pred_hashed_lang
+                       THEN n_docs ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+)
+SELECT c.pred_exact_lang, c.pred_hashed_lang, c.n_docs,
+       CAST(t.agree * 1000000 // t.n AS BIGINT) AS agree_rate_e6,
+       CASE WHEN t.n * t.n - s2.s2 = 0 THEN 1.0
+            ELSE round(CAST(t.agree * t.n - s2.s2 AS DOUBLE)
+                       / CAST(t.n * t.n - s2.s2 AS DOUBLE), 6)
+       END AS kappa
+FROM cells c CROSS JOIN tots t CROSS JOIN s2
+""",
+    doc="X152: HASHED-NB FIDELITY AUDIT — the x150 move applied to the "
+    "x45/x45b pair: what does capping the feature space at {8192} md5 "
+    "buckets cost in PREDICTION fidelity? Joins the two models' per-doc "
+    "argmaxes (the shared _nb_predictions core guarantees both are "
+    "engine-deterministic), emits the full exact-vs-hashed confusion "
+    "matrix plus the global agreement rate (scaled-integer micro-units "
+    "via integer DIV) and Cohen's kappa over the C x C table (chance "
+    "agreement from the marginals; the pe = 1 degenerate — both models "
+    "constant — returns kappa 1.0 by an INTEGER-exact guard, the "
+    "x145/x150 convention). Every count is integer-exact and the kappa "
+    "numerator/denominator are integer-valued before the one final "
+    "division, so the audit is hash-verified. Scale: both prediction "
+    "pipelines are x45/x45b's (bounded broadcasts); the fidelity "
+    "algebra runs on a classes^2-sized table.",
+)
+def x152_nb_hash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _nb_predictions(_nb_doc_features(spark, sf_dir, hashed=False)).select(
+        "doc_id", F.col("c").alias("pred_exact_lang")
+    )
+    h = _nb_predictions(
+        _nb_doc_features(spark, sf_dir, hashed=True), vocab_size=NBH_BUCKETS
+    ).select("doc_id", F.col("c").alias("pred_hashed_lang"))
+    cells = (
+        e.join(h, "doc_id")
+        .groupBy("pred_exact_lang", "pred_hashed_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint()  # four consumers (marginals x2, totals, output)
+        # — without this each would re-run BOTH NB pipelines
+    )
+    me = cells.groupBy(F.col("pred_exact_lang").alias("c")).agg(
+        F.sum("n_docs").cast("bigint").alias("ne")
+    )
+    mh = cells.groupBy(F.col("pred_hashed_lang").alias("c")).agg(
+        F.sum("n_docs").cast("bigint").alias("nh")
+    )
+    s2 = me.join(mh, "c").agg(
+        F.coalesce(F.sum(F.col("ne") * F.col("nh")), F.lit(0))
+        .cast("bigint")
+        .alias("s2")
+    )
+    tots = cells.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pred_exact_lang") == F.col("pred_hashed_lang"),
+                F.col("n_docs"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    scal = tots.crossJoin(s2).select(
+        F.expr("CAST(agree * 1000000 DIV n AS BIGINT)").alias("agree_rate_e6"),
+        F.when(F.col("n") * F.col("n") - F.col("s2") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (F.col("agree") * F.col("n") - F.col("s2")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("s2")).cast("double"),
+                6,
+            )
+        )
+        .alias("kappa"),
+    )
+    return cells.crossJoin(F.broadcast(scal))
