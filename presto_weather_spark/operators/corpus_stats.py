@@ -1342,7 +1342,16 @@ def x141_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").cast("int").alias("keep_i")
     )
     joined = score.join(keep, "doc_id").select(
-        F.floor(F.col("avg_logprob") * CALIB_BINS_PER_UNIT)
+        # scaled-integer binning (round-7 risk burn-down): avg_logprob
+        # is a 6dp-rounded value, so *2e6 is integer-valued within ulp;
+        # round() recovers the exact integer and truncating DIV bins it.
+        # DuckDB's // truncates toward zero exactly like Spark's DIV
+        # (verified: -7 // 2 = -3 in both), so the bin rule is
+        # engine-exact with no float floor anywhere.
+        F.expr(
+            f"CAST(round(avg_logprob * {CALIB_BINS_PER_UNIT * 1000000})"
+            f" AS BIGINT) DIV 1000000"
+        )
         .cast("bigint")
         .alias("bin"),
         "avg_logprob",
@@ -1373,7 +1382,8 @@ def _install_x141_oracle() -> None:
 WITH score AS ({x20}),
 keep AS ({x86}),
 joined AS (
-  SELECT CAST(floor(score.avg_logprob * {CALIB_BINS_PER_UNIT}) AS BIGINT)
+  SELECT CAST(round(score.avg_logprob * {CALIB_BINS_PER_UNIT * 1000000})
+                AS BIGINT) // 1000000
            AS bin,
          score.avg_logprob,
          CAST(keep.keep AS INT) AS keep_i

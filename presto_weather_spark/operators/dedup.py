@@ -1452,7 +1452,7 @@ sized AS (
   FROM clusters
 )
 SELECT doc_id, cluster_id, cluster_size,
-       round(1.0 / cluster_size, 6) AS sample_weight
+       CAST(1000000 // cluster_size AS BIGINT) AS sample_weight_e6
 FROM sized
 """,
     doc="X81: SOFT DEDUP — the reweighting alternative to dropping "
@@ -1471,11 +1471,19 @@ FROM sized
 def x81_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = x02f_neardup_clusters(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
+    # micro-unit integer weight (round-7 risk burn-down): 1/cluster_size
+    # is an integer ratio, so it ships as exact 1e6 DIV size
     return clusters.select(
         "doc_id",
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
-        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias("sample_weight"),
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.expr("CAST(1000000 DIV cluster_size AS BIGINT)").alias(
+            "sample_weight_e6"
+        ),
     )
 
 
@@ -2014,11 +2022,11 @@ tri AS (
 SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
        tri.n_triangles,
-       CAST((SELECT COALESCE(SUM(d * (d - 1) / 2), 0) FROM deg) AS BIGINT) AS n_wedges,
-       CASE WHEN (SELECT COALESCE(SUM(d * (d - 1) / 2), 0) FROM deg) = 0 THEN 0.0
-            ELSE round(3.0 * tri.n_triangles
-                       / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
-       END AS transitivity
+       CAST((SELECT COALESCE(SUM(d * (d - 1) // 2), 0) FROM deg) AS BIGINT) AS n_wedges,
+       CAST(CASE WHEN (SELECT COALESCE(SUM(d * (d - 1) // 2), 0) FROM deg) = 0 THEN 0
+            ELSE 3000000 * tri.n_triangles
+                 // (SELECT SUM(d * (d - 1) // 2) FROM deg)
+       END AS BIGINT) AS transitivity_e6
 FROM tri
 """,
     doc="X110: near-dup graph TRANSITIVITY — exact triangle count and the "
@@ -2083,7 +2091,7 @@ def x110_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes_edges_wedges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges"),
     ).crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
     tri = (
         edges.alias("e1")
@@ -2102,11 +2110,15 @@ def x110_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges").cast("bigint").alias("n_edges"),
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
             F.coalesce(F.col("n_wedges"), F.lit(0)).cast("bigint").alias("n_wedges"),
-            F.when(F.coalesce(F.col("n_wedges"), F.lit(0)) == 0, F.lit(0.0))
+            # micro-unit integer ratio (round-7 risk burn-down): all
+            # counts are exact BIGINTs, so transitivity ships as
+            # 3e6 * triangles DIV wedges — no float division, no round
+            F.when(F.coalesce(F.col("n_wedges"), F.lit(0)) == 0, F.lit(0))
             .otherwise(
-                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+                F.expr("CAST(3000000 * n_triangles DIV n_wedges AS BIGINT)")
             )
-            .alias("transitivity"),
+            .cast("bigint")
+            .alias("transitivity_e6"),
         )
     )
 

@@ -388,9 +388,13 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
             dims = [decode_png(p)[:2] for p in pdf["payload"]]
             w = pd.Series([d[0] for d in dims], dtype="int64")
             h = pd.Series([d[1] for d in dims], dtype="int64")
-            scale = target / pd.concat([w, h], axis=1).max(axis=1)
-            out_w = (w * scale).astype("int64").clip(lower=1)
-            out_h = (h * scale).astype("int64").clip(lower=1)
+            # exact integer aspect math: (target*edge) // long_edge.
+            # The float form (edge * (target/long)) can land one pixel
+            # short when the reciprocal rounds down — integer division
+            # is the engine-exact convention (round-7 risk burn-down).
+            long_edge = pd.concat([w, h], axis=1).max(axis=1)
+            out_w = (target * w // long_edge).clip(lower=1)
+            out_h = (target * h // long_edge).clip(lower=1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -418,10 +422,10 @@ WITH dims AS (
 )
 SELECT doc_id, media_type,
        CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
-       CAST(greatest(CAST(floor(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_w,
-       CAST(greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_h,
-       CAST(greatest(CAST(floor(w * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1)
-            * greatest(CAST(floor(h * ({RESIZE_TARGET}.0 / greatest(w, h))) AS BIGINT), 1) AS INT) AS out_bytes
+       CAST(greatest(({RESIZE_TARGET} * w) // greatest(w, h), 1) AS INT) AS out_w,
+       CAST(greatest(({RESIZE_TARGET} * h) // greatest(w, h), 1) AS INT) AS out_h,
+       CAST(greatest(({RESIZE_TARGET} * w) // greatest(w, h), 1)
+            * greatest(({RESIZE_TARGET} * h) // greatest(w, h), 1) AS INT) AS out_bytes
 FROM dims
 """,
     doc="X5: image resize stage — aspect-preserving longest-edge-to-64 "
@@ -431,7 +435,7 @@ FROM dims
     "resize_media reads the true dimensions through decode_png's "
     "CRC-verified IHDR parse (no payload-length arithmetic). The "
     "oracle replays the raster rule (width 32, height ceil(bytes/32)) "
-    "plus the same floor/greatest resize algebra, so the real-decode "
+    "plus the same integer-division resize algebra, so the real-decode "
     "path is hash-verified end to end. Resize is the canonical "
     "pre-training image normalization: batch-local and shuffle-free, "
     "so 100 TB of media streams through at scan parallelism with no "

@@ -4215,7 +4215,7 @@ def x119_event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH activity AS (
   SELECT DISTINCT user_id,
-         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
   FROM events
 ),
 first_wk AS (
@@ -4238,7 +4238,7 @@ FROM ret JOIN sizes USING (cohort_week)
     doc="X120: COHORT RETENTION — the product-analytics staple the engine "
     "was missing: users grouped by first-activity week, then for every "
     "(cohort, week-offset) the fraction still active. Weeks are integer "
-    "epoch-week numbers (floor(epoch/604800)) so the bucketing is "
+    "epoch-week numbers (integer epoch_us DIV 604800e6, no float floor) so the bucketing is "
     "engine-exact — no date_trunc('week') start-of-week convention to "
     "disagree on; counts are exact distinct BIGINTs, retention divides "
     "integers, 6dp. Scale: one (user, week) distinct (the activity "
@@ -4248,7 +4248,7 @@ FROM ret JOIN sizes USING (cohort_week)
 )
 def x120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    wk = F.expr("unix_timestamp(ts) DIV 604800").cast("bigint")
     activity = e.select("user_id", wk.alias("wk")).distinct().localCheckpoint(
         eager=False
     )  # first_wk AND the retention join read it
@@ -4567,9 +4567,9 @@ SEASONAL_LAG_DAYS = 7
     "x125_seasonal_naive_backtest",
     oracle=f"""
 WITH daily AS (
-  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_no,
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
          CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type, floor(epoch(ts) / 86400)
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
 ),
 joined AS (
   SELECT a.event_type, a.day_no, a.n AS actual, f.n AS forecast
@@ -4604,7 +4604,7 @@ def x125_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day_no"),
+        F.expr("unix_timestamp(ts) DIV 86400").cast("bigint").alias("day_no"),
     ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
         eager=False
     )  # both self-join sides read it

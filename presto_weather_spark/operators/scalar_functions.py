@@ -184,8 +184,8 @@ def r16_trig_icon_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        round(value, 2) AS celsius,
-       round(value * 9 / 5 + 32, 2) AS fahrenheit,
-       round((value * 9 / 5 + 32 - 32) * 5 / 9, 2) AS roundtrip_celsius
+       round(value * 1.8 + 32, 2) AS fahrenheit,
+       round((value * 1.8 + 32 - 32) * 0.5555555555555556, 2) AS roundtrip_celsius
 FROM events
 """,
     doc="R20: client-side C<->F conversion — the computation the reference "
@@ -194,12 +194,18 @@ FROM events
 )
 def r20_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    f_expr = F.col("value") * 9 / 5 + 32
+    # multiplicative constants only (round-7 risk burn-down): both
+    # engines parse the identical double literals, so no runtime
+    # division feeds a round() — the 2dp round absorbs the ulp-level
+    # difference from folding 9/5 and 5/9 into literals
+    f_expr = F.col("value") * 1.8 + 32
     return e.select(
         "event_id",
         F.round("value", 2).alias("celsius"),
         F.round(f_expr, 2).alias("fahrenheit"),
-        F.round((f_expr - 32) * 5 / 9, 2).alias("roundtrip_celsius"),
+        F.round((f_expr - 32) * 0.5555555555555556, 2).alias(
+            "roundtrip_celsius"
+        ),
     )
 
 

@@ -213,7 +213,7 @@ def x09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
-       CAST(ceil(length(text) / 4.0) AS INT) AS byte_estimate_tokens
+       CAST((length(text) + 3) // 4 AS INT) AS byte_estimate_tokens
 FROM documents
 """,
     doc="X10: token counting three ways — whitespace, BPE-ish regex "
@@ -230,7 +230,7 @@ def x10_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
             )
         ).alias("bpe_ish_tokens"),
-        F.ceil(F.length("text") / 4.0).cast("int").alias("byte_estimate_tokens"),
+        F.expr("(length(text) + 3) DIV 4").cast("int").alias("byte_estimate_tokens"),
     )
 
 
@@ -954,8 +954,8 @@ WITH counts AS (
 tot AS (SELECT SUM(n_docs) AS total, count(*) AS n_cells FROM counts)
 SELECT lang, source,
        CAST(n_docs AS BIGINT) AS n_docs,
-       round(n_docs * 1.0 / total, 6) AS corpus_share,
-       round((1.0 / n_cells) / (n_docs * 1.0 / total), 6) AS weight
+       CAST(n_docs * 1000000 // total AS BIGINT) AS corpus_share_e6,
+       CAST(total * 1000000 // (n_cells * n_docs) AS BIGINT) AS weight_e6
 FROM counts CROSS JOIN tot
 """,
     doc="X28: domain-mixture reweighting — per-(lang, source) sampling "
@@ -973,13 +973,19 @@ def x28_mixture_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_cells")
     )
-    share = F.col("n_docs") / F.col("total")
+    # micro-unit integers (round-7 risk burn-down): share = n/total and
+    # weight = (1/cells)/share = total/(cells*n) are integer ratios, so
+    # they ship as exact DIV micro-units with no float division anywhere
     return counts.crossJoin(F.broadcast(tot)).select(
         "lang",
         "source",
         "n_docs",
-        F.round(share, 6).alias("corpus_share"),
-        F.round((F.lit(1.0) / F.col("n_cells")) / share, 6).alias("weight"),
+        F.expr("CAST(n_docs * 1000000 DIV total AS BIGINT)").alias(
+            "corpus_share_e6"
+        ),
+        F.expr(
+            "CAST(total * 1000000 DIV (n_cells * n_docs) AS BIGINT)"
+        ).alias("weight_e6"),
     )
 
 
@@ -3116,7 +3122,7 @@ WITH tk AS (
 ),
 sized AS (
   SELECT doc_id, toks, len(toks) AS n_tok,
-         CAST(floor(len(toks) * {CTX_FRACTION_PCT} / 100.0) AS BIGINT) AS n_ctx
+         CAST((len(toks) * {CTX_FRACTION_PCT}) // 100 AS BIGINT) AS n_ctx
   FROM tk WHERE len(toks) >= 4
 )
 SELECT doc_id,
@@ -3143,7 +3149,7 @@ def x68_context_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     sized = d.withColumn("n_tok", F.size("toks").cast("bigint")).filter(
         F.col("n_tok") >= 4
     ).withColumn(
-        "n_ctx", F.floor(F.col("n_tok") * CTX_FRACTION_PCT / 100.0).cast("bigint")
+        "n_ctx", F.expr(f"n_tok * {CTX_FRACTION_PCT} DIV 100").cast("bigint")
     )
     return sized.select(
         "doc_id",
@@ -4951,8 +4957,8 @@ def _quality_rank_sql() -> str:
     return """
 SELECT doc_id,
        row_number() OVER (
-         ORDER BY round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                        / length(text), 6) DESC, doc_id) AS q_rank
+         ORDER BY length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  * 1000000 // length(text) DESC, doc_id) AS q_rank
 FROM documents
 """
 
@@ -4978,27 +4984,32 @@ FROM documents
 def x128_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = x89_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "doc_rank")
     d = load_table(spark, sf_dir, "documents")
-    alpha = F.round(
-        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
-        / F.length("text"),
-        6,
+    # integer micro-unit quality key (round-7 risk burn-down): the
+    # alphabetic ratio orders by (letters * 1e6) DIV chars — exact in
+    # both engines, no float division or round in the sort key
+    alpha = F.expr(
+        "length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000"
+        " DIV length(text)"
     )
     w_q = Window.orderBy(alpha.desc(), F.col("doc_id"))
     quality = d.select("doc_id", F.row_number().over(w_q).alias("q_rank"))
-    rrf = F.round(
-        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("doc_rank"))
-        + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("q_rank")),
-        6,
+    # 1/(K+a) + 1/(K+b) = (2K+a+b) / ((K+a)(K+b)) — ranks are small
+    # integers, so the score ships as the exact truncated pico-unit
+    # rational (fits BIGINT: numerator < 6e15); ordering is preserved
+    # because adjacent distinct scores differ by >> 1e-12
+    rrf = F.expr(
+        f"CAST((2*{RRF_K} + doc_rank + q_rank) * 1000000000000"
+        f" DIV (({RRF_K} + doc_rank) * ({RRF_K} + q_rank)) AS BIGINT)"
     )
     fused = bm.join(quality, "doc_id").select(
         "query_id",
         "doc_id",
         F.col("doc_rank").alias("bm25_rank"),
         "q_rank",
-        rrf.alias("rrf_score"),
+        rrf.alias("rrf_score_e12"),
     )
     w_f = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id")
+        F.col("rrf_score_e12").desc(), F.col("doc_id")
     )
     return (
         fused.withColumn("fused_rank", F.row_number().over(w_f))
@@ -5019,15 +5030,17 @@ quality AS ({_quality_rank_sql()}),
 fused AS (
   SELECT bm.query_id, bm.doc_id,
          bm.doc_rank AS bm25_rank, quality.q_rank,
-         round(1.0 / ({RRF_K} + bm.doc_rank) + 1.0 / ({RRF_K} + quality.q_rank), 6)
-             AS rrf_score
+         CAST((2*{RRF_K} + bm.doc_rank + quality.q_rank) * 1000000000000
+              // (({RRF_K} + bm.doc_rank) * ({RRF_K} + quality.q_rank))
+              AS BIGINT)
+             AS rrf_score_e12
   FROM bm JOIN quality USING (doc_id)
 )
-SELECT query_id, doc_id, bm25_rank, q_rank, rrf_score,
+SELECT query_id, doc_id, bm25_rank, q_rank, rrf_score_e12,
        CAST(rn AS BIGINT) AS fused_rank
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY rrf_score DESC, doc_id) AS rn
+                               ORDER BY rrf_score_e12 DESC, doc_id) AS rn
   FROM fused
 ) WHERE rn <= {RRF_TOP_K}
 """

@@ -89,7 +89,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     "s14_stream_tumbling_counts",
     oracle=f"""
 SELECT CAST(date_trunc('second', TIMESTAMP '1970-01-01 00:00:00'
-                + CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT) * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
+                + CAST((epoch_us(ts) // {WINDOW_SECONDS * 1000000}) * {WINDOW_SECONDS} AS BIGINT) * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -292,7 +292,7 @@ SLIDE_SECONDS = WINDOW_SECONDS // 2  # 6h windows sliding every 3h
     oracle=f"""
 WITH shifts AS (SELECT unnest([0, 1]) AS shift),
 slid AS (
-  SELECT (CAST(floor(epoch(ts) / {SLIDE_SECONDS}) AS BIGINT) - shift)
+  SELECT (CAST(epoch_us(ts) // {SLIDE_SECONDS * 1000000} AS BIGINT) - shift)
            * {SLIDE_SECONDS} AS wstart,
          event_type, value
   FROM events CROSS JOIN shifts
@@ -599,8 +599,8 @@ HOUR_SECONDS = 3600
     oracle=f"""
 WITH m AS (SELECT MAX(ts) AS mx FROM events),
 b AS (
-  SELECT CAST(floor(epoch(ts) / {WINDOW_SECONDS}) AS BIGINT) * {WINDOW_SECONDS} AS bucket,
-         CAST(floor(epoch(ts) / {HOUR_SECONDS}) AS BIGINT) AS hr,
+  SELECT CAST(epoch_us(ts) // {WINDOW_SECONDS * 1000000} AS BIGINT) * {WINDOW_SECONDS} AS bucket,
+         CAST(epoch_us(ts) // {HOUR_SECONDS * 1000000} AS BIGINT) AS hr,
          event_type, value
   FROM events
 )

@@ -181,14 +181,20 @@ def test_soft_dedup_weights_multi_member_clusters(spark):
         "doc_id",
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
-        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias(
-            "sample_weight"
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.expr("CAST(1000000 DIV cluster_size AS BIGINT)").alias(
+            "sample_weight_e6"
         ),
     ).collect()
     sizes = {r["doc_id"]: r["cluster_size"] for r in out}
     assert sizes == {0: 3, 1: 3, 2: 3, 3: 2, 4: 2, 5: 1}
-    total = sum(r["sample_weight"] for r in out)
-    assert abs(total - 3.0) < 1e-4  # 3 distinct clusters
+    # 3*333333 + 2*500000 + 1000000 — truncation loses 1 unit in the
+    # size-3 cluster; total stays within one unit per cluster of 3e6
+    total = sum(r["sample_weight_e6"] for r in out)
+    assert total == 2_999_999
 
 
 # ---------------------------------------------------------------------------

@@ -208,9 +208,12 @@ def test_mixture_weights_rebalance_to_target(spark, sf_dir):
 
     rows = all_queries()["x28_mixture_reweighting"].fn(spark, sf_dir).collect()
     n_cells = len(rows)
-    assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-4
+    # micro-unit integers truncate, losing at most 1 unit per cell
+    total_share = sum(r["corpus_share_e6"] for r in rows)
+    assert 1_000_000 - n_cells <= total_share <= 1_000_000
     for r in rows:
-        assert abs(r["weight"] * r["corpus_share"] - 1.0 / n_cells) < 1e-4
+        prod = r["weight_e6"] * r["corpus_share_e6"] / 1e12
+        assert abs(prod - 1.0 / n_cells) < 1e-4
 
 
 def test_whitening_mahalanobis_identity(spark, sf_dir):
@@ -577,7 +580,9 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
     for cid, members in by_cluster.items():
         n = len(members)
         assert all(m["cluster_size"] == n for m in members), cid
-        assert abs(sum(m["sample_weight"] for m in members) - 1.0) < n * 1e-6
+        # n * (1e6 DIV n): truncation loses < n micro-units per cluster
+        total = sum(m["sample_weight_e6"] for m in members)
+        assert 1_000_000 - n < total <= 1_000_000
 
 
 def test_mmr_matches_local_greedy(spark, sf_dir):
@@ -894,7 +899,7 @@ def test_triangle_count_planted_clique_and_chain(spark):
     assert row["n_triangles"] == 1
     # wedges: clique 3 (one per vertex) + path vertex 5 contributes 1 -> 4
     assert row["n_wedges"] == 4
-    assert row["transitivity"] == 0.75
+    assert row["transitivity_e6"] == 750000  # 3*1e6*1 DIV 4
 
 
 def test_global_row_numbering_is_dense_and_ordered(spark, sf_dir):
