@@ -832,6 +832,49 @@ def s14n_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def qsketch_stream_fold(key, pdfs, state):
+    """s14o's GroupState fold, module-level so the state-bound test can
+    re-drive it under controlled micro-batching (tests/test_state_bounds)."""
+    import numpy as np
+    import pandas as pd
+
+    from presto_weather_spark.operators.relational import (
+        QSKETCH_M,
+        QSKETCH_QS,
+        qsketch_compact,
+        qsketch_quantiles,
+    )
+
+    qs = list(QSKETCH_QS)
+    (event_type,) = key
+    if state.exists:
+        sv, sw = state.get
+        sv = np.asarray(sv, dtype=np.float64)
+        sw = np.asarray(sw, dtype=np.float64)
+    else:
+        sv = np.empty(0)
+        sw = np.empty(0)
+    for pdf in pdfs:
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        if len(vals) == 0:
+            continue
+        bv, bw = qsketch_compact(vals, np.ones(len(vals)))
+        sv = np.concatenate([sv, bv])
+        sw = np.concatenate([sw, bw])
+        if len(sv) > QSKETCH_M:  # state stays <= 2m floats per key
+            sv, sw = qsketch_compact(sv, sw)
+    state.update((sv.tolist(), sw.tolist()))
+    ests = qsketch_quantiles(sv, sw, qs)
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type] * len(qs),
+            "q": qs,
+            "est_value": ests,
+        }
+    )
+
+
+
 @register(
     "s14o_stream_quantile_sketch",
     # Sketch estimates are batching-dependent by construction -> rows-only;
@@ -854,53 +897,15 @@ def s14n_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matches x100's and the pytest pin is the same 0.04.",
 )
 def s14o_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from presto_weather_spark.operators.relational import (
-        QSKETCH_M,
-        QSKETCH_QS,
-        qsketch_compact,
-        qsketch_quantiles,
-    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = events_stream(spark, sf_dir)
-    qs = list(QSKETCH_QS)
-
-    def fold(key, pdfs, state: GroupState):
-        (event_type,) = key
-        if state.exists:
-            sv, sw = state.get
-            sv = np.asarray(sv, dtype=np.float64)
-            sw = np.asarray(sw, dtype=np.float64)
-        else:
-            sv = np.empty(0)
-            sw = np.empty(0)
-        for pdf in pdfs:
-            vals = pdf["value"].to_numpy(dtype=np.float64)
-            if len(vals) == 0:
-                continue
-            bv, bw = qsketch_compact(vals, np.ones(len(vals)))
-            sv = np.concatenate([sv, bv])
-            sw = np.concatenate([sw, bw])
-            if len(sv) > QSKETCH_M:  # state stays <= 2m floats per key
-                sv, sw = qsketch_compact(sv, sw)
-        state.update((sv.tolist(), sw.tolist()))
-        ests = qsketch_quantiles(sv, sw, qs)
-        yield pd.DataFrame(
-            {
-                "event_type": [event_type] * len(qs),
-                "q": qs,
-                "est_value": ests,
-            }
-        )
 
     out = (
         stream.select("event_type", "value")
         .groupBy("event_type")
         .applyInPandasWithState(
-            fold,
+            qsketch_stream_fold,
             outputStructType="event_type string, q double, est_value double",
             stateStructType="v array<double>, w array<double>",
             outputMode="update",
@@ -920,6 +925,56 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(stage)
+
+
+def _aes_sample_key(doc_id: int, text: str, n_chars: int) -> float:
+    import hashlib
+    import math
+
+    v = int(hashlib.md5(f"aes:{doc_id}:{text}".encode()).hexdigest()[:12], 16)
+    u = (v + 1) / 281474976710656.0
+    return round(math.log(u) / max(n_chars, 1), 12)
+
+
+def aes_stream_fold(key, pdfs, state):
+    """s14p's GroupState fold, module-level so the state-bound test can
+    re-drive it under controlled micro-batching (tests/test_state_bounds)."""
+    import pandas as pd
+
+    from presto_weather_spark.operators.corpus_stats import AES_TOPK
+
+    (source,) = key
+    if state.exists:
+        ids, chars, keys, seen = state.get
+        ids, chars, keys = list(ids), list(chars), list(keys)
+    else:
+        ids, chars, keys, seen = [], [], [], 0
+    for pdf in pdfs:
+        seen += len(pdf)
+        for doc_id, text, n_chars in zip(
+            pdf["doc_id"], pdf["text"], pdf["n_chars"]
+        ):
+            ids.append(int(doc_id))
+            chars.append(int(n_chars))
+            keys.append(_aes_sample_key(int(doc_id), text, int(n_chars)))
+        order = sorted(
+            range(len(ids)), key=lambda i: (-keys[i], ids[i])
+        )[:AES_TOPK]
+        ids = [ids[i] for i in order]
+        chars = [chars[i] for i in order]
+        keys = [keys[i] for i in order]
+    state.update((ids, chars, keys, seen))
+    yield pd.DataFrame(
+        {
+            "source": source,
+            "doc_id": ids,
+            "n_chars": chars,
+            "aes_key": keys,
+            "sample_rank": range(1, len(ids) + 1),
+            "n_seen": seen,
+        }
+    )
+
 
 
 @register(
@@ -961,60 +1016,16 @@ FROM ranked WHERE sample_rank <= 10
     "tags the newest emission; the final filter keeps it).",
 )
 def s14p_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import math
-
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.window import Window as W
 
-    from presto_weather_spark.operators.corpus_stats import AES_TOPK
-
     stream = documents_stream(spark, sf_dir)
-
-    def aes_key(doc_id: int, text: str, n_chars: int) -> float:
-        v = int(hashlib.md5(f"aes:{doc_id}:{text}".encode()).hexdigest()[:12], 16)
-        u = (v + 1) / 281474976710656.0
-        return round(math.log(u) / max(n_chars, 1), 12)
-
-    def fold(key, pdfs, state: GroupState):
-        (source,) = key
-        if state.exists:
-            ids, chars, keys, seen = state.get
-            ids, chars, keys = list(ids), list(chars), list(keys)
-        else:
-            ids, chars, keys, seen = [], [], [], 0
-        for pdf in pdfs:
-            seen += len(pdf)
-            for doc_id, text, n_chars in zip(
-                pdf["doc_id"], pdf["text"], pdf["n_chars"]
-            ):
-                ids.append(int(doc_id))
-                chars.append(int(n_chars))
-                keys.append(aes_key(int(doc_id), text, int(n_chars)))
-            order = sorted(
-                range(len(ids)), key=lambda i: (-keys[i], ids[i])
-            )[:AES_TOPK]
-            ids = [ids[i] for i in order]
-            chars = [chars[i] for i in order]
-            keys = [keys[i] for i in order]
-        state.update((ids, chars, keys, seen))
-        yield pd.DataFrame(
-            {
-                "source": source,
-                "doc_id": ids,
-                "n_chars": chars,
-                "aes_key": keys,
-                "sample_rank": range(1, len(ids) + 1),
-                "n_seen": seen,
-            }
-        )
 
     out = (
         stream.select("source", "doc_id", "text", "n_chars")
         .groupBy("source")
         .applyInPandasWithState(
-            fold,
+            aes_stream_fold,
             outputStructType=(
                 "source string, doc_id long, n_chars long, "
                 "aes_key double, sample_rank int, n_seen long"

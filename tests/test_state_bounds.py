@@ -1,0 +1,180 @@
+"""Streaming state must be KEY-bounded, asserted from progress metrics —
+not prose (round-7 verdict task #5).
+
+s14o (quantile sketch), s14p (weighted sample), and s14c (dedup within
+watermark) all claim constant/key-bounded GroupState. These tests drive
+the same operators over a multi-file source with ``maxFilesPerTrigger=1``
+(so availableNow splits into real micro-batches) at TWO batch counts and
+TWO data volumes, then read ``stateOperators[].numRowsTotal`` from the
+query's progress events and pin:
+
+  * state rows == number of DISTINCT KEYS — for both batchings;
+  * doubling the ROW volume (same key set) leaves state rows unchanged.
+
+A regression that starts buffering per-row state (the failure mode the
+sketch/sample design exists to avoid) fails these assertions immediately.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+N_TYPES = 5
+T0_US = 1_700_000_000 * 1_000_000
+
+
+def _write_events(base: str, n_rows: int, n_files: int) -> str:
+    os.makedirs(base)
+    per = n_rows // n_files
+    for f in range(n_files):
+        rows = range(f * per, (f + 1) * per)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([i for i in rows], pa.int64()),
+                    "event_type": pa.array(
+                        [f"type{i % N_TYPES}" for i in rows], pa.string()
+                    ),
+                    "user_id": pa.array([i % 7 for i in rows], pa.int64()),
+                    "value": pa.array([float(i % 97) for i in rows]),
+                    # files arrive in event-time order so the watermark
+                    # advances between micro-batches (the s14c eviction path)
+                    "ts": pa.array(
+                        [T0_US + i * 60_000_000 for i in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            os.path.join(base, f"part-{f:03d}.parquet"),
+        )
+    return base
+
+
+def _max_state_rows(spark, stream_df, mode: str) -> int:
+    name = f"sb_{uuid.uuid4().hex[:10]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        ]
+        assert rows, "no stateOperators in progress — not a stateful query?"
+        return max(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _events_source(spark, src: str, n_rows: int, n_files: int):
+    path = _write_events(
+        f"{src}/r{n_rows}_f{n_files}", n_rows=n_rows, n_files=n_files
+    )
+    schema = (
+        "event_id long, event_type string, user_id long, "
+        "value double, ts timestamp"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_quantile_sketch_state_is_key_bounded(spark, tmp_path):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from presto_weather_spark.streaming.pipeline import qsketch_stream_fold
+
+    def drive(n_rows: int, n_files: int) -> int:
+        stream = _events_source(spark, str(tmp_path), n_rows, n_files)
+        out = (
+            stream.select("event_type", "value")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                qsketch_stream_fold,
+                outputStructType="event_type string, q double, est_value double",
+                stateStructType="v array<double>, w array<double>",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return _max_state_rows(spark, out, "update")
+
+    one_batch = drive(400, 1)
+    four_batches = drive(400, 4)
+    double_volume = drive(800, 4)
+    # one state row per event_type — independent of batching AND volume
+    assert one_batch == four_batches == double_volume == N_TYPES
+
+
+def test_weighted_sample_state_is_key_bounded(spark, tmp_path):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from presto_weather_spark.streaming.pipeline import aes_stream_fold
+
+    def drive(n_rows: int, n_files: int) -> int:
+        stream = _events_source(spark, str(tmp_path), n_rows, n_files)
+        # reuse event_type as the sample's source key; text from event_id
+        src = stream.selectExpr(
+            "event_type AS source",
+            "event_id AS doc_id",
+            "CAST(event_id AS STRING) AS text",
+            "CAST(20 + event_id % 50 AS LONG) AS n_chars",
+        )
+        out = src.groupBy("source").applyInPandasWithState(
+            aes_stream_fold,
+            outputStructType=(
+                "source string, doc_id long, n_chars long, "
+                "aes_key double, sample_rank int, n_seen long"
+            ),
+            stateStructType=(
+                "ids array<long>, chars array<long>, "
+                "keys array<double>, seen long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _max_state_rows(spark, out, "update")
+
+    one_batch = drive(400, 1)
+    four_batches = drive(400, 4)
+    double_volume = drive(800, 4)
+    # one state row (<= k retained triples inside it) per source key
+    assert one_batch == four_batches == double_volume == N_TYPES
+
+
+def test_dedup_state_is_bounded_by_keys_and_watermark(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    n_keys = 7 * N_TYPES  # distinct (user_id, event_type) pairs
+
+    def drive(n_rows: int, n_files: int) -> int:
+        stream = _events_source(spark, str(tmp_path), n_rows, n_files)
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type", F.col("ts"))
+        )
+        return _max_state_rows(spark, deduped, "append")
+
+    one_batch = drive(400, 1)
+    four_batches = drive(400, 4)
+    double_volume = drive(800, 4)
+    # state carries the distinct keys inside the watermark horizon: never
+    # more than the key count, and NOT growing when the row volume doubles
+    assert one_batch == n_keys
+    assert four_batches <= n_keys
+    assert double_volume <= n_keys
