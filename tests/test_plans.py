@@ -732,3 +732,60 @@ def test_bitext_mining_broadcasts_denominators(spark, sf_dir):
     plan = simple_plan(_df("x144_margin_bitext_mining", spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:900]
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+
+
+def test_minhash_band_join_splits_hot_band(spark, tmp_path):
+    """x02 skew rehearsal (round-7 verdict task #6): the LSH band key is
+    NOT uniform — a near-dup-dense corpus concentrates one template
+    cluster into a handful of hot band buckets. Plant exactly that (a
+    10% identical-template cluster: every member shares all 16 band
+    hashes) and assert AQE splits the hot band-join partition in the
+    FINAL adaptive plan — the s25 assertion applied to x02's exchange.
+    forceOptimizeSkewedJoin is on because the downstream distinct()
+    re-shuffles anyway, which is exactly the at-scale trade: one extra
+    exchange beats a straggler task holding the whole stage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_weather_spark.operators.dedup import minhash_near_dup_pairs
+    from presto_weather_spark.operators.relational import SKEW_CONFS
+
+    template = " ".join(f"tmpl{i} shared duplicate body" for i in range(8))
+    rows = []
+    for i in range(1000):
+        if i % 10 == 0:  # the 10% hot cluster — identical text
+            rows.append((i, template))
+        else:
+            rows.append((i, " ".join(f"w{i}_{j} unique" for j in range(16))))
+    out = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        out,
+    )
+    d = spark.read.parquet(out).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    confs = dict(SKEW_CONFS)
+    confs["spark.sql.adaptive.forceOptimizeSkewedJoin"] = "true"
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = minhash_near_dup_pairs(d)
+        # collect() (not count()) so the frame's OWN QueryExecution runs —
+        # the adaptive final plan lives there, a count plans separately
+        n_pairs = len(df.collect())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    # the planted cluster must be found (100 identical docs -> 4950 pairs)
+    assert n_pairs >= 4950
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:800]
