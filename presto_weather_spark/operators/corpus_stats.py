@@ -1321,9 +1321,10 @@ CALIB_BINS_PER_UNIT = 2  # half-logprob-unit equal-width bins
     "and report, per bin, the document count and the rate at which "
     "x86's independent rule-battery gate says keep — a reliability "
     "table (monotone keep-rate = the score is a usable ranking; flat "
-    "= thresholding it is noise). Bin = floor(score * 2): the score "
-    "is ALREADY 6dp-rounded identically in both engines, so the "
-    "floor is engine-exact — no data-dependent quantiles, no global "
+    "= thresholding it is noise). Bin = the 6dp score's exact scaled "
+    "integer, truncating-DIV'd into half-unit bins (DuckDB // and "
+    "Spark DIV both truncate toward zero, so the rule is engine-exact "
+    "with no float floor) — no data-dependent quantiles, no global "
     "sort (the equal-width variant of calibration exists precisely "
     "because equal-mass deciles need a rank pass). keep_rate in "
     "scaled-integer micro-units; mean score via DECIMAL sum. Oracle "

@@ -5876,12 +5876,37 @@ FROM cells c CROSS JOIN tots t CROSS JOIN s2
     "algebra runs on a classes^2-sized table.",
 )
 def x152_nb_hash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _nb_predictions(_nb_doc_features(spark, sf_dir, hashed=False)).select(
+    # Tokenize ONCE: the hashed frequency table is a pure re-aggregation
+    # of the exact one (bucket = md5(term), tf sums are associative), so
+    # deriving it from the checkpointed exact table saves the second
+    # corpus tokenize+explode that two independent _nb_doc_features
+    # calls would pay. (Standalone x45b keeps the direct scan-side
+    # bucketing — there the 8192-bounded shuffle without the V-sized
+    # intermediate is the better plan; here the exact table exists
+    # anyway because the exact model needs it.)
+    dt_exact = _nb_doc_features(spark, sf_dir, hashed=False)
+    dt_hashed = (
+        dt_exact.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % NBH_BUCKETS
+            ).alias("term"),
+            "tf",
+        )
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.sum("tf").alias("tf"))
+        .localCheckpoint()  # _nb_predictions reads its doc_term 5 times
+    )
+    e = _nb_predictions(dt_exact).select(
         "doc_id", F.col("c").alias("pred_exact_lang")
     )
-    h = _nb_predictions(
-        _nb_doc_features(spark, sf_dir, hashed=True), vocab_size=NBH_BUCKETS
-    ).select("doc_id", F.col("c").alias("pred_hashed_lang"))
+    h = _nb_predictions(dt_hashed, vocab_size=NBH_BUCKETS).select(
+        "doc_id", F.col("c").alias("pred_hashed_lang")
+    )
     cells = (
         e.join(h, "doc_id")
         .groupBy("pred_exact_lang", "pred_hashed_lang")

@@ -26,7 +26,14 @@ from presto_weather_spark.registry import all_queries  # noqa: E402
 # Keys whose existing BASELINE row should be OVERWRITTEN by this run
 # (plan changed, or the verdict ordered a re-record). Empty between such
 # events — "first run defines baseline" for everything else.
-RE_RECORD: set[str] = set()
+# Round 7: s14e and x23 re-recorded per verdict task #7 — both
+# reproduced at 1.4-1.6x across rounds 6 AND 7 (quiet-host min-of-2,
+# identical plans), so the 2026-08-13 rows were measured in a
+# stale-fast host window, not regressed by any change.
+RE_RECORD: set[str] = {
+    "s14e_stateful_running_totals",
+    "x23_pmi_cooccurrence",
+}
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
 
