@@ -1076,6 +1076,7 @@ def x124_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 LANG_BUDGET_ALPHA = 0.5  # temperature smoothing for target shares
+LANG_EPOCH_CAP_E6 = 4000000  # micro-unit cap: integer compare, no float literal
 LANG_EPOCH_CAP = 4.0  # upsampling beyond this repeats data too hard
 
 
@@ -1107,8 +1108,9 @@ SELECT p.lang, p.lang_tokens,
                   * p.total, 0) AS BIGINT) AS allocated_tokens,
        round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z
              * p.total / p.lang_tokens, 6) AS epochs,
-       round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z
-             * p.total / p.lang_tokens, 6) > {LANG_EPOCH_CAP}
+       CAST(round(round(pow(p.share, {LANG_BUDGET_ALPHA}), 12) / z.z
+             * p.total / p.lang_tokens * 1000000) AS BIGINT)
+             > {LANG_EPOCH_CAP_E6}
            AS upsample_risk
 FROM p CROSS JOIN z
 """,
@@ -1144,6 +1146,13 @@ def x134_language_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = smoothed / F.col("z")
     epochs = F.round(target * F.col("total") / F.col("lang_tokens"), 6)
+    # risk flag in exact micro-units (round-7 burn-down): same rounded
+    # value, integer threshold compare
+    epochs_e6 = F.expr(
+        "CAST(round(round(pow(share, "
+        f"{LANG_BUDGET_ALPHA}), 12) / z * total / lang_tokens * 1000000) "
+        "AS BIGINT)"
+    )
     return p.crossJoin(F.broadcast(z)).select(
         "lang",
         "lang_tokens",
@@ -1153,7 +1162,7 @@ def x134_language_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "allocated_tokens"
         ),
         epochs.alias("epochs"),
-        (epochs > LANG_EPOCH_CAP).alias("upsample_risk"),
+        (epochs_e6 > LANG_EPOCH_CAP_E6).alias("upsample_risk"),
     )
 
 

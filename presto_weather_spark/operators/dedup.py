@@ -584,6 +584,7 @@ def x34_quality_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU_E6 = 300000  # micro-unit integer threshold (no float literal)
 SEMDEDUP_TAU = 0.30  # within-orthant cosine threshold (driver embeddings
 # carry no true dups; 0.30 sits in the upper tail so ~100 pairs fire)
 SEMDEDUP_BITS = 4  # sign bits -> 2^4 coarse cells
@@ -609,7 +610,8 @@ dups AS (
   SELECT a.vec_id,
          COUNT(*) AS n_dups_below
   FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_TAU}
+  WHERE CAST(round(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+          >= {SEMDEDUP_TAU_E6}
   GROUP BY a.vec_id
 )
 SELECT e.vec_id, CAST(e.bucket AS INT) AS bucket,
@@ -644,8 +646,10 @@ def x36_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = np.round(unit @ unit.T, 6)
-        below = np.tril(sims >= SEMDEDUP_TAU, k=-1)  # strictly lower vec_id
+        # micro-unit integer grid — same values as np.round(x, 6)
+        # (which computes round(x*1e6)/1e6) with an exact int compare
+        sims_e6 = np.round(unit @ unit.T * 1e6)
+        below = np.tril(sims_e6 >= SEMDEDUP_TAU_E6, k=-1)  # lower vec_id
         n_dups = below.sum(axis=1).astype(np.int32)
         return pd.DataFrame(
             {
@@ -1523,8 +1527,10 @@ SELECT c.doc_a, c.doc_b, CAST(c.n_shared AS BIGINT) AS n_shared,
        -- and diverges on any multi-byte UTF-8 text
        round(1.0 - levenshtein(ta.text, tb.text) * 1.0
                    / greatest(length(ta.text), length(tb.text), 1), 6) AS sim,
-       (1.0 - levenshtein(ta.text, tb.text) * 1.0
-              / greatest(length(ta.text), length(tb.text), 1)) >= {X96_DUP_SIM}
+       -- integer-exact threshold (sim of at least 4/5 <=> 5*lev at
+       -- most L); the float form sits ON the boundary when L % 5 = 0
+       levenshtein(ta.text, tb.text) * 5
+           <= greatest(length(ta.text), length(tb.text), 1)
            AS is_dup
 FROM cand c
 JOIN documents ta ON ta.doc_id = c.doc_a
@@ -1593,7 +1599,13 @@ def x96_editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             lev.cast("bigint").alias("lev_dist"),
             F.round(sim, 6).alias("sim"),
-            (sim >= X96_DUP_SIM).alias("is_dup"),
+            # integer-exact: 1 - lev/L >= X96_DUP_SIM (0.8) <=> 5*lev <= L
+            (
+                lev * 5
+                <= F.greatest(
+                    F.length("text_a"), F.length("text_b"), F.lit(1)
+                )
+            ).alias("is_dup"),
         )
     )
 

@@ -471,7 +471,7 @@ def x05d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 HASH_DIM = 64  # feature-hashing buckets == embedding dimensionality
-ALIGN_THRESHOLD = 0.0  # keep pairs with non-negative alignment
+ALIGN_THRESHOLD = 0  # keep pairs with non-negative alignment (sign test)
 
 
 @register(

@@ -2185,7 +2185,8 @@ def s31_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s32_observed_metrics",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(SUM(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) > 5
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM lineitem
 WHERE l_returnflag IN ('A', 'R')
@@ -2212,7 +2213,13 @@ def s32_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        # discounts are exact multiples of 0.01 — compare the recovered
+        # scaled integer, not the double (risk burn-down)
+        F.sum(
+            F.when(
+                F.expr("CAST(round(l_discount * 100) AS BIGINT)") > 5, 1
+            ).otherwise(0)
+        ).alias("n_discounted"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
     )
     observed.write.format("noop").mode("overwrite").save()
@@ -3576,7 +3583,7 @@ def s56_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH bal AS (
   SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
          COUNT(*) AS n_pos
-  FROM customer WHERE c_acctbal > 0.0
+  FROM customer WHERE c_acctbal > 0
 )
 SELECT c.c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -3586,7 +3593,7 @@ WHERE CAST(c.c_acctbal AS DECIMAL(38,2)) * bal.n_pos
         > CAST(bal.bal_sum AS DECIMAL(38,2))
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
-                    AND o.o_totalprice >= 400000.0)
+                    AND o.o_totalprice >= 400000)
 GROUP BY c.c_mktsegment
 """,
     doc="S57: GLOBAL-AVERAGE scalar subquery + NOT EXISTS anti join — the "
@@ -3606,7 +3613,7 @@ GROUP BY c.c_mktsegment
 def s57_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+    bal = c.filter(F.col("c_acctbal") > 0).agg(
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
         F.count(F.lit(1)).alias("n_pos"),
     )
@@ -3614,7 +3621,7 @@ def s57_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("decimal(38,2)") * F.col("n_pos")
         > F.col("bal_sum").cast("decimal(38,2)")
     )
-    big_orders = o.filter(F.col("o_totalprice") >= 400000.0)
+    big_orders = o.filter(F.col("o_totalprice") >= 400000)
     dormant = rich.join(big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti")
     return dormant.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),

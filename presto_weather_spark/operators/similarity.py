@@ -284,6 +284,7 @@ def x03c_pairwise_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+NEARDUP_TAU_E6 = 380000  # micro-unit threshold: integer compare, no float literal
 NEARDUP_TAU = 0.38  # driver embeddings have no true dups (max pair cosine
 # ~0.456 at sf0.01), so the threshold sits in the upper tail to exercise
 # the operator with a small non-empty result.
@@ -301,9 +302,9 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ({_SQL_NORM.format(v='a.embedding')} * {_SQL_NORM.format(v='b.embedding')}),
              6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} /
-            ({_SQL_NORM.format(v='a.embedding')} * {_SQL_NORM.format(v='b.embedding')}),
-            6) >= {NEARDUP_TAU}
+WHERE CAST(round({_SQL_DOT.format(a='a.embedding', b='b.embedding')} /
+            ({_SQL_NORM.format(v='a.embedding')} * {_SQL_NORM.format(v='b.embedding')})
+            * 1000000) AS BIGINT) >= {NEARDUP_TAU_E6}
 """,
     doc="X2/X3: embedding-cosine near-duplicate pairs — all-pairs cosine "
     "over a bounded probe set with threshold tau, survivor = lower vec_id. "
@@ -330,10 +331,14 @@ def x02d_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
                 continue
             mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
             unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = np.round(unit @ punit.T, 6)  # (n, probe)
+            # micro-unit integers: np.round(x, 6) is round(x*1e6)/1e6,
+            # so the e6 grid compares exactly where the double could sit
+            # ON the threshold boundary
+            sims_e6 = np.round(unit @ punit.T * 1e6)  # (n, probe)
+            sims = sims_e6 / 1e6
             ids = pdf["vec_a"].to_numpy().astype(np.int64)
             row, col = np.nonzero(
-                (sims >= NEARDUP_TAU) & (ids[:, None] < pids[None, :])
+                (sims_e6 >= NEARDUP_TAU_E6) & (ids[:, None] < pids[None, :])
             )
             if not len(row):
                 continue
@@ -1890,7 +1895,8 @@ SELECT norms.vec_id, norms.label, norms.l2_norm,
             ELSE round((norms.l2_norm - m.mean_norm) / s.std_norm, 6)
        END AS z_score,
        CASE WHEN s.std_norm = 0 THEN 'ok'
-            WHEN abs(round((norms.l2_norm - m.mean_norm) / s.std_norm, 6)) > 3.0
+            WHEN abs(CAST(round((norms.l2_norm - m.mean_norm)
+                                / s.std_norm * 1000000) AS BIGINT)) > 3000000
             THEN 'outlier' ELSE 'ok' END AS norm_flag
 FROM norms CROSS JOIN m CROSS JOIN s
 """,
@@ -1965,8 +1971,19 @@ def x117_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "l2_norm",
             z.alias("z_score"),
+            # |z| in exact micro-units vs the integer 3e6 threshold —
+            # no float-literal compare (round-7 risk burn-down)
             F.when(zero, "ok")
-            .when(F.abs(z) > 3.0, "outlier")
+            .when(
+                F.abs(
+                    F.expr(
+                        "CAST(round((l2_norm - mean_norm) / std_norm"
+                        " * 1000000) AS BIGINT)"
+                    )
+                )
+                > 3000000,
+                "outlier",
+            )
             .otherwise("ok")
             .alias("norm_flag"),
         )
@@ -1980,7 +1997,7 @@ def x117_embedding_norm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 BITEXT_SRC_LANG = "en"
 BITEXT_TGT_LANG = "fr"
 BITEXT_K = 4  # neighborhood size for the margin denominator
-BITEXT_MARGIN = 1.0  # keep mutual-best pairs whose ratio margin exceeds this
+BITEXT_MARGIN = 1  # keep mutual-best pairs whose ratio margin exceeds this
 
 
 @register(

@@ -5075,9 +5075,10 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
            AS flesch_score,
-       CASE WHEN round(206.835
+       CASE WHEN CAST(round((206.835
                        - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) >= 60.0
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                       * 1000000) AS BIGINT) >= 60000000
             THEN 'easy' ELSE 'hard' END AS readability_band
 FROM counts WHERE n_words > 0
 """,
@@ -5121,9 +5122,19 @@ def x131_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sentences",
         "n_syllables",
         score.alias("flesch_score"),
-        F.when(score >= 60.0, "easy").otherwise("hard").alias(
-            "readability_band"
-        ),
+        # band threshold in exact micro-units (round-7 risk burn-down)
+        F.when(
+            F.expr(
+                "CAST(round((206.835"
+                " - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)"
+                " - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))"
+                " * 1000000) AS BIGINT)"
+            )
+            >= 60000000,
+            "easy",
+        )
+        .otherwise("hard")
+        .alias("readability_band"),
     )
 
 

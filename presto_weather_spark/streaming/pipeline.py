@@ -663,7 +663,7 @@ def s14k_stream_window_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s14l_stream_observed_metrics",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 """,
@@ -685,7 +685,7 @@ def s14l_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = stream.observe(
         "tick_metrics",
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
     )
     q = (
