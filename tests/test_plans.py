@@ -789,3 +789,16 @@ def test_minhash_band_join_splits_hot_band(spark, tmp_path):
     assert n_pairs >= 4950
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan[:800]
+
+
+def test_hashed_nb_grid_joins_are_broadcast(spark, sf_dir):
+    """x45b: every model table the scoring stream touches (the bucket
+    grid, class priors, totals) is buckets- or classes-bounded and must
+    BROADCAST onto the token stream — a SortMergeJoin against the grid
+    would mean Catalyst thinks the model is corpus-sized, defeating the
+    whole point of the 8192-bucket cap."""
+    plan = simple_plan(_df("x45b_naive_bayes_hashed", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    # the doc-grain frequency stream must never sort-merge against any
+    # model table: the only SMJs allowed are none at all
+    assert "SortMergeJoin" not in plan, plan[:800]
