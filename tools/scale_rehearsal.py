@@ -91,8 +91,20 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_REHEARSAL.json",
     )
+    # merge-preserving: later runs add keys; the sf3 section survives
+    merged: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    if "two_point_sf0.1_to_sf1" in merged:
+        merged["two_point_sf0.1_to_sf1"].update(out)
+    elif merged:
+        merged.update(out)
+        merged = {"two_point_sf0.1_to_sf1": merged}
+    else:
+        merged = {"two_point_sf0.1_to_sf1": out}
     with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     print(f"wrote {path}")
     print("\n| key | sf0.1 s | sf1 s | alpha |")
     print("|---|---|---|---|")
