@@ -477,6 +477,95 @@ def x87_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X87b — banded stratified sample (x87's 100-TB path: bucket-grain windows)
+# ---------------------------------------------------------------------------
+
+STRAT_BUCKET_HEX = 3  # md5-prefix bucketing: 16^3 = 4096 rank buckets
+
+
+@register(
+    "x87b_stratified_sample_banded",
+    # EXACT same semantics as x87 — same oracle, hash-verified. The banding
+    # changes the PLAN, not the answer: md5-hex-prefix buckets respect the
+    # (md5, doc_id) sort order, so per-bucket rank + per-bucket offset
+    # reconstructs the per-stratum rank exactly.
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank,
+         CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+             AS stratum_size
+  FROM documents
+)
+SELECT doc_id, lang, source, stratum_size, sample_rank
+FROM s
+WHERE sample_rank * {STRATUM_KEEP_DENOM} <= stratum_size + {STRATUM_KEEP_DENOM - 1}
+""",
+    doc="X87b: x87's documented mega-stratum path, made real and kept "
+    "EXACT (identical output, same oracle — unlike x106b's sketch this "
+    "banding loses nothing, because ranks on a uniform hash key "
+    "decompose by hash prefix). (lang, source) is low-cardinality, so "
+    "x87's per-stratum row_number hands one task a dominant stratum's "
+    f"whole corpus slice. Here docs band into 16^{STRAT_BUCKET_HEX} "
+    "buckets by md5-hex prefix — bucket order IS key order — and the "
+    "heavy table only ever sees BUCKET-grain windows (~n/4096 rows): "
+    "(1) per-(stratum, bucket) counts aggregate map-side; (2) bucket "
+    "offsets + stratum sizes + the ceil(n/5) keep target compute on "
+    "that 4096-rows-per-stratum count table; (3) buckets whose offset "
+    "already passes the target drop WHOLE — ~4/5 of the corpus never "
+    "reaches a sort; (4) survivors rank within their bucket and add "
+    "the broadcast offset: sample_rank = offset + within-bucket rank, "
+    "exactly x87's rank. The only stratum-grain window runs on the "
+    "bucket-count table. Plan-pinned in tests/test_plans.py (every "
+    "doc-stream window partitions on the bucket key); equivalence to "
+    "x87 pinned row-for-row in tests/test_properties.py.",
+)
+def x87b_stratified_sample_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    d = d.withColumn("b", F.substring("k", 1, STRAT_BUCKET_HEX))
+    bc = d.groupBy("lang", "source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    stratum = Window.partitionBy("lang", "source")
+    cum = stratum.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bc = (
+        bc.withColumn("stratum_size", F.sum("n_b").over(stratum).cast("bigint"))
+        .withColumn("offset", (F.sum("n_b").over(cum) - F.col("n_b")).cast("bigint"))
+        .withColumn(
+            "keep_target",
+            # integer DIV: double division would lose exactness past 2^53
+            F.expr(
+                f"CAST((stratum_size + {STRATUM_KEEP_DENOM - 1})"
+                f" DIV {STRATUM_KEEP_DENOM} AS BIGINT)"
+            ),
+        )
+        # whole-bucket prune: a bucket whose offset has already passed the
+        # keep target contains no kept doc — ~(1 - 1/denom) of the corpus
+        # is eliminated before any doc-grain sort
+        .filter(F.col("offset") < F.col("keep_target"))
+        .select("lang", "source", "b", "stratum_size", "offset", "keep_target")
+    )
+    wb = Window.partitionBy("lang", "source", "b").orderBy("k", "doc_id")
+    return (
+        d.join(bc, ["lang", "source", "b"])
+        .withColumn(
+            "sample_rank",
+            (F.col("offset") + F.row_number().over(wb)).cast("bigint"),
+        )
+        .filter(F.col("sample_rank") <= F.col("keep_target"))
+        .select("doc_id", "lang", "source", "stratum_size", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X88 — benchmark decontamination (n-gram overlap against a held-out set)
 # ---------------------------------------------------------------------------
 
@@ -1357,10 +1446,20 @@ def x141_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round() recovers the exact integer and truncating DIV bins it.
         # DuckDB's // truncates toward zero exactly like Spark's DIV
         # (verified: -7 // 2 = -3 in both), so the bin rule is
-        # engine-exact with no float floor anywhere.
+        # engine-exact with no float floor anywhere. The half-unit
+        # equal-width invariant DEPENDS on avg_logprob < 0: truncation
+        # toward zero would make bin 0 span (-0.5, +0.5) — a double-width
+        # bin — if a non-negative score ever appeared. A unigram avg log
+        # prob is strictly negative by construction (every corpus has
+        # >= 2 distinct tokens, so every token prob < 1); the guard turns
+        # a future violation into a loud error instead of a quiet
+        # double-width bin.
         F.expr(
-            f"CAST(round(avg_logprob * {CALIB_BINS_PER_UNIT * 1000000})"
-            f" AS BIGINT) DIV 1000000"
+            f"CAST(CASE WHEN avg_logprob >= 0 THEN raise_error("
+            f"'x141: avg_logprob must be strictly negative — bin 0 would"
+            f" be double-width under truncating DIV')"
+            f" ELSE round(avg_logprob * {CALIB_BINS_PER_UNIT * 1000000})"
+            f" END AS BIGINT) DIV 1000000"
         )
         .cast("bigint")
         .alias("bin"),

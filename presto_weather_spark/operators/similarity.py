@@ -1163,7 +1163,9 @@ KCENTER_LOCAL_LIMIT = 100_000  # collect-and-solve below this corpus size
 def x65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
-    if emb.count() <= KCENTER_LOCAL_LIMIT:
+    # limit(N+1) probe (the x94 pattern): LocalLimit stops each scan task
+    # at the threshold, so the gate check reads O(N) rows, never the table.
+    if emb.limit(KCENTER_LOCAL_LIMIT + 1).count() <= KCENTER_LOCAL_LIMIT:
         # Same greedy, driver-local on the collected matrix (the x43
         # hybrid contract: tiny-data iterations skip per-round job
         # latency; path equivalence pinned in tests/test_properties.py).
@@ -1433,7 +1435,10 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver collect nor the per-task closure matrix ever exceeds
     # TWONN_SAMPLE_LIMIT rows. At fixture scale the gate stays open and
     # the whole table flows through — the oracle remains hash-exact.
-    if emb.count() > TWONN_SAMPLE_LIMIT:
+    # The gate probes limit(N+1).count(), not a full count(): LocalLimit
+    # stops each scan task at the threshold, so the probe reads O(N) rows
+    # instead of re-scanning the whole table on every invocation.
+    if emb.limit(TWONN_SAMPLE_LIMIT + 1).count() > TWONN_SAMPLE_LIMIT:
         emb = _twonn_sample(emb, TWONN_SAMPLE_LIMIT)
     rows = emb.collect()  # bounded by construction (gate above)
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
@@ -1547,7 +1552,8 @@ def x98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
     )
-    if emb.count() <= MMR_LOCAL_LIMIT:
+    # limit(N+1) probe (the x94 pattern): the gate check reads O(N) rows.
+    if emb.limit(MMR_LOCAL_LIMIT + 1).count() <= MMR_LOCAL_LIMIT:
         return _mmr_local(emb)
     return _mmr_distributed(emb)
 

@@ -2070,10 +2070,22 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
     "source of tweets otherwise). Docs are admitted in a deterministic "
     "pseudo-random order (md5 priority — never rand(), so the cut is "
     "stable under reruns and repartitioning, the x07 contract) until the "
-    "source's running token total exceeds the budget. One shuffle on "
-    "source; the running sum is a per-source window, which at 100 TB is "
-    "safe because the window key is the partition key (no global "
-    "ordering). Complements x28 (ratio reweighting) and x35 (bucket "
+    "source's running token total exceeds the budget. `source` is a "
+    "low-cardinality key, so a naive per-source running sum would hand "
+    "one task most of a skewed 100 TB corpus; instead the cumsum "
+    "partition is budget-bounded BY CONSTRUCTION: every admitted "
+    "non-empty doc consumes >= 1 token, so `row_number() <= "
+    "TOKEN_BUDGET+1` over the same (source -> pri) window prunes each "
+    "partition to at most budget+1 rows BEFORE the sort-heavy work — "
+    "Spark plans WindowGroupLimit (partial per-partition k-heaps ahead "
+    "of the exchange, the x109/x57 shape; plan-pinned in "
+    "tests/test_plans.py::test_token_budget_cap_plans_group_limit). The "
+    "+1 row is the first over-budget doc, kept as the cutoff key for the "
+    "exact zero-token side-path (zero-token docs consume no budget and "
+    "are admitted wherever the running total at their position is still "
+    "within budget — resolved against the per-source one-row cutoff "
+    "table and the <= budget-row admitted table, never a corpus-sized "
+    "window). Complements x28 (ratio reweighting) and x35 (bucket "
     "resampling) with an absolute-budget form.",
 )
 def x46_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,14 +2095,64 @@ def x46_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
         F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))).alias("pri"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order_w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Non-empty docs: cum >= row_number (each doc >= 1 token), so any doc
+    # beyond rank TOKEN_BUDGET+1 is over budget in the oracle too. The rank
+    # filter plans WindowGroupLimit — per-partition pruning BEFORE the
+    # per-source exchange — so a dominant source's window partition holds at
+    # most TOKEN_BUDGET+1 rows no matter how big the corpus is.
+    ne = (
+        d.filter(F.col("n_tok") >= 1)
+        .withColumn("rn", F.row_number().over(order_w))
+        .filter(F.col("rn") <= TOKEN_BUDGET + 1)
+        .withColumn("cum_tokens", F.sum("n_tok").over(cum_w).cast("bigint"))
     )
-    c = d.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
-    return c.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
-        "doc_id", "source", "n_tok", "cum_tokens"
+    ne_adm = ne.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tok", "pri", "cum_tokens"
+    )
+    # Zero-token docs contribute nothing to the running sum, so the oracle
+    # admits one exactly when it sorts before the first OVER-budget non-empty
+    # doc of its source (that doc is guaranteed inside the rank-pruned set
+    # when it exists at all). Its cum_tokens is the cumsum of the last
+    # preceding admitted non-empty doc. Both lookups land on budget-bounded
+    # tables: `cut` is one row per source, `ne_adm` is <= TOKEN_BUDGET rows
+    # per source.
+    ze = d.filter(F.col("n_tok") == 0)
+    cut = (
+        ne.filter(F.col("cum_tokens") > TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(F.min(F.struct("pri", "doc_id")).alias("cut"))
+    )
+    ze_adm = (
+        ze.join(cut, "source", "left")
+        .filter(
+            F.col("cut").isNull()
+            | (F.struct(F.col("pri"), F.col("doc_id")) < F.col("cut"))
+        )
+        .select("doc_id", "source", "n_tok", "pri")
+    )
+    prior = ne_adm.select(
+        F.col("source").alias("a_source"),
+        F.col("pri").alias("a_pri"),
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("cum_tokens").alias("a_cum"),
+    )
+    ze_out = (
+        ze_adm.join(
+            prior,
+            (ze_adm["source"] == prior["a_source"])
+            & (
+                F.struct(prior["a_pri"], prior["a_doc_id"])
+                < F.struct(ze_adm["pri"], ze_adm["doc_id"])
+            ),
+            "left",
+        )
+        .groupBy("doc_id", "source", "n_tok")
+        .agg(F.coalesce(F.max("a_cum"), F.lit(0)).cast("bigint").alias("cum_tokens"))
+    )
+    return ne_adm.select("doc_id", "source", "n_tok", "cum_tokens").unionByName(
+        ze_out.select("doc_id", "source", "n_tok", "cum_tokens")
     )
 
 
@@ -4993,13 +5055,18 @@ def x128_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_q = Window.orderBy(alpha.desc(), F.col("doc_id"))
     quality = d.select("doc_id", F.row_number().over(w_q).alias("q_rank"))
-    # 1/(K+a) + 1/(K+b) = (2K+a+b) / ((K+a)(K+b)) — ranks are small
-    # integers, so the score ships as the exact truncated pico-unit
-    # rational (fits BIGINT: numerator < 6e15); ordering is preserved
-    # because adjacent distinct scores differ by >> 1e-12
+    # 1/(K+a) + 1/(K+b) = (2K+a+b) / ((K+a)(K+b)) — the score ships as the
+    # exact truncated pico-unit rational. The numerator is computed in
+    # DECIMAL(38,0): q_rank is a GLOBAL row number, so on a multi-million-doc
+    # corpus (2K+a+b)*1e12 passes 9.2e18 and a BIGINT numerator would wrap
+    # silently under Spark's non-ANSI arithmetic while DuckDB widens to
+    # HUGEINT. The QUOTIENT always fits BIGINT (max score 2/(K+1) => < 4e10
+    # pico-units), so the final cast is safe at any corpus size.
     rrf = F.expr(
-        f"CAST((2*{RRF_K} + doc_rank + q_rank) * 1000000000000"
-        f" DIV (({RRF_K} + doc_rank) * ({RRF_K} + q_rank)) AS BIGINT)"
+        f"CAST((CAST(2*{RRF_K} + doc_rank + q_rank AS DECIMAL(38,0))"
+        f" * 1000000000000)"
+        f" DIV (CAST({RRF_K} + doc_rank AS DECIMAL(38,0))"
+        f" * CAST({RRF_K} + q_rank AS DECIMAL(38,0))) AS BIGINT)"
     )
     fused = bm.join(quality, "doc_id").select(
         "query_id",

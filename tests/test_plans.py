@@ -592,6 +592,46 @@ def test_weighted_sample_plans_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan[:1200]
 
 
+def test_token_budget_cap_plans_group_limit(spark, sf_dir):
+    """x46: `source` is a low-cardinality key, so the per-source running
+    token sum must NOT sort a dominant source's whole corpus slice in one
+    window partition. Every per-source Window here must sit behind a
+    WindowGroupLimit at TOKEN_BUDGET+1 rows — valid because every admitted
+    non-empty doc consumes >= 1 token, so cum_tokens >= row_number and rank
+    TOKEN_BUDGET+2 onward is over budget by construction. Partial mode
+    prunes per input partition BEFORE the exchange, Final prunes after."""
+    from presto_weather_spark.operators.text_analysis import TOKEN_BUDGET
+
+    plan = simple_plan(_df("x46_token_budget_cap", spark, sf_dir))
+    limit = f"row_number(), {TOKEN_BUDGET + 1}"
+    assert f"{limit}, Partial" in plan, plan[:1500]
+    assert f"{limit}, Final" in plan, plan[:1500]
+    # every window over the doc stream is budget-bounded: the plan has no
+    # Window node that is not paired with a WindowGroupLimit below it
+    assert plan.count("WindowGroupLimit") >= plan.count("+- Window ["), plan[:1500]
+
+
+def test_banded_stratified_sample_windows_are_bucket_grain(spark, sf_dir):
+    """x87b: the doc stream must NEVER see a stratum-grain window — a
+    dominant (lang, source) stratum would become one sort task. The only
+    row_number over docs partitions on (lang, source, bucket); the two
+    stratum-grain sum windows run on the 4096-rows-per-stratum bucket-count
+    table (their input is the n_b aggregate, never doc rows)."""
+    import re
+
+    plan = simple_plan(_df("x87b_stratified_sample_banded", spark, sf_dir))
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs, plan[:1500]
+    for spec in rn_specs:
+        assert re.match(r"lang#\d+, source#\d+, b#\d+,", spec), spec
+    # stratum-grain windows exist only as sums over the bucket-count column
+    strat_specs = re.findall(
+        r"sum\((\w+)#\d+L?\) windowspecdefinition\(lang#\d+, source#\d+,(?: b#\d+ ASC)?",
+        plan,
+    )
+    assert strat_specs and all(c == "n_b" for c in strat_specs), strat_specs
+
+
 def test_global_row_numbering_no_single_partition_window(spark, sf_dir):
     """s74: the numbering must NOT plan a window with an empty PARTITION BY
     over the data (one task gets every row). The only unpartitioned window

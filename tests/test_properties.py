@@ -567,6 +567,26 @@ def test_star_contraction_matches_label_propagation(spark, sf_dir):
     assert star == prop
 
 
+def test_banded_stratified_sample_matches_exact(spark, sf_dir):
+    # x87b computes x87's EXACT output through bucket-grain windows only
+    # (hash-prefix banding + per-bucket offsets). Row-for-row equality —
+    # including the reconstructed sample_rank — is the claim that makes
+    # x87b a lossless scale path rather than an approximation.
+    from presto_weather_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = sorted(
+        map(tuple, qs["x87_stratified_sample"].fn(spark, sf_dir).collect())
+    )
+    banded = sorted(
+        map(
+            tuple,
+            qs["x87b_stratified_sample_banded"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert exact == banded
+
+
 def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
     # x81: per-cluster weights sum to exactly 1 (up to the round-6 on the
     # stored weight), so total weight equals the number of distinct

@@ -96,13 +96,10 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             merged = json.load(f)
-    if "two_point_sf0.1_to_sf1" in merged:
-        merged["two_point_sf0.1_to_sf1"].update(out)
-    elif merged:
-        merged.update(out)
-        merged = {"two_point_sf0.1_to_sf1": merged}
-    else:
-        merged = {"two_point_sf0.1_to_sf1": out}
+    # setdefault handles all three cases (fresh file, section present,
+    # file with only note/sf3 sections) without mis-nesting foreign
+    # sections under the two-point dict.
+    merged.setdefault("two_point_sf0.1_to_sf1", {}).update(out)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     print(f"wrote {path}")
