@@ -705,6 +705,24 @@ def x05e_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Byte-exact oracle stream (round-8 risk burn-down): the utf-8 BYTES of
+# text, one row per byte, extracted from hex(encode(text)) with pure
+# string arithmetic — so the oracle matches the kernels' byte streams for
+# ANY input, ASCII or not (the old per-character ascii(substr(...)) walk
+# diverged on multi-byte codepoints). pos is the 1-based byte index.
+_SQL_BYTE_STREAM = """
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         (strpos('0123456789ABCDEF',
+                 substr(hx, CAST(2 * u.i - 1 AS INT), 1)) - 1) * 16
+         + strpos('0123456789ABCDEF', substr(hx, CAST(2 * u.i AS INT), 1)) - 1
+             AS b
+  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb FROM documents) h,
+       unnest(generate_series(1, h.nb)) AS u(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # X5f — audio loudness screen over the real WAV decode path
 # ---------------------------------------------------------------------------
@@ -716,8 +734,7 @@ LOUDNESS_RMS_GATE = 8000  # int16 RMS below this -> 'quiet'
     "x05f_audio_loudness_screen",
     oracle=f"""
 WITH chars AS (
-  SELECT doc_id, (ascii(substr(text, i, 1)) - 128) * 256 AS s
-  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+  SELECT doc_id, (b - 128) * 256 AS s FROM ({_SQL_BYTE_STREAM})
 ),
 st AS (
   SELECT doc_id,
@@ -809,17 +826,13 @@ def x05f_audio_loudness_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x05g_png_decode",
-    # ORACLE ASSUMPTION (shared with x05e/x05f/x146): the per-CHARACTER
-    # codepoint stream below equals the kernel's utf-8 BYTE stream only
-    # while every fixture document is pure ASCII — verified for all SFs by
-    # tests/test_properties.py::test_fixture_documents_are_ascii, which
-    # fails loudly (instead of a silent hash mismatch) if the fixture ever
-    # gains multi-byte text. The kernels themselves are byte-correct for
-    # any input.
+    # Oracle is BYTE-exact (round-8): the sample stream comes from
+    # hex(encode(text)) octets (_SQL_BYTE_STREAM), so hash parity holds
+    # for non-ASCII text too — proven on a planted multi-byte corpus in
+    # tests/test_multimodal_bytes.py.
     oracle=f"""
 WITH chars AS (
-  SELECT doc_id, ascii(substr(text, CAST(u.i AS INT), 1)) AS b
-  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+  SELECT doc_id, b FROM ({_SQL_BYTE_STREAM})
 ),
 agg AS (
   SELECT doc_id, CAST(sum(b) AS BIGINT) AS sum_b, CAST(max(b) AS INT) AS max_b
@@ -920,9 +933,7 @@ VAD_GATE_MS = 132_000_000  # voiced when frame mean-square >= this (int space)
     "x146_audio_voiced_spans",
     oracle=f"""
 WITH chars AS (
-  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
-         (ascii(substr(text, CAST(u.i AS INT), 1)) - 128) * 256 AS s
-  FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+  SELECT doc_id, pos, (b - 128) * 256 AS s FROM ({_SQL_BYTE_STREAM})
 ),
 fr AS (
   SELECT doc_id, (pos - 1) // {VAD_FRAME} AS frame,

@@ -31,8 +31,11 @@ from presto_weather_spark.session import load_table
     oracle="""
 SELECT event_id,
        CASE WHEN event_type = 'error' THEN '--'
-            ELSE CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) END AS temp_display,
-       'Chance of rain: ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '%' AS rain_line,
+            ELSE CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR)
+            END AS temp_display,
+       'Chance of rain: ' ||
+         CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR)
+         || '%' AS rain_line,
        right(strftime(ts, '%Y-%m-%dT%H:%M'), 5) AS updated_hhmm
 FROM events
 WHERE event_id < 500
@@ -40,12 +43,17 @@ WHERE event_id < 500
     doc="R9-R12 parity: round-to-int display string (weather.py:268), "
     "string templating (weather.py:301), HH:MM suffix of the ISO timestamp "
     "(weather.py:306), and the '--' null fallback (weather.py:264-265). "
-    "FLOOR instead of printf('%.0f') because floor is bit-identical across "
-    "engines while printf rounding modes differ (half-even vs half-up).",
+    "Display truncation runs in INTEGER space (cents DIV 100 — events. "
+    "value is a positive 2dp reading, so this equals floor exactly): "
+    "printf('%.0f') rounding modes differ across engines (half-even vs "
+    "half-up), and float floor is type-divergent (DuckDB double, Spark "
+    "bigint); exact cents are neither.",
 )
 def r09_12_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    as_int_str = F.floor(F.col("value")).cast("bigint").cast("string")
+    as_int_str = F.expr(
+        "CAST(round(value * 100) AS BIGINT) DIV 100"
+    ).cast("string")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm")
     return e.select(
         "event_id",
@@ -67,10 +75,11 @@ def r09_12_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey,
        l_linenumber,
        l_quantity,
-       COALESCE(SUM(l_quantity) OVER (
+       CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER (
            PARTITION BY l_orderkey
            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS offset_qty
 FROM lineitem
 WHERE l_orderkey < 2000
 """,
@@ -93,7 +102,11 @@ def r18_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.coalesce(F.sum("l_quantity").over(w), F.lit(0)).alias("offset_qty"),
+        # quantities are integer-valued: sum BIGINTs (risk burn-down —
+        # exact in both engines, no double accumulation order to reason about)
+        F.coalesce(
+            F.sum(F.col("l_quantity").cast("bigint")).over(w), F.lit(0)
+        ).alias("offset_qty"),
     )
 
 

@@ -1457,10 +1457,10 @@ def s20_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s21_q18_large_orders",
     oracle="""
 WITH big AS (
-  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING SUM(l_quantity) > 260
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 260
 )
 SELECT c.c_name, o.o_orderkey,
        CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
@@ -1484,7 +1484,8 @@ def s21_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        # integer-valued quantities sum as BIGINT (risk burn-down)
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 260)
     )
     return (
@@ -4517,7 +4518,8 @@ mad AS (
 SELECT dev.event_type, dev.day, dev.n, dev.med_n, mad.mad_n,
        CASE WHEN mad.mad_n = 0
             THEN (CASE WHEN dev.ad > 0 THEN 'anomaly' ELSE 'normal' END)
-            WHEN round(dev.ad / mad.mad_n, 6) > 3.5 THEN 'anomaly'
+            WHEN 2 * CAST(round(dev.ad * 4) AS BIGINT)
+                 > 7 * CAST(round(mad.mad_n * 4) AS BIGINT) THEN 'anomaly'
             ELSE 'normal' END AS volume_flag
 FROM dev JOIN mad USING (event_type)
 """,
@@ -4555,7 +4557,16 @@ def x123_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_n") == 0,
             F.when(F.col("ad") > 0, "anomaly").otherwise("normal"),
         )
-        .when(F.round(F.col("ad") / F.col("mad_n"), 6) > 3.5, "anomaly")
+        # integer-space MAD rule (risk burn-down): daily counts are ints and
+        # exact medians interpolate midpoints, so ad and mad are exact
+        # multiples of 0.25 (binary-exact doubles); ad/mad > 3.5 is the
+        # cross-multiplied quarter-unit comparison 2*ad_q > 7*mad_q — no
+        # float division or threshold literal at the decision boundary
+        .when(
+            2 * F.round(F.col("ad") * 4).cast("bigint")
+            > 7 * F.round(F.col("mad_n") * 4).cast("bigint"),
+            "anomaly",
+        )
         .otherwise("normal")
     )
     return dev.join(F.broadcast(mad), "event_type").select(
@@ -4727,16 +4738,18 @@ WITH base AS (
 grid AS (SELECT unnest([{', '.join(str(m) for m in POWER_MDES)}]) AS mde),
 dirn AS (
   SELECT grid.mde, base.p0,
-         CASE WHEN base.p0 + grid.mde > 1.0
+         CASE WHEN CAST(round(base.p0 * 1000000) AS BIGINT)
+                   + CAST(round(grid.mde * 1000000) AS BIGINT) > 1000000
               THEN round(base.p0 - grid.mde, 6)
               ELSE round(base.p0 + grid.mde, 6) END AS p1
   FROM grid CROSS JOIN base
 )
 SELECT mde, p0, p1,
-       CAST(ceil(
-         power({Z_ALPHA_2} * sqrt(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
-               + {Z_BETA} * sqrt(p0 * (1 - p0) + p1 * (1 - p1)), 2)
-         / (mde * mde)) AS BIGINT) AS n_per_arm
+       (CAST(round(
+          power({Z_ALPHA_2} * sqrt(2 * ((p0 + p1) / 2) * (1 - (p0 + p1) / 2))
+                + {Z_BETA} * sqrt(p0 * (1 - p0) + p1 * (1 - p1)), 2)
+          / (mde * mde) * 1000000) AS BIGINT) + 999999) // 1000000
+         AS n_per_arm
 FROM dirn
 """,
     doc="X127: POWER ANALYSIS — the planning half of the x122 experiment "
@@ -4747,11 +4760,11 @@ FROM dirn
     "z_b*sqrt(p0*q0 + p1*q1))^2 / mde^2. The z constants are shared "
     "literals; p0 is a 6dp-rounded exact-integer ratio, so the whole "
     "computation is identical scalar IEEE arithmetic in both engines, "
-    "with the one scale-sensitive step (ceil to an integer n) applied "
-    "to already-rounded inputs; a saturated baseline (p0 + mde > 1) "
-    "flips to the downward test of the same size, branch decided on "
-    "the 6dp p0 identically in both engines, "
-    "to a value whose inputs are already rounded. Like x103, the "
+    "with the one scale-sensitive step (the final ceil) taken in INTEGER "
+    "space: n quantizes to 6dp micro-units (identical IEEE value in both "
+    "engines) and the ceil is (v + 999999) DIV 1e6 — no float ceil at an "
+    "integer boundary; likewise the saturated-baseline branch (p0 + mde "
+    "> 1) compares micro-unit BIGINTs, not float literals. Like x103, the "
     "grid math is corpus-independent — the only data touched is one "
     "user-level aggregate for p0. Scale: one user_id aggregate + a "
     "4-row grid cross join.",
@@ -4777,18 +4790,25 @@ def x127_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0, mde = F.col("p0"), F.col("mde")
     # a saturated baseline (p0 + mde > 1, e.g. every fixture user converts)
     # flips the test direction: detect the DOWNWARD effect of the same size
-    p1 = F.when(p0 + mde > 1.0, F.round(p0 - mde, 6)).otherwise(
-        F.round(p0 + mde, 6)
+    sat = (
+        F.expr("CAST(round(p0 * 1000000) AS BIGINT)")
+        + F.expr("CAST(round(mde * 1000000) AS BIGINT)")
+        > 1000000
     )
+    p1 = F.when(sat, F.round(p0 - mde, 6)).otherwise(F.round(p0 + mde, 6))
     dirn = grid.crossJoin(F.broadcast(base)).select("mde", "p0", p1.alias("p1"))
     p1c, pbar = F.col("p1"), (F.col("p0") + F.col("p1")) / 2
-    n = F.ceil(
+    n_f = (
         F.pow(
             F.lit(Z_ALPHA_2) * F.sqrt(2 * pbar * (1 - pbar))
             + F.lit(Z_BETA) * F.sqrt(p0 * (1 - p0) + p1c * (1 - p1c)),
             F.lit(2.0),
         )
         / (mde * mde)
+    )
+    # integer-space ceil on the 6dp-quantized value (risk burn-down)
+    n = (
+        (F.round(n_f * 1000000).cast("bigint") + 999999) / 1000000
     ).cast("bigint")
     return dirn.select("mde", "p0", "p1", n.alias("n_per_arm"))
 

@@ -124,18 +124,25 @@ def s10_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice, 1) AS price_round1,
-       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS price_floor,
+       (CAST(round(l_extendedprice * 100) AS BIGINT) + 99) // 100 AS price_ceil,
        abs(l_discount - 0.05) AS disc_dev,
        round(power(l_quantity, 2), 4) AS qty_sq,
        round(sqrt(l_quantity), 6) AS qty_sqrt,
        round(ln(l_extendedprice), 6) AS price_ln,
        CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
-       CAST(sign(l_tax - 0.04) AS DOUBLE) AS tax_sign
+       CAST(CASE WHEN CAST(round(l_tax * 100) AS BIGINT) > 4 THEN 1
+                 WHEN CAST(round(l_tax * 100) AS BIGINT) < 4 THEN -1
+                 ELSE 0 END AS DOUBLE) AS tax_sign
 FROM lineitem
 """,
     doc="S11: round/floor/ceil/abs/pow/sqrt/ln/mod/sign (reference "
-    "precedent: math.radians/cos/sin + int truncation, weather.py:143-149).",
+    "precedent: math.radians/cos/sin + int truncation, weather.py:143-149). "
+    "Floor/ceil/sign compare in INTEGER space (risk burn-down): prices and "
+    "tax are positive 2dp values, so exact cents/basis-points DIV "
+    "reproduces floor/ceil/sign with no float-boundary or return-type "
+    "divergence (DuckDB floor(double)->double + sign->int vs Spark "
+    "bigint/double).",
 )
 def s11_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -143,14 +150,22 @@ def s11_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("price_round1"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100"
+        ).alias("price_floor"),
+        F.expr(
+            "(CAST(round(l_extendedprice * 100) AS BIGINT) + 99) DIV 100"
+        ).alias("price_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
         F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
         F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
-        F.signum(F.col("l_tax") - 0.04).alias("tax_sign"),
+        F.expr(
+            "CAST(CASE WHEN CAST(round(l_tax * 100) AS BIGINT) > 4 THEN 1"
+            " WHEN CAST(round(l_tax * 100) AS BIGINT) < 4 THEN -1"
+            " ELSE 0 END AS DOUBLE)"
+        ).alias("tax_sign"),
     )
 
 
@@ -944,8 +959,9 @@ def x139_haversine_nearest_station(spark: SparkSession, sf_dir: str) -> DataFram
 WITH st(name, lat, lon) AS (VALUES {_STATION_VALUES}),
 cells AS (
   SELECT st.name, st.lat, st.lon,
-         CAST(floor(st.lat / 4) AS BIGINT) + dy.d AS clat,
-         CAST(floor((st.lon + 8) / 4) AS BIGINT) + dx.d AS clon
+         CAST(round(st.lat * 100000) AS BIGINT) // 400000 + dy.d AS clat,
+         (CAST(round(st.lon * 100000) AS BIGINT) + 800000) // 400000 + dx.d
+             AS clon
   FROM st, (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)
 ),
 pts AS (
@@ -961,8 +977,8 @@ cand AS (
            + cos(radians(p.plat)) * cos(radians(c.lat))
              * pow(sin(radians(c.lon - p.plon) / 2), 2))), 6) AS dist_km
   FROM pts p JOIN cells c
-    ON CAST(floor(p.plat / 4) AS BIGINT) = c.clat
-   AND CAST(floor((p.plon + 8) / 4) AS BIGINT) = c.clon
+    ON (4800 + p.event_id % 800) // 400 = c.clat
+   AND (100 + p.event_id % 2100) // 400 = c.clon
 ),
 best AS (
   SELECT event_id, name, dist_km,
@@ -983,8 +999,12 @@ GROUP BY name
     "executable.  Point coordinates derive from event_id by an exact "
     "integer rule (lat = 48 + (id%800)/100, lon = -7 + (id%2100)/100) so "
     "both engines bucket identically.  The grid is 4-degree integer "
-    "lat/lon cells (floor(lat/4), floor((lon+8)/4) — the +8 shift keeps "
-    "the lon numerator positive so floor == truncate in every engine); "
+    "lat/lon cells computed in INTEGER space (risk burn-down: the point "
+    "side is centi-degrees straight from event_id — (4800 + id%800) DIV "
+    "400 — and the station side rounds 5dp literals to e5 units before "
+    "the DIV; the +8-degree shift keeps every numerator positive, so "
+    "truncating DIV equals floor in both engines with no float floor "
+    "anywhere); "
     "each station replicates to its cell + 8 neighbor cells (8 stations "
     "x 9 = 72 rows, a broadcast dimension), points equi-join on the cell "
     "key, then a per-point argmin (6dp-rounded haversine, tie-break "
@@ -1027,8 +1047,10 @@ def x139b_cell_bucketed_station_assign(
     )
     joined = pts.join(
         F.broadcast(cells),
-        (F.floor(F.col("plat") / 4) == F.col("clat"))
-        & (F.floor((F.col("plon") + 8) / 4) == F.col("clon")),
+        # integer-space cell keys: (4800 + id%800) spans [4800, 5600) and
+        # (100 + id%2100) spans [100, 2200) — positive, so DIV == floor
+        (F.expr("(4800 + event_id % 800) DIV 400") == F.col("clat"))
+        & (F.expr("(100 + event_id % 2100) DIV 400") == F.col("clon")),
     )
     dlat = F.radians(F.col("lat") - F.col("plat"))
     dlon = F.radians(F.col("lon") - F.col("plon"))

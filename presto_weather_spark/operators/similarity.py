@@ -2048,7 +2048,11 @@ nn_tgt AS (
 ),
 scored AS (
   SELECT p.src_id, p.tgt_id, p.cos6,
-         round(p.cos6 * {2 * BITEXT_K} / (n1.s_sum + n2.t_sum), 6) AS margin
+         CAST(CAST(round(p.cos6 * 1000000) AS BIGINT) * {2 * BITEXT_K}
+                   * 1000000
+              // (CAST(round(n1.s_sum * 1000000) AS BIGINT)
+                  + CAST(round(n2.t_sum * 1000000) AS BIGINT))
+              AS DOUBLE) / 1000000 AS margin
   FROM pairs p
   JOIN nn_src n1 USING (src_id)
   JOIN nn_tgt n2 USING (tgt_id)
@@ -2148,9 +2152,19 @@ def x144_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "tgt_id",
             "cos6",
-            F.round(
-                F.col("cos6") * (2 * BITEXT_K) / (F.col("s_sum") + F.col("t_sum")),
-                6,
+            # integer-space margin (risk burn-down): cos6 and both k-NN
+            # denominators are exact e6 multiples, so the ratio margin is
+            # a pure integer rational — micro-unit DIV, then one IEEE
+            # division by 1e6 on identical integers in both engines; no
+            # float division at the ranking/threshold boundary
+            (
+                F.expr(
+                    f"CAST(round(cos6 * 1000000) AS BIGINT) * {2 * BITEXT_K}"
+                    f" * 1000000"
+                    f" DIV (CAST(round(s_sum * 1000000) AS BIGINT)"
+                    f" + CAST(round(t_sum * 1000000) AS BIGINT))"
+                ).cast("double")
+                / 1000000
             ).alias("margin"),
         )
     )

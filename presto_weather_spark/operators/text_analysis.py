@@ -1003,7 +1003,10 @@ binned AS (
   SELECT e.event_type,
          CASE WHEN epoch(e.ts) * 2 <= epoch(b.t0) + epoch(b.t1)
               THEN 'ref' ELSE 'cur' END AS period,
-         least(CAST(floor((e.value - b.v0) / ((b.v1 - b.v0) / {PSI_BINS})) AS INT),
+         least(CAST((CAST(round(e.value * 100) AS BIGINT)
+                      - CAST(round(b.v0 * 100) AS BIGINT)) * {PSI_BINS}
+                     // (CAST(round(b.v1 * 100) AS BIGINT)
+                         - CAST(round(b.v0 * 100) AS BIGINT)) AS INT),
                {PSI_BINS - 1}) AS bin
   FROM events e CROSS JOIN bounds b
 ),
@@ -1053,7 +1056,13 @@ def x30_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("v0"),
         F.max("value").alias("v1"),
     )
-    width = (F.col("v1") - F.col("v0")) / PSI_BINS
+    # integer-space binning (risk burn-down): event values are exact 2dp,
+    # so floor((v - v0) / ((v1 - v0)/BINS)) == (cents - c0) * BINS DIV
+    # (c1 - c0) — an exact integer rational with no float floor at bin
+    # boundaries in either engine
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    c0 = "CAST(round(v0 * 100) AS BIGINT)"
+    c1 = "CAST(round(v1 * 100) AS BIGINT)"
     binned = e.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.when(
@@ -1063,7 +1072,9 @@ def x30_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("cur")
         .alias("period"),
         F.least(
-            F.floor((F.col("value") - F.col("v0")) / width).cast("int"),
+            F.expr(
+                f"CAST(({cents} - {c0}) * {PSI_BINS} DIV ({c1} - {c0}) AS INT)"
+            ),
             F.lit(PSI_BINS - 1),
         ).alias("bin"),
     )

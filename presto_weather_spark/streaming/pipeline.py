@@ -1164,3 +1164,86 @@ def recovery_journal_path(sf_dir: str) -> str:
         _os.path.basename(_os.path.normpath(sf_dir)),
         "journal.jsonl",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once foreachBatch sink with an explicit commit protocol
+# ---------------------------------------------------------------------------
+#
+# s24 proves exactly-once through Spark's built-in file sink, whose
+# write->commit window lives inside _spark_metadata and cannot be crashed
+# deterministically from a test. This helper makes the same two-phase
+# protocol explicit (the board_sink.py task-commit pattern, lifted to
+# foreachBatch): phase 1 writes the batch under an attempt-unique directory,
+# phase 2 fsync-appends a manifest record naming that attempt. Readers
+# consume ONLY manifest paths, so a crash between the phases leaves an
+# orphan data directory that is invisible to readers, and the replayed
+# batch (same batch_id, offsets uncommitted) commits exactly once.
+# `fail_after_write_on_batch` is the planted mid-batch hard-kill for
+# tests/test_stream_crash.py.
+
+
+def exactly_once_sink_run(
+    out: DataFrame, base: str, fail_after_write_on_batch: int | None = None
+) -> None:
+    """Drive ``out`` (availableNow) through the two-phase foreachBatch sink
+    rooted at ``base``; raises if the planted crash fires."""
+    import json as _json
+
+    data_dir = os.path.join(base, "data")
+    manifest = os.path.join(base, "manifest.jsonl")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        committed = set()
+        if os.path.exists(manifest):
+            committed = {
+                _json.loads(line)["batch_id"]
+                for line in open(manifest)
+                if line.strip()
+            }
+        if batch_id in committed:
+            return  # replay of a committed batch: exactly-once no-op
+        # phase 1: attempt-unique data write (never overwrites a previous
+        # attempt — object-store semantics, no atomic rename assumed)
+        attempt = os.path.join(
+            data_dir, f"batch={batch_id}", f"attempt-{uuid.uuid4().hex[:8]}"
+        )
+        bdf.write.mode("overwrite").parquet(attempt)
+        if fail_after_write_on_batch == batch_id:
+            raise RuntimeError(
+                "planted crash: after the batch data write, before commit"
+            )
+        # phase 2: fsync-appended commit record — the atomic commit point
+        with open(manifest, "a") as f:
+            f.write(_json.dumps({"batch_id": batch_id, "path": attempt}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def exactly_once_sink_read(spark: SparkSession, base: str) -> DataFrame:
+    """The reader half of the protocol: committed manifest paths only —
+    orphan attempt directories from crashed batches are invisible."""
+    import json as _json
+
+    manifest = os.path.join(base, "manifest.jsonl")
+    paths = (
+        [
+            _json.loads(line)["path"]
+            for line in open(manifest)
+            if line.strip()
+        ]
+        if os.path.exists(manifest)
+        else []
+    )
+    if not paths:
+        return spark.createDataFrame([], "event_id bigint")
+    return spark.read.parquet(*paths)

@@ -1120,29 +1120,10 @@ def test_split_ngram_leakage_short_docs(spark):
         assert 0 <= r["n_leaked"] <= r["n_test_grams"] <= 5
 
 
-def test_fixture_documents_are_ascii(spark):
-    # The x05e/x05f/x05g/x146 multimodal oracles walk the text per
-    # CHARACTER (ascii(substr(...))) while the kernels operate on utf-8
-    # BYTES; the two streams agree only for pure-ASCII text. This pins
-    # that fixture property at every committed scale factor so a fixture
-    # change surfaces as a named failure here, not as a silent hash
-    # mismatch in the audit (round-7 ADVICE item).
-    import os
-
-    import pyspark.sql.functions as F
-
-    from presto_weather_spark.session import load_table
-
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        sf_dir = os.path.join("/root/testdata", sf)
-        if not os.path.isdir(sf_dir):
-            continue
-        bad = (
-            load_table(spark, sf_dir, "documents")
-            .filter(F.length("text") != F.octet_length("text"))
-            .count()
-        )
-        assert bad == 0, f"{sf}: {bad} non-ASCII documents break the multimodal oracles"
+# (round 8) test_fixture_documents_are_ascii retired: the x05f/x05g/x146
+# oracles now stream utf-8 BYTES via hex(encode(text)), so they no longer
+# assume ASCII fixtures — non-ASCII parity is proven directly in
+# tests/test_multimodal_bytes.py on a planted multi-byte corpus.
 
 
 def test_bitext_mining_empty_target_slice(spark):

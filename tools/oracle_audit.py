@@ -32,9 +32,26 @@ from presto_weather_spark.session import TABLE_NAMES  # noqa: E402
 
 SF = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
 
+def _double_sum_risk(sql: str) -> bool:
+    """True if any SUM(...) argument touches a money column WITHOUT going
+    through DECIMAL. Paren-aware: the old regex false-flagged
+    SUM(CASE WHEN ... CAST(l_extendedprice AS DECIMAL(18,2)) ...) because
+    the money word precedes the DECIMAL cast inside the argument."""
+    money = re.compile(r"price|balance|cost|charge|revenue", re.I)
+    for m in re.finditer(r"SUM\s*\(", sql, re.I):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        arg = sql[m.end() : i - 1]
+        if money.search(arg) and "DECIMAL" not in arg.upper():
+            return True
+    return False
+
+
 # Fragility classes (round-1 postmortem, AUDIT.md)
 RISK_PATTERNS = {
-    "double_sum": re.compile(r"SUM\s*\(\s*(?!CAST)[^)]*(?:price|balance|cost|charge|revenue)", re.I),
+    "double_sum": _double_sum_risk,
     "raw_int_sum": re.compile(r"SUM\s*\(\s*[lo]_\w*(?:key|number|qty|quantity)\s*\)", re.I),
     "floor_ceil_sign": re.compile(r"\b(?:FLOOR|CEIL|CEILING|SIGN)\s*\(", re.I),
     "round_on_div": re.compile(r"ROUND\s*\([^()]*/", re.I),
@@ -86,7 +103,12 @@ def main():
     for name, fn in sorted(qs.items()):
         if only and not any(s in name for s in only):
             continue
-        risks = [k for k, p in RISK_PATTERNS.items() if name in oracles and p.search(oracles[name])]
+        risks = [
+            k
+            for k, p in RISK_PATTERNS.items()
+            if name in oracles
+            and (p(oracles[name]) if callable(p) else p.search(oracles[name]))
+        ]
         if name not in oracles:
             skipped += 1
             print(f"  {name}: rows-only (no oracle){' RISK:' + ','.join(risks) if risks else ''}")
