@@ -166,6 +166,39 @@ def _events(mult: int, out: str) -> None:
     print(f"events: {merged.num_rows} rows")
 
 
+def _tpch(mult: int, out: str) -> None:
+    """Scale the relational fact tables (round-8: the S-series rehearsal).
+
+    Replica k shifts o_orderkey/l_orderkey by k * KEYSPAN so orders and
+    lineitem stay join-consistent; dimension keys (custkey, partkey,
+    suppkey) keep their original ranges — growth means more facts per
+    dimension row, which is how real warehouses grow. Dates/prices pass
+    through so predicate selectivity and value distributions are
+    scale-invariant."""
+    orders = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    lineitem = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    keyspan = int(
+        max(
+            orders["o_orderkey"].to_numpy().max(),
+            lineitem["l_orderkey"].to_numpy().max(),
+        )
+        + 1
+    )
+    for name, t, keycol in (
+        ("orders", orders, "o_orderkey"),
+        ("lineitem", lineitem, "l_orderkey"),
+    ):
+        parts = [t]
+        base_keys = t[keycol].to_numpy()
+        for k in range(1, mult):
+            cols = {c: t[c] for c in t.column_names}
+            cols[keycol] = pa.array(base_keys + k * keyspan, pa.int64())
+            parts.append(pa.table(cols))
+        merged = pa.concat_tables(parts)
+        pq.write_table(merged, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: {merged.num_rows} rows")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -175,11 +208,9 @@ def main() -> None:
     _docs(args.mult, args.out)
     _embeddings(args.mult, args.out)
     _events(args.mult, args.out)
+    _tpch(args.mult, args.out)
     # small dims pass through unchanged
-    for name in (
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem",
-    ):
+    for name in ("region", "nation", "customer", "supplier", "part"):
         dst = os.path.join(args.out, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
