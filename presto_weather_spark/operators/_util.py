@@ -77,3 +77,99 @@ def scratch_root() -> str:
 
     atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     return _SCRATCH_ROOT
+
+
+def distributed_global_rank(df, order_exprs, out_col: str = "global_rn"):
+    """Total-order global row numbering WITHOUT a single-reducer window —
+    the s74 two-pass pattern (Spark's zipWithIndex over DataFrames),
+    generalized for any frame and sort key (round 8: x76/x121/x128's
+    unpartitioned data-grain windows move onto this path).
+
+    Plan: range-exchange on the ordering (RangePartitioner sample pass +
+    parallel per-partition sort), one partition-local Arrow numbering
+    pass, a partition-count-sized offsets prefix sum (the ONLY
+    unpartitioned window, over ~numPartitions rows), broadcast-added
+    back. The ordering MUST be total (tie-broken to uniqueness) —
+    otherwise RangePartitioner boundary sampling could place equal keys
+    on either side of a split and the numbering would be
+    run-dependent.
+
+    order_exprs: list of Column expressions (may carry .desc()).
+    Output: the input columns plus ``out_col`` (1-based bigint rank).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_exprs).sortWithinPartitions(
+        *order_exprs
+    )
+    out_schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_lrn", T.LongType())]
+    )
+
+    def number_partition(batches):
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_lrn"] = pd.RangeIndex(seen + 1, seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(number_partition, out_schema).localCheckpoint(
+        eager=False
+    )  # the counts aggregate AND the final join both read it
+    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def exact_ntile(rank_col: Column, n_col: Column, k: int) -> Column:
+    """SQL NTILE(k) computed from a 1-based global rank and the row count
+    — exact tile boundaries (the first n%k tiles take ceil(n/k) rows),
+    identical to the window function, usable where the rank came from
+    distributed_global_rank instead of a single-reducer window."""
+    q = (n_col / k).cast("bigint")  # n DIV k (n non-negative, < 2^53)
+    r = n_col % k
+    big = q + 1  # first r tiles have q+1 rows
+    first = ((rank_col - 1) / big).cast("bigint") + 1
+    rest = r + ((rank_col - 1 - r * big) / F.greatest(q, F.lit(1))).cast(
+        "bigint"
+    ) + 1
+    return F.when(rank_col <= r * big, first).otherwise(rest).cast("int")
+
+
+GLOBAL_RANK_LOCAL_LIMIT = 1_000_000  # rows; one sort task handles this fine
+
+
+def global_rank(df, order_exprs, out_col: str = "global_rn"):
+    """Count-gated global numbering (the x94/x65/x98 hybrid contract):
+    below GLOBAL_RANK_LOCAL_LIMIT rows a single-partition row_number
+    window is the right plan (one task sorting <= 1M short rows beats the
+    two-pass machinery's Arrow+checkpoint fixed costs); above it, the s74
+    distributed numbering takes over so no task ever sorts the full
+    frame. The gate probes limit(N+1).count() — O(N) rows read, never the
+    table. Path equivalence is pinned in tests/test_properties.py."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if (
+        df.limit(GLOBAL_RANK_LOCAL_LIMIT + 1).count()
+        <= GLOBAL_RANK_LOCAL_LIMIT
+    ):
+        w = Window.orderBy(*order_exprs)
+        return df.withColumn(out_col, F.row_number().over(w).cast("bigint"))
+    return distributed_global_rank(df, order_exprs, out_col)

@@ -357,9 +357,11 @@ FROM scored
     "reshuffles between runs invalidates checkpoint comparisons. "
     "Scale note: the global ORDER BY is a total sort (range "
     "partitioner, no single-reducer bottleneck), the honest cost of a "
-    "global curriculum; per-shard curricula (ntile per source) drop "
-    "the global sort — at 100 TB phase boundaries would come from a "
-    "sampled quantile sketch instead, same output contract.",
+    "global curriculum; train_order rides the count-gated global_rank "
+    "(_util.py) — above 1M docs the s74 two-pass numbering assigns the "
+    "EXACT order with no task sorting the corpus, and the phase cut is "
+    "recomputed exactly from (rank, count), not a sketch. Equivalence "
+    "pinned in tests/test_properties.py.",
 )
 def x76_curriculum_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -372,13 +374,26 @@ def x76_curriculum_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("difficulty"),
     )
-    w = Window.orderBy("difficulty", "doc_id")
-    return scored.select(
+    # round 8: the global curriculum order moves onto the count-gated
+    # global_rank (single-task window under 1M rows, the s74 two-pass
+    # numbering above — no task ever sorts a 100-TB corpus), and NTILE is
+    # recomputed exactly from (rank, count) so the phase cut is
+    # path-independent. Identical output either way; equivalence pinned in
+    # tests/test_properties.py.
+    from presto_weather_spark.operators._util import exact_ntile, global_rank
+
+    ranked = global_rank(
+        scored, [F.col("difficulty"), F.col("doc_id")], "train_order"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "source",
         "difficulty",
-        F.ntile(CURRICULUM_PHASES).over(w).cast("int").alias("phase"),
-        F.row_number().over(w).cast("bigint").alias("train_order"),
+        exact_ntile(F.col("train_order"), F.col("_n"), CURRICULUM_PHASES).alias(
+            "phase"
+        ),
+        F.col("train_order").cast("bigint").alias("train_order"),
     )
 
 

@@ -4322,10 +4322,11 @@ FROM scored
     "Recency is integer days against the corpus max date (a broadcast "
     "scalar), monetary rides DECIMAL(18,2), and every NTILE orders by "
     "(metric, custkey) so quintile edges are engine-exact. Scale: one "
-    "custkey aggregate, then three rank windows over the CUSTOMER "
-    "table (orders never sort); at 100 TB the same swap as x106b "
-    "applies — approx-percentile cut points instead of NTILE ranking "
-    "if even the customer table outgrows per-partition sort.",
+    "custkey aggregate, then three rank passes over the CUSTOMER table "
+    "(orders never sort), each riding the count-gated global_rank "
+    "(_util.py): below 1M customers a single-task window, above it the "
+    "s74 two-pass numbering — EXACT quintiles at any scale, no sketch "
+    "error, equivalence pinned in tests/test_properties.py.",
 )
 def x121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -4347,13 +4348,28 @@ def x121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mon_dec").cast("double").alias("monetary"),
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    # round 8: each quintile rank rides the count-gated global_rank (the
+    # s74 two-pass numbering above 1M customers — no single task ever
+    # sorts the customer table) and NTILE(5) is recomputed exactly from
+    # (rank, count); identical output on either path.
+    from presto_weather_spark.operators._util import exact_ntile, global_rank
+
+    per_cust = per_cust.localCheckpoint(eager=False)  # 3 rank passes read it
+    ranked = global_rank(
+        per_cust, [F.col("recency_days").asc(), F.col("o_custkey")], "_rr"
+    )
+    ranked = global_rank(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey")], "_fr"
+    )
+    ranked = global_rank(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey")], "_mr"
+    )
+    n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     scored = (
-        per_cust.withColumn("r_score", F.ntile(5).over(w_r))
-        .withColumn("f_score", F.ntile(5).over(w_f))
-        .withColumn("m_score", F.ntile(5).over(w_m))
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("r_score", exact_ntile(F.col("_rr"), F.col("_n"), 5))
+        .withColumn("f_score", exact_ntile(F.col("_fr"), F.col("_n"), 5))
+        .withColumn("m_score", exact_ntile(F.col("_mr"), F.col("_n"), 5))
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -5048,11 +5048,12 @@ FROM documents
     "(ranks are comparable when scores are not). Both input ranks are "
     "exact integers (BM25 ranks from x89's DECIMAL-summed scores, "
     "quality ranks tie-broken on doc_id), so the fused score is the "
-    "same two-term double expression in both engines, 6dp. Scale: the "
-    "fusion operates on the RETRIEVED lists (queries x k rows), not "
-    "the corpus; the quality prior is computed once per corpus and "
-    "joined by doc_id — its global rank is the x106b banding candidate "
-    "if the corpus outgrows a sortable partition.",
+    "same exact integer rational in both engines. Scale: the fusion "
+    "operates on the RETRIEVED lists (queries x k rows), not the "
+    "corpus; the quality prior is computed once per corpus via the "
+    "count-gated global_rank (_util.py) — above 1M docs the s74 "
+    "two-pass numbering assigns the EXACT global rank with no "
+    "single-reducer window and no banding error.",
 )
 def x128_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = x89_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "doc_rank")
@@ -5064,8 +5065,17 @@ def x128_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length(regexp_replace(text, '[^A-Za-z]', '')) * 1000000"
         " DIV length(text)"
     )
-    w_q = Window.orderBy(alpha.desc(), F.col("doc_id"))
-    quality = d.select("doc_id", F.row_number().over(w_q).alias("q_rank"))
+    # round 8: the corpus-wide quality rank rides the count-gated
+    # global_rank — the x106b-style banding the docstring used to promise
+    # is superseded by an EXACT distributed numbering (s74 two-pass) once
+    # the corpus passes 1M docs; below the gate the plain window wins.
+    from presto_weather_spark.operators._util import global_rank
+
+    quality = global_rank(
+        d.select("doc_id", alpha.alias("_alpha")),
+        [F.col("_alpha").desc(), F.col("doc_id")],
+        "q_rank",
+    ).select("doc_id", F.col("q_rank").cast("int").alias("q_rank"))
     # 1/(K+a) + 1/(K+b) = (2K+a+b) / ((K+a)(K+b)) — the score ships as the
     # exact truncated pico-unit rational. The numerator is computed in
     # DECIMAL(38,0): q_rank is a GLOBAL row number, so on a multi-million-doc

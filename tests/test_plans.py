@@ -258,17 +258,21 @@ def test_zorder_layout_tightens_both_dims(spark, sf_dir):
     # both box predicates reach the scan as PushedFilters.
     import glob
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
+
+    from presto_weather_spark.operators._util import scratch_root
 
     df = _df("s30_zorder_clustering", spark, sf_dir)
     plan = formatted_plan(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and any("user_id" in l and "value" in l for l in pushed), pushed
 
+    # s30 stages under the per-process scratch root (same process here, so
+    # the path matches); the old fixed tempdir path only passed while a
+    # stale pre-migration directory lingered on the host
     out = os.path.join(
-        tempfile.gettempdir(), "pws_zorder", os.path.basename(os.path.normpath(sf_dir))
+        scratch_root(), "pws_zorder", os.path.basename(os.path.normpath(sf_dir))
     )
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert len(files) > 1
@@ -295,12 +299,14 @@ def test_compaction_collapses_file_count(spark, sf_dir):
     # fragmented input (64 shards), and the same row count.
     import glob
     import os
-    import tempfile
+
+    from presto_weather_spark.operators._util import scratch_root
 
     df = _df("s34_small_file_compaction", spark, sf_dir)
     n_rows = df.count()
+    # same-process scratch root (see the z-order test note above)
     base = os.path.join(
-        tempfile.gettempdir(), "pws_compact", os.path.basename(os.path.normpath(sf_dir))
+        scratch_root(), "pws_compact", os.path.basename(os.path.normpath(sf_dir))
     )
     frag = glob.glob(os.path.join(base, "frag", "*.parquet"))
     compact = glob.glob(os.path.join(base, "compact", "*.parquet"))

@@ -587,6 +587,55 @@ def test_banded_stratified_sample_matches_exact(spark, sf_dir):
     assert exact == banded
 
 
+def test_distributed_global_rank_matches_window(spark, sf_dir):
+    # The s74 two-pass numbering (global_rank's above-the-gate path for
+    # x76/x121/x128) must reproduce the single-reducer window EXACTLY on
+    # any total ordering, including descending keys — this is what makes
+    # the count gate a plan choice, not a semantics choice.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from presto_weather_spark.operators._util import (
+        distributed_global_rank,
+        exact_ntile,
+    )
+    from presto_weather_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    order = [F.col("len").desc(), F.col("doc_id")]
+    dist = {
+        r["doc_id"]: r["rn"]
+        for r in distributed_global_rank(d, order, "rn").collect()
+    }
+    w = Window.orderBy(*order)
+    local = {
+        r["doc_id"]: r["rn"]
+        for r in d.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert dist == local
+
+    # exact_ntile must equal SQL NTILE including the uneven-tail rule
+    # (first n%k tiles take the extra row) — fixture n is not divisible
+    # by 7, so the boundary case is exercised for real.
+    n = d.count()
+    assert n % 7 != 0
+    cnt = d.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    mine = {
+        r["doc_id"]: r["t"]
+        for r in d.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+        .withColumn("t", exact_ntile(F.col("rn"), F.col("_n"), 7))
+        .collect()
+    }
+    ref = {
+        r["doc_id"]: r["t"]
+        for r in d.withColumn("t", F.ntile(7).over(w)).collect()
+    }
+    assert mine == ref
+
+
 def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
     # x81: per-cluster weights sum to exactly 1 (up to the round-6 on the
     # stored weight), so total weight equals the number of distinct

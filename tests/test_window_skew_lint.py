@@ -67,15 +67,17 @@ ALLOWLIST: dict[tuple[str, tuple[str, ...]], str] = {
         "exact per-lang NTILE archetype; x106b (broadcast approx cut "
         "points) is the registered banded scale path",
     ("x121_rfm_segmentation", ()):
-        "exact global-quantile archetype over the customer-grain "
-        "aggregate; approx cut points (the x106b pattern) are the "
-        "documented scale path",
+        "count-gated (global_rank, _util.py): the fixture takes the "
+        "single-task window; above 1M customers the s74 two-pass "
+        "numbering runs with NO unpartitioned data window — EXACT, "
+        "equivalence pinned in test_properties.py",
     ("x124_gini_concentration", ()):
         "cumulative share over the per-source aggregate (sources-sized "
         "landing zone)",
     ("x128_rrf_hybrid_retrieval", ()):
-        "global quality rank; docstring names x106b-style banding as the "
-        "scale path once the corpus outgrows a sortable partition",
+        "count-gated (global_rank, _util.py): q_rank switches to the s74 "
+        "two-pass numbering above 1M docs — EXACT, no banding error, "
+        "equivalence pinned in test_properties.py",
     ("x130_kaplan_meier_survival", ()):
         "survival curve over the DISTINCT-event-time aggregate",
     ("x151_dsir_mixture_shift", ()):
@@ -103,9 +105,10 @@ ALLOWLIST: dict[tuple[str, tuple[str, ...]], str] = {
     ("x67_vocab_coverage_curve", ()):
         "vocab-sized frequency-rank curve",
     ("x76_curriculum_ordering", ()):
-        "global curriculum = documented honest total sort (range "
-        "partitioner, no single reducer); docstring commits to sampled "
-        "quantile phase boundaries at 100 TB",
+        "count-gated (global_rank, _util.py): train_order switches to "
+        "the s74 two-pass numbering above 1M docs and NTILE is "
+        "recomputed exactly from (rank, count) — equivalence pinned in "
+        "test_properties.py",
     ("x87_stratified_sample", ("lang", "source")):
         "exact stratified-sample archetype; x87b (hash-prefix banding, "
         "EXACT same output) is the registered mega-stratum scale path",
