@@ -380,19 +380,29 @@ def x76_curriculum_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputed exactly from (rank, count) so the phase cut is
     # path-independent. Identical output either way; equivalence pinned in
     # tests/test_properties.py.
-    from presto_weather_spark.operators._util import exact_ntile, global_rank
-
-    ranked = global_rank(
-        scored, [F.col("difficulty"), F.col("doc_id")], "train_order"
+    from presto_weather_spark.operators._util import (
+        GLOBAL_RANK_LOCAL_LIMIT,
+        distributed_global_rank,
+        exact_ntile,
     )
-    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    return ranked.crossJoin(F.broadcast(n)).select(
+
+    # ONE count drives both the path gate and the exact-ntile denominator
+    scored = scored.localCheckpoint(eager=False)  # count + rank both read it
+    n_rows = scored.count()
+    order = [F.col("difficulty"), F.col("doc_id")]
+    if n_rows <= GLOBAL_RANK_LOCAL_LIMIT:
+        ranked = scored.withColumn(
+            "train_order", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+    else:
+        ranked = distributed_global_rank(scored, order, "train_order")
+    return ranked.select(
         "doc_id",
         "source",
         "difficulty",
-        exact_ntile(F.col("train_order"), F.col("_n"), CURRICULUM_PHASES).alias(
-            "phase"
-        ),
+        exact_ntile(
+            F.col("train_order"), F.lit(n_rows).cast("bigint"), CURRICULUM_PHASES
+        ).alias("phase"),
         F.col("train_order").cast("bigint").alias("train_order"),
     )
 

@@ -1741,20 +1741,22 @@ WITH plans(b, r) AS (VALUES (1, {N_HASHES}), (2, {N_HASHES // 2}),
                             (4, {N_HASHES // 4}), (8, {N_HASHES // 8}),
                             ({N_HASHES}, 1)),
 grid AS (
-  SELECT (i - 0.5) / {X103_STEPS} AS s
+  SELECT i, (i - 0.5) / {X103_STEPS} AS s
   FROM unnest(generate_series(1, {X103_STEPS})) AS t(i)
 ),
 terms AS (
-  SELECT p.b, p.r, g.s,
+  SELECT p.b, p.r, g.i, g.s,
          round(1.0 - pow(1.0 - pow(g.s, p.r), p.b), 12) AS collide
   FROM plans p CROSS JOIN grid g
 ),
 areas AS (
+  -- integer-grid threshold (risk burn-down): the midpoint grid point sits
+  -- below the 1/2 target exactly when i <= STEPS/2 — no float literal
   SELECT b, r,
-         CAST(SUM(CASE WHEN s < {X103_THRESHOLD}
+         CAST(SUM(CASE WHEN i <= {X103_STEPS // 2}
                        THEN CAST(collide AS DECIMAL(28,18)) ELSE 0 END)
               AS DOUBLE) / {X103_STEPS} AS fp_area,
-         CAST(SUM(CASE WHEN s >= {X103_THRESHOLD}
+         CAST(SUM(CASE WHEN i > {X103_STEPS // 2}
                        THEN CAST(1.0 - collide AS DECIMAL(28,18)) ELSE 0 END)
               AS DOUBLE) / {X103_STEPS} AS fn_area
   FROM terms GROUP BY b, r
@@ -1788,18 +1790,22 @@ def x103_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, N_HASHES // b) for b in (1, 2, 4, 8, N_HASHES)], "b int, r int"
     )
     grid = spark.range(1, X103_STEPS + 1).select(
-        ((F.col("id") - 0.5) / X103_STEPS).alias("s")
+        F.col("id").alias("i"), ((F.col("id") - 0.5) / X103_STEPS).alias("s")
     )
     collide = F.round(
         F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("s"), F.col("r")), F.col("b")),
         12,
     )
-    terms = plans.crossJoin(grid).select("b", "r", "s", collide.alias("collide"))
+    terms = plans.crossJoin(grid).select(
+        "b", "r", "i", "s", collide.alias("collide")
+    )
     dec = lambda c: F.sum(c.cast("decimal(28,18)")).cast("double")  # noqa: E731
     areas = terms.groupBy("b", "r").agg(
         (
+            # integer-grid threshold: s < 0.5 on the midpoint grid is
+            # exactly i <= STEPS/2 (no float literal at the branch)
             dec(
-                F.when(F.col("s") < X103_THRESHOLD, F.col("collide")).otherwise(
+                F.when(F.col("i") <= X103_STEPS // 2, F.col("collide")).otherwise(
                     F.lit(0.0)
                 )
             )
@@ -1808,7 +1814,7 @@ def x103_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             dec(
                 F.when(
-                    F.col("s") >= X103_THRESHOLD, F.lit(1.0) - F.col("collide")
+                    F.col("i") > X103_STEPS // 2, F.lit(1.0) - F.col("collide")
                 ).otherwise(F.lit(0.0))
             )
             / X103_STEPS

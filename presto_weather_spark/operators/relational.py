@@ -4348,28 +4348,39 @@ def x121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mon_dec").cast("double").alias("monetary"),
         )
     )
-    # round 8: each quintile rank rides the count-gated global_rank (the
+    # round 8: each quintile rank rides the count-gated numbering path (the
     # s74 two-pass numbering above 1M customers — no single task ever
     # sorts the customer table) and NTILE(5) is recomputed exactly from
-    # (rank, count); identical output on either path.
-    from presto_weather_spark.operators._util import exact_ntile, global_rank
+    # (rank, count); identical output on either path. ONE count drives
+    # both the gate and the ntile denominator (exact_ntile needs n anyway,
+    # so the gate costs zero extra jobs; the checkpoint makes the three
+    # rank passes read the aggregate once).
+    from presto_weather_spark.operators._util import (
+        GLOBAL_RANK_LOCAL_LIMIT,
+        distributed_global_rank,
+        exact_ntile,
+    )
 
     per_cust = per_cust.localCheckpoint(eager=False)  # 3 rank passes read it
-    ranked = global_rank(
-        per_cust, [F.col("recency_days").asc(), F.col("o_custkey")], "_rr"
-    )
-    ranked = global_rank(
-        ranked, [F.col("frequency").desc(), F.col("o_custkey")], "_fr"
-    )
-    ranked = global_rank(
-        ranked, [F.col("monetary").desc(), F.col("o_custkey")], "_mr"
-    )
-    n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    n_rows = per_cust.count()
+    orders_specs = [
+        ("_rr", [F.col("recency_days").asc(), F.col("o_custkey")]),
+        ("_fr", [F.col("frequency").desc(), F.col("o_custkey")]),
+        ("_mr", [F.col("monetary").desc(), F.col("o_custkey")]),
+    ]
+    ranked = per_cust
+    for out_col, order in orders_specs:
+        if n_rows <= GLOBAL_RANK_LOCAL_LIMIT:
+            ranked = ranked.withColumn(
+                out_col, F.row_number().over(Window.orderBy(*order)).cast("bigint")
+            )
+        else:
+            ranked = distributed_global_rank(ranked, order, out_col)
+    n = F.lit(n_rows).cast("bigint")
     scored = (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn("r_score", exact_ntile(F.col("_rr"), F.col("_n"), 5))
-        .withColumn("f_score", exact_ntile(F.col("_fr"), F.col("_n"), 5))
-        .withColumn("m_score", exact_ntile(F.col("_mr"), F.col("_n"), 5))
+        ranked.withColumn("r_score", exact_ntile(F.col("_rr"), n, 5))
+        .withColumn("f_score", exact_ntile(F.col("_fr"), n, 5))
+        .withColumn("m_score", exact_ntile(F.col("_mr"), n, 5))
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -2057,6 +2057,34 @@ def x45b_naive_bayes_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET = 600  # per-source token budget for the capped mixture
 
 
+def _x46_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(all docs, budget-bounded non-empty cumsum frame) — split out so the
+    plan test can assert the WindowGroupLimit shape on the PRE-checkpoint
+    lineage (localCheckpoint truncates the visible plan at definition)."""
+    d = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
+        F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))).alias("pri"),
+    )
+    order_w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Non-empty docs: cum >= row_number (each doc >= 1 token), so any doc
+    # beyond rank TOKEN_BUDGET+1 is over budget in the oracle too. The rank
+    # filter plans WindowGroupLimit — per-partition pruning BEFORE the
+    # per-source exchange — so a dominant source's window partition holds at
+    # most TOKEN_BUDGET+1 rows no matter how big the corpus is.
+    ne = (
+        d.filter(F.col("n_tok") >= 1)
+        .withColumn("rn", F.row_number().over(order_w))
+        .filter(F.col("rn") <= TOKEN_BUDGET + 1)
+        .withColumn("cum_tokens", F.sum("n_tok").over(cum_w).cast("bigint"))
+    )
+    return d, ne
+
+
+
+
 @register(
     "x46_token_budget_cap",
     oracle=f"""
@@ -2100,25 +2128,12 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
     "resampling) with an absolute-budget form.",
 )
 def x46_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "source",
-        F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
-        F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))).alias("pri"),
-    )
-    order_w = Window.partitionBy("source").orderBy("pri", "doc_id")
-    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # Non-empty docs: cum >= row_number (each doc >= 1 token), so any doc
-    # beyond rank TOKEN_BUDGET+1 is over budget in the oracle too. The rank
-    # filter plans WindowGroupLimit — per-partition pruning BEFORE the
-    # per-source exchange — so a dominant source's window partition holds at
-    # most TOKEN_BUDGET+1 rows no matter how big the corpus is.
-    ne = (
-        d.filter(F.col("n_tok") >= 1)
-        .withColumn("rn", F.row_number().over(order_w))
-        .filter(F.col("rn") <= TOKEN_BUDGET + 1)
-        .withColumn("cum_tokens", F.sum("n_tok").over(cum_w).cast("bigint"))
-    )
+    d, ne = _x46_frames(spark, sf_dir)
+    # three consumers (admitted union branch, cutoff table, zero-doc as-of
+    # join) — checkpoint so the corpus scan + group-limit window runs ONCE;
+    # the checkpointed table is budget x sources bounded, so at 100 TB this
+    # trades two extra full scans for one tiny materialization
+    ne = ne.localCheckpoint(eager=False)
     ne_adm = ne.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", "source", "n_tok", "pri", "cum_tokens"
     )

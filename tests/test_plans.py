@@ -606,15 +606,26 @@ def test_token_budget_cap_plans_group_limit(spark, sf_dir):
     non-empty doc consumes >= 1 token, so cum_tokens >= row_number and rank
     TOKEN_BUDGET+2 onward is over budget by construction. Partial mode
     prunes per input partition BEFORE the exchange, Final prunes after."""
-    from presto_weather_spark.operators.text_analysis import TOKEN_BUDGET
+    from presto_weather_spark.operators.text_analysis import (
+        TOKEN_BUDGET,
+        _x46_frames,
+    )
 
-    plan = simple_plan(_df("x46_token_budget_cap", spark, sf_dir))
+    # assert on the pre-checkpoint lineage: the registered query wraps this
+    # frame in localCheckpoint (one materialization for three consumers),
+    # which truncates the visible plan at definition
+    _, ne = _x46_frames(spark, sf_dir)
+    plan = simple_plan(ne)
     limit = f"row_number(), {TOKEN_BUDGET + 1}"
     assert f"{limit}, Partial" in plan, plan[:1500]
     assert f"{limit}, Final" in plan, plan[:1500]
     # every window over the doc stream is budget-bounded: the plan has no
     # Window node that is not paired with a WindowGroupLimit below it
     assert plan.count("WindowGroupLimit") >= plan.count("+- Window ["), plan[:1500]
+    # and the registered query materializes that subtree once — its plan
+    # shows the checkpoint scans, not three copies of the corpus scan
+    full = simple_plan(_df("x46_token_budget_cap", spark, sf_dir))
+    assert "Scan ExistingRDD" in full, full[:1200]
 
 
 def test_banded_stratified_sample_windows_are_bucket_grain(spark, sf_dir):
