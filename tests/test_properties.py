@@ -274,6 +274,52 @@ def test_bpe_merges_match_reference_trainer(spark, sf_dir):
     assert got == want
 
 
+def test_token_budget_cap_zero_token_docs_exact(spark, tmp_path):
+    # x46's zero-token side-path (empty docs consume no budget and are
+    # admitted wherever the running total at their position still fits)
+    # cannot fire on the driver fixtures — they contain no empty text —
+    # so this plants a corpus where it must: empty docs interleaved
+    # through the md5 admission order, including ones falling before,
+    # between, and after the budget cutoff. Oracle-compared with the
+    # registered SQL, the same check the driver runs.
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_weather_spark.registry import all_queries
+
+    rows = []
+    for i in range(400):
+        # every 3rd doc is empty; the rest carry enough tokens that the
+        # per-source budget cuts well inside the corpus
+        text = "" if i % 3 == 0 else ("tok " * (5 + i % 37)).strip()
+        rows.append((i, text, "en", f"s{i % 3}", len(text)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    q = all_queries()["x46_token_budget_cap"]
+    sdf = q.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ddf = con.execute(q.oracle).fetchdf()
+    s = sorted(map(tuple, sdf[sorted(sdf.columns)].itertuples(index=False, name=None)))
+    d = sorted(map(tuple, ddf[sorted(ddf.columns)].itertuples(index=False, name=None)))
+    assert len(s) == len(d) and s == d
+    # and the side-path genuinely fired: admitted zero-token docs exist
+    assert (sdf["n_tok"] == 0).sum() > 0
+
+
 def test_token_budget_cap_invariants(spark, sf_dir):
     # x46: per-source kept token mass never exceeds the budget; the running
     # total is consistent (sorted cum diffs reproduce each doc's n_tok), so
@@ -634,6 +680,88 @@ def test_distributed_global_rank_matches_window(spark, sf_dir):
         for r in d.withColumn("t", F.ntile(7).over(w)).collect()
     }
     assert mine == ref
+
+
+def test_banded_stratified_sample_lossless_under_skew(spark, tmp_path):
+    # the fixture strata are balanced; this plants the condition x87b
+    # exists for — 90% of docs in ONE (lang, source) stratum — and pins
+    # row-for-row equality with exact x87 there (the skew_stress tool
+    # measures the task-input bound; this keeps the losslessness claim
+    # under regression).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_weather_spark.registry import all_queries
+
+    n = 4000
+    rows = []
+    for i in range(n):
+        dominant = (i * 2654435761) % 10 < 9
+        rows.append(
+            (i, f"doc {i} text", "en" if dominant else f"l{i % 4}",
+             "web" if dominant else f"s{i % 5}", 10)
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    qs = all_queries()
+    exact = sorted(
+        map(tuple, qs["x87_stratified_sample"].fn(spark, str(tmp_path)).collect())
+    )
+    banded = sorted(
+        map(
+            tuple,
+            qs["x87b_stratified_sample_banded"].fn(spark, str(tmp_path)).collect(),
+        )
+    )
+    assert exact == banded
+    # the skew is real: the dominant stratum holds ~90% and its ceil(n/5)
+    # keep is reflected in the output
+    dom = [r for r in exact if r[1] == "en" and r[2] == "web"]
+    assert len(dom) > 0.8 * len(exact)
+
+
+def test_global_rank_helpers_degenerate_inputs(spark):
+    # the s74 two-pass numbering must survive the shapes a gate can hand
+    # it: fewer rows than partitions (most partitions empty) and n < k
+    # tiles (every tile holds at most one row, matching SQL NTILE).
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from presto_weather_spark.operators._util import (
+        distributed_global_rank,
+        exact_ntile,
+    )
+
+    tiny = spark.createDataFrame([(3,), (1,), (2,)], "k long")
+    got = {
+        r["k"]: r["rn"]
+        for r in distributed_global_rank(tiny, [F.col("k")], "rn").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+
+    # n=3 rows into k=7 tiles: SQL NTILE gives tiles 1..3 one row each
+    w = Window.orderBy("k")
+    ref = {
+        r["k"]: r["t"]
+        for r in tiny.withColumn("t", F.ntile(7).over(w)).collect()
+    }
+    mine = {
+        r["k"]: r["t"]
+        for r in tiny.withColumn("rn", F.row_number().over(w))
+        .withColumn("t", exact_ntile(F.col("rn"), F.lit(3).cast("bigint"), 7))
+        .collect()
+    }
+    assert mine == ref == {1: 1, 2: 2, 3: 3}
 
 
 def test_soft_dedup_weights_conserve_cluster_mass(spark, sf_dir):
