@@ -51,8 +51,16 @@ WHERE event_id < 500
 )
 def r09_12_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    # cents DIV 100 equals floor ONLY for value >= 0 (truncation rounds
+    # toward zero): enforce the positivity assumption loudly (x141
+    # pattern) so a future fixture with negative readings (temperatures)
+    # cannot silently shift display from floor(-3.5)=-4 to trunc=-3 —
+    # a drift both engines would share, invisible to the parity hash.
     as_int_str = F.expr(
-        "CAST(round(value * 100) AS BIGINT) DIV 100"
+        "CASE WHEN value < 0 THEN raise_error("
+        "'r09_12: display truncation assumes value >= 0 — negative "
+        "readings need floor, not DIV') "
+        "ELSE CAST(round(value * 100) AS BIGINT) DIV 100 END"
     ).cast("string")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm")
     return e.select(

@@ -150,8 +150,14 @@ def s11_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("price_round1"),
+        # cents DIV 100 == floor (and the +99 variant == ceil) ONLY for
+        # non-negative values; enforce positivity loudly (x141 pattern)
+        # so a negative-price fixture can't silently turn floor into
+        # trunc in lockstep across both engines.
         F.expr(
-            "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100"
+            "CASE WHEN l_extendedprice < 0 THEN raise_error("
+            "'s11: price_floor assumes l_extendedprice >= 0') "
+            "ELSE CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100 END"
         ).alias("price_floor"),
         F.expr(
             "(CAST(round(l_extendedprice * 100) AS BIGINT) + 99) DIV 100"

@@ -5095,9 +5095,11 @@ def x128_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact truncated pico-unit rational. The numerator is computed in
     # DECIMAL(38,0): q_rank is a GLOBAL row number, so on a multi-million-doc
     # corpus (2K+a+b)*1e12 passes 9.2e18 and a BIGINT numerator would wrap
-    # silently under Spark's non-ANSI arithmetic while DuckDB widens to
-    # HUGEINT. The QUOTIENT always fits BIGINT (max score 2/(K+1) => < 4e10
-    # pico-units), so the final cast is safe at any corpus size.
+    # silently under Spark's non-ANSI arithmetic. DuckDB does NOT auto-widen:
+    # a BIGINT multiply overflow raises Out of Range, so the oracle casts its
+    # numerator to HUGEINT explicitly to stay exact (and scale-symmetric with
+    # this kernel) past ~9M docs. The QUOTIENT always fits BIGINT (max score
+    # 2/(K+1) => < 4e10 pico-units), so the final cast is safe at any size.
     rrf = F.expr(
         f"CAST((CAST(2*{RRF_K} + doc_rank + q_rank AS DECIMAL(38,0))"
         f" * 1000000000000)"
@@ -5133,8 +5135,10 @@ quality AS ({_quality_rank_sql()}),
 fused AS (
   SELECT bm.query_id, bm.doc_id,
          bm.doc_rank AS bm25_rank, quality.q_rank,
-         CAST((2*{RRF_K} + bm.doc_rank + quality.q_rank) * 1000000000000
-              // (({RRF_K} + bm.doc_rank) * ({RRF_K} + quality.q_rank))
+         CAST(CAST(2*{RRF_K} + bm.doc_rank + quality.q_rank AS HUGEINT)
+                * 1000000000000
+              // (CAST({RRF_K} + bm.doc_rank AS HUGEINT)
+                * CAST({RRF_K} + quality.q_rank AS HUGEINT))
               AS BIGINT)
              AS rrf_score_e12
   FROM bm JOIN quality USING (doc_id)

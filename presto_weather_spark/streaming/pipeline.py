@@ -1193,6 +1193,13 @@ def exactly_once_sink_run(
     data_dir = os.path.join(base, "data")
     manifest = os.path.join(base, "manifest.jsonl")
     os.makedirs(data_dir, exist_ok=True)
+    # Persist the sink schema up front (before any batch runs) so the
+    # reader can return a correctly-typed EMPTY frame when a crash leaves
+    # the manifest empty — a hardcoded fallback schema would break any
+    # projection other than the one it guessed (round-8 ADVICE item).
+    schema_path = os.path.join(base, "_schema.json")
+    with open(schema_path, "w") as f:
+        f.write(out.schema.json())
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         committed = set()
@@ -1245,5 +1252,18 @@ def exactly_once_sink_read(spark: SparkSession, base: str) -> DataFrame:
         else []
     )
     if not paths:
+        # Empty manifest (fresh sink, or crash before the first commit):
+        # use the schema the writer persisted at start-up so selections /
+        # unions against the real sink projection still analyze. The
+        # legacy single-column fallback only fires when no _schema.json
+        # exists (a pre-round-9 sink directory).
+        schema_path = os.path.join(base, "_schema.json")
+        if os.path.exists(schema_path):
+            from pyspark.sql.types import StructType
+
+            with open(schema_path) as f:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(f.read()))
+                )
         return spark.createDataFrame([], "event_id bigint")
     return spark.read.parquet(*paths)

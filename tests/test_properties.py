@@ -1388,3 +1388,30 @@ def test_twonn_sample_gate_is_deterministic(spark, monkeypatch):
         tuple(r) for r in all_queries()["x94_twonn_intrinsic_dim"].fn(spark, sub).collect()
     )
     assert gated == direct
+
+
+def test_fixture_values_nonnegative():
+    # Pin the positivity assumption behind every cents-DIV-100 floor
+    # rewrite (r09_12, s11, x141's guard class): if a future fixture
+    # regeneration introduces negative readings/prices, this fails
+    # loudly HERE rather than via the in-query raise_error mid-audit.
+    import glob
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        base = f"/root/testdata/{sf}"
+        if not glob.glob(os.path.join(base, "events.parquet")):
+            continue
+        con = duckdb.connect()
+        neg_events = con.execute(
+            f"SELECT count(*) FROM '{base}/events.parquet' WHERE value < 0"
+        ).fetchone()[0]
+        neg_prices = con.execute(
+            f"SELECT count(*) FROM '{base}/lineitem.parquet'"
+            " WHERE l_extendedprice < 0"
+        ).fetchone()[0]
+        con.close()
+        assert neg_events == 0, f"{sf}: negative events.value"
+        assert neg_prices == 0, f"{sf}: negative l_extendedprice"

@@ -41,8 +41,13 @@ def test_crash_between_write_and_commit_yields_exactly_once(spark, sf_dir):
         # the crash window is real: orphan attempt data exists on disk...
         orphans = glob.glob(os.path.join(base, "data", "batch=0", "attempt-*"))
         assert len(orphans) == 1, orphans
-        # ...but nothing is committed, so readers see zero rows
-        assert exactly_once_sink_read(spark, base).count() == 0
+        # ...but nothing is committed, so readers see zero rows — AND the
+        # empty frame carries the real sink projection (persisted schema),
+        # so downstream selects/unions analyze on the crash path too
+        empty = exactly_once_sink_read(spark, base)
+        assert empty.count() == 0
+        assert empty.columns == ["event_id", "user_id", "event_type"]
+        assert empty.select("user_id", "event_type").count() == 0
 
         # run 2: restart with the same checkpoint — the failed batch replays
         exactly_once_sink_run(out, base)

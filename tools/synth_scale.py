@@ -33,6 +33,20 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
+def _write(table: pa.Table, out: str, name: str) -> None:
+    """Write a parquet table, first removing any existing path.
+
+    A previous version of this tool symlinked orders/lineitem into the
+    out dir; pq.write_table on a stale symlink would FOLLOW it and
+    silently overwrite the canonical /root/testdata fixture. Unlinking
+    first makes a stale out dir (symlink or regular file) harmless.
+    """
+    dst = os.path.join(out, f"{name}.parquet")
+    if os.path.islink(dst) or os.path.exists(dst):
+        os.unlink(dst)
+    pq.write_table(table, dst)
+
+
 def _docs(mult: int, out: str) -> None:
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     doc_id = t["doc_id"].to_numpy()
@@ -75,7 +89,7 @@ def _docs(mult: int, out: str) -> None:
             sources.append(source[i])
             nchars.append(len(s))
 
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -85,7 +99,8 @@ def _docs(mult: int, out: str) -> None:
                 "n_chars": pa.array(nchars, pa.int64()),
             }
         ),
-        os.path.join(out, "documents.parquet"),
+        out,
+        "documents",
     )
     print(f"documents: {len(ids)} rows")
 
@@ -111,7 +126,7 @@ def _embeddings(mult: int, out: str) -> None:
         all_emb.append(noisy.astype(np.float32))
         all_lab.append(label)
 
-    pq.write_table(
+    _write(
         pa.table(
             {
                 "vec_id": pa.array(np.concatenate(all_ids), pa.int64()),
@@ -124,7 +139,8 @@ def _embeddings(mult: int, out: str) -> None:
                 ),
             }
         ),
-        os.path.join(out, "embeddings.parquet"),
+        out,
+        "embeddings",
     )
     print(f"embeddings: {sum(len(x) for x in all_ids)} rows")
 
@@ -162,7 +178,7 @@ def _events(mult: int, out: str) -> None:
             )
         )
     merged = pa.concat_tables(parts)
-    pq.write_table(merged, os.path.join(out, "events.parquet"))
+    _write(merged, out, "events")
     print(f"events: {merged.num_rows} rows")
 
 
@@ -195,7 +211,7 @@ def _tpch(mult: int, out: str) -> None:
             cols[keycol] = pa.array(base_keys + k * keyspan, pa.int64())
             parts.append(pa.table(cols))
         merged = pa.concat_tables(parts)
-        pq.write_table(merged, os.path.join(out, f"{name}.parquet"))
+        _write(merged, out, name)
         print(f"{name}: {merged.num_rows} rows")
 
 
