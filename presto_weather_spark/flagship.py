@@ -65,9 +65,9 @@ def conditions_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             icon_case_expr(F.col("code")).alias("icon"),
             fmt.fmt_temperature(F.col("value")).alias("temp_display"),
             fmt.fmt_rain_line(F.col("rain_prob")).alias("rain_line"),
-            fmt.fmt_updated_hhmm(
-                F.date_format("ts", "yyyy-MM-dd HH:mm")
-            ).alias("updated_hhmm"),
+            fmt.fmt_updated_hhmm(fmt.iso_minute("ts", sep=" ")).alias(
+                "updated_hhmm"
+            ),
         )
     )
     return board
@@ -88,7 +88,7 @@ SELECT user_id AS station_id,
        {icon_case_sql('code')} AS icon,
        {fmt.SQL_FMT_TEMPERATURE.format(t='value')} AS temp_display,
        {fmt.SQL_FMT_RAIN.format(p='rain_prob')} AS rain_line,
-       {fmt.SQL_FMT_HHMM.format(s="strftime(ts, '%Y-%m-%d %H:%M')")} AS updated_hhmm
+       {fmt.SQL_FMT_HHMM.format(s=fmt.sql_iso_minute('ts', sep=' '))} AS updated_hhmm
 FROM coded
 """
 

@@ -31,6 +31,36 @@ def fmt_updated_hhmm(ts_string: Column) -> Column:
     return F.substring(ts_string, -5, 5)
 
 
+def iso_minute(ts, sep: str = "T") -> Column:
+    """Minute-precision ISO rendering built from INTEGER date parts.
+
+    The engine-shared rendering convention (registry.py determinism
+    notes; round-8 timestamp_fmt risk burn-down): year/month/day/hour/
+    minute extractors have identical cross-engine semantics, while the
+    strftime/date_format pattern languages differ in edge behavior
+    (era handling, <4-digit years, locale) — exactly the class that
+    makes a format-function oracle a latent hash break. printf of the
+    integer parts renders bit-identically in both engines by
+    construction. Pair with :func:`sql_iso_minute`.
+    """
+    return F.format_string(
+        f"%04d-%02d-%02d{sep}%02d:%02d",
+        F.year(ts),
+        F.month(ts),
+        F.dayofmonth(ts),
+        F.hour(ts),
+        F.minute(ts),
+    )
+
+
+def sql_iso_minute(ts: str, sep: str = "T") -> str:
+    """DuckDB twin of :func:`iso_minute` — same literal, same parts."""
+    return (
+        f"printf('%04d-%02d-%02d{sep}%02d:%02d', "
+        f"year({ts}), month({ts}), day({ts}), hour({ts}), minute({ts}))"
+    )
+
+
 SQL_FMT_TEMPERATURE = "COALESCE(printf('%.0f', round({t}, 0)), '--')"
 SQL_FMT_RAIN = "printf('Chance of rain: %d%%', {p})"
 SQL_FMT_HHMM = "substring({s}, length({s}) - 4, 5)"

@@ -896,6 +896,121 @@ def x61_lsh_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X2g — banding recall gate (the driver-HASHABLE fidelity twin of x02/x61)
+# ---------------------------------------------------------------------------
+
+X02G_SUBSET = 2000  # audit subset: enough docs to carry dozens of real pairs
+X02G_JACC_NUM, X02G_JACC_DEN = 7, 20  # exact threshold j >= 7/20 = 0.35
+X02G_RECALL_NUM, X02G_RECALL_DEN = 9, 10  # banding must catch >= 90%
+
+
+@register(
+    "x02g_banding_recall_gate",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS INT) - 2, 1) + 1),
+           i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''), i, i + 2), ' ')))) AS gram
+  FROM documents
+  WHERE doc_id < {X02G_SUBSET}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(DISTINCT gram) AS n_grams FROM grams GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST((2 * p.inter_size * 1000000
+               + (sa.n_grams + sb.n_grams - p.inter_size))
+            // (2 * (sa.n_grams + sb.n_grams - p.inter_size))
+            AS BIGINT) AS jaccard_e6
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.inter_size * {X02G_JACC_DEN}
+      >= {X02G_JACC_NUM} * (sa.n_grams + sb.n_grams - p.inter_size)
+""",
+    doc="X2g: BANDING RECALL GATE — the hash-verifiable fidelity twin of "
+    "the rows-only x02/x61 family (round-8 verdict task #6). The OUTPUT "
+    "is the exact 3-gram Jaccard pair set on a 2000-doc audit subset at "
+    "the pinned integer threshold j >= 7/20 (micro-unit integer rational "
+    "jaccard_e6 — fully DuckDB-reproducible, so the driver hash-verifies "
+    "every row). The BANDING fidelity rides an in-engine gate the oracle "
+    "never sees: before returning, the x02 banded candidate set is "
+    "intersected with these exact pairs and the run RAISES if recall "
+    "drops below the pinned 9/10 floor — a broken band hash, dropped "
+    "band, or mis-sliced signature collapses recall to ~the single-band "
+    "S-curve (~0.2 here) and turns every driver sample and audit of "
+    "this key into a loud failure instead of a silently stale "
+    "rows-only count. Recall on the current fixtures: 27/28 (sf0.001), "
+    "24/25 (sf0.01), 45/45 (sf0.1). At 100 TB this is the standing "
+    "audit-sample pattern: exact side on a bounded subset, candidate "
+    "side the production banding, the floor a deploy gate.",
+)
+def x02g_banding_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < X02G_SUBSET
+    )
+    toks = _tokens()
+    n = F.size(toks)
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_grams")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter_size")
+    exact = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("inter_size") * X02G_JACC_DEN >= X02G_JACC_NUM * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            # exact micro-unit rational (half-away) — no float quotient
+            F.expr(
+                "CAST((2 * inter_size * 1000000 + (na + nb - inter_size))"
+                " DIV (2 * (na + nb - inter_size)) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+        .localCheckpoint(eager=False)  # the gate counts it AND it returns
+    )
+    # the in-engine fidelity gate: banded candidates must catch >= 9/10
+    # of the exact pairs (counts are audit-subset-sized — bounded actions)
+    cand = minhash_near_dup_pairs(d).select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+    if n_hits * X02G_RECALL_DEN < n_exact * X02G_RECALL_NUM:
+        raise ValueError(
+            f"x02g banding recall gate: candidates caught {n_hits}/{n_exact} "
+            f"exact pairs at j >= {X02G_JACC_NUM}/{X02G_JACC_DEN} — below "
+            f"the pinned {X02G_RECALL_NUM}/{X02G_RECALL_DEN} floor; the "
+            f"LSH banding has regressed"
+        )
+    return exact
+
+
+# ---------------------------------------------------------------------------
 # X70 — near-dup graph degree histogram (duplication topology)
 # ---------------------------------------------------------------------------
 

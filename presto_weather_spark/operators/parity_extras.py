@@ -21,6 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from presto_weather_spark.functions.formatting import iso_minute
 from presto_weather_spark.operators._util import scratch_root, sql_dsum
 from presto_weather_spark.registry import register
 from presto_weather_spark.session import load_table
@@ -36,7 +37,8 @@ SELECT event_id,
        'Chance of rain: ' ||
          CAST(CAST(round(value * 100) AS BIGINT) // 100 AS VARCHAR)
          || '%' AS rain_line,
-       right(strftime(ts, '%Y-%m-%dT%H:%M'), 5) AS updated_hhmm
+       right(printf('%04d-%02d-%02dT%02d:%02d', year(ts), month(ts), day(ts),
+                    hour(ts), minute(ts)), 5) AS updated_hhmm
 FROM events
 WHERE event_id < 500
 """,
@@ -62,7 +64,11 @@ def r09_12_display_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "readings need floor, not DIV') "
         "ELSE CAST(round(value * 100) AS BIGINT) DIV 100 END"
     ).cast("string")
-    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm")
+    # engine-shared rendering (registry.py determinism notes): the ISO
+    # string is printf'd from integer date parts, not a format function —
+    # keeps the R11 suffix-slice parity while removing the strftime/
+    # date_format pattern-language divergence class entirely.
+    iso = iso_minute("ts")
     return e.select(
         "event_id",
         # weather.py:264-265: None -> '--'; the 'error' type plays the

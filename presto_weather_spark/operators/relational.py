@@ -37,11 +37,15 @@ FROM lineitem
 WHERE (l_returnflag IN ('A', 'R') OR l_linestatus = 'O')
   AND l_quantity BETWEEN 10 AND 40
   AND l_discount IS NOT NULL
-  AND NOT (l_tax > 0.07)
+  AND NOT (CAST(round(l_tax * 100) AS BIGINT) > 7)
 """,
     doc="S3: compound predicate (AND/OR/NOT/IN/BETWEEN/IS NULL) pushed into "
     "the parquet scan (the reference's only predicates are control-flow "
-    "guards, /root/reference/weather.py:50,80-82).",
+    "guards, /root/reference/weather.py:50,80-82). The tax threshold "
+    "compares in INTEGER basis-point space (the s11 convention, round-8 "
+    "float_literal_cmp burn-down): l_tax is an exact 2dp rate, so "
+    "round(tax*100) is engine-exact, whereas a 0.07 double literal sits "
+    "one ulp from the stored value's boundary in either direction.",
 )
 def s03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -49,7 +53,7 @@ def s03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag").isin("A", "R") | (F.col("l_linestatus") == "O"))
         & F.col("l_quantity").between(10, 40)
         & F.col("l_discount").isNotNull()
-        & ~(F.col("l_tax") > 0.07)
+        & ~(F.expr("CAST(round(l_tax * 100) AS BIGINT)") > 7)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
 
 

@@ -22,6 +22,7 @@ from presto_weather_spark.functions.weather import (
     text_case_sql,
     weather_code_to_text_py,
 )
+from presto_weather_spark.functions.formatting import iso_minute
 from presto_weather_spark.operators._util import dec
 from presto_weather_spark.registry import register
 from presto_weather_spark.session import load_table
@@ -314,7 +315,7 @@ WITH payload AS (
                 """
     + code_sql("event_id")
     + """,
-                strftime(ts, '%Y-%m-%dT%H:%M'),
+                printf('%04d-%02d-%02dT%02d:%02d', year(ts), month(ts), day(ts), hour(ts), minute(ts)),
                 CAST(json_extract_string(props, '$.k') AS INT) % 101) AS body
   FROM events
 )
@@ -344,7 +345,7 @@ def r05_forecast_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         '"daily": {"precipitation_probability_max": [%d]}}',
         F.round("value", 1),
         code_expr(F.col("event_id")),
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm"),
+        iso_minute("ts"),
         F.get_json_object("props", "$.k").cast("int") % 101,
     )
     payload = e.select("event_id", body.alias("body"))

@@ -580,7 +580,9 @@ s AS (
 ),
 q AS (
   SELECT x.vec_id, s.amax, v,
-         round(v * 127.0 / nullif(s.amax, 0)) AS qi
+         CAST(trunc(v * 127.0 / nullif(s.amax, 0)
+                    + CASE WHEN v >= 0 THEN 0.5 ELSE -0.5 END)
+              AS DOUBLE) AS qi
   FROM x JOIN s USING (vec_id)
 )
 SELECT vec_id,
@@ -609,11 +611,20 @@ def x03e_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vf").cast("double").alias("v")
     )
     s = x.groupBy("vec_id").agg(F.max(F.abs("v")).alias("amax"))
+    # half-away-from-zero rounding spelled as EXPLICIT truncation of
+    # q +- 0.5 (round-8 round_on_div burn-down): Spark's BIGINT cast and
+    # DuckDB's trunc() both truncate toward zero, and q +- 0.5 is the
+    # same IEEE double on both sides — the quantizer no longer depends
+    # on either engine's round() tie rule at half-integer grid points
+    # (v = amax/2 lands EXACTLY on 63.5).
     q = x.join(s, "vec_id").select(
         "vec_id",
         "amax",
         "v",
-        F.round(F.col("v") * 127.0 / F.nullif(F.col("amax"), F.lit(0.0)), 0).alias("qi"),
+        F.expr(
+            "CAST(CAST(v * 127.0D / nullif(amax, 0.0D)"
+            " + IF(v >= 0, 0.5D, -0.5D) AS BIGINT) AS DOUBLE)"
+        ).alias("qi"),
     )
     err2 = F.pow(F.col("v") - F.col("qi") * F.col("amax") / 127.0, F.lit(2.0))
     sq_err = F.sum(err2.cast("decimal(28,18)")).cast("double")
@@ -1386,8 +1397,17 @@ nn AS (
   FROM ranked WHERE rn <= 2 GROUP BY vec_id
 ),
 mus AS (
+  -- mu = d2/d1 at 6dp via the EXACT integer rational (round-8
+  -- round_on_div burn-down): d1/d2 are 6dp-rounded, so their micro-unit
+  -- integers are exact, and (2a*1e6 + b) // (2b) is half-away rounding
+  -- of the true rational a/b with no float quotient anywhere.
   SELECT vec_id, nn1_id, nn2_id, d1, d2,
-         CASE WHEN d1 > 0 THEN round(d2 / d1, 6) END AS mu
+         CASE WHEN d1 > 0 THEN
+           CAST((2 * CAST(round(d2 * 1000000) AS BIGINT) * 1000000
+                   + CAST(round(d1 * 1000000) AS BIGINT))
+                // (2 * CAST(round(d1 * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000
+         END AS mu
   FROM nn
 ),
 est AS (
@@ -1487,13 +1507,23 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = emb.select("vec_id", "embedding").mapInPandas(
         twonn, "vec_id bigint, nn1_id bigint, nn2_id bigint, d1 double, d2 double"
     )
+    # mu via the exact integer rational of the 6dp micro-unit distances
+    # (see the oracle CTE comment) — no float quotient under rounding.
     mus = nn.select(
         "vec_id",
         "nn1_id",
         "nn2_id",
         "d1",
         "d2",
-        F.when(F.col("d1") > 0, F.round(F.col("d2") / F.col("d1"), 6)).alias("mu"),
+        F.when(
+            F.col("d1") > 0,
+            F.expr(
+                "CAST((2 * CAST(round(d2 * 1000000) AS BIGINT) * 1000000"
+                "        + CAST(round(d1 * 1000000) AS BIGINT))"
+                "      DIV (2 * CAST(round(d1 * 1000000) AS BIGINT))"
+                "      AS DOUBLE) / 1000000"
+            ),
+        ).alias("mu"),
     ).localCheckpoint(eager=False)  # the estimator AND the final join consume
     # it — without this the 2-NN kernel would run the corpus twice
     est = mus.filter(F.col("mu").isNotNull()).agg(

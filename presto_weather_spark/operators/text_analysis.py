@@ -4112,6 +4112,14 @@ dom AS MATERIALIZED (
 ),
 k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM dom),
 w0 AS MATERIALIZED (SELECT lang, source, n_docs, loss, 1.0 / k.k AS w FROM dom CROSS JOIN k)"""
+    # Renormalization runs in EXACT integer space (round-8 round_on_div
+    # burn-down): the raw update wr quantizes to femto-units (round of the
+    # same IEEE double on both engines — wr*1e15 < 2^53, so the integer is
+    # exact), the normalizer is an exact integer sum, and the next round's
+    # 12dp weight is the half-away integer rational
+    # (2*wr_e15*1e12 + z) // (2*z) — no float quotient under rounding
+    # anywhere in the recurrence. Intermediates pass through HUGEINT
+    # (Spark side: DECIMAL(38,0)); max magnitude 2e27 << 38 digits.
     rounds = []
     for t in range(DOREMI_ROUNDS):
         rounds.append(f""",
@@ -4120,12 +4128,15 @@ m{t} AS MATERIALIZED (
 ),
 u{t} AS MATERIALIZED (
   SELECT lang, source, n_docs, loss,
-         w * (1.0 + {DOREMI_ETA} * greatest(loss - m{t}.mu, 0.0)) AS wr
+         CAST(round(w * (1.0 + {DOREMI_ETA} * greatest(loss - m{t}.mu, 0.0))
+                    * 1000000000000000) AS HUGEINT) AS wr_e15
   FROM w{t} CROSS JOIN m{t}
 ),
-z{t} AS MATERIALIZED (SELECT CAST(SUM(CAST(wr AS DECIMAL(28,18))) AS DOUBLE) AS z FROM u{t}),
+z{t} AS MATERIALIZED (SELECT SUM(wr_e15) AS z FROM u{t}),
 w{t + 1} AS MATERIALIZED (
-  SELECT lang, source, n_docs, loss, round(wr / z{t}.z, 12) AS w
+  SELECT lang, source, n_docs, loss,
+         CAST((2 * wr_e15 * 1000000000000 + z{t}.z) // (2 * z{t}.z)
+              AS DOUBLE) / 1000000000000 AS w
   FROM u{t} CROSS JOIN z{t}
 )""")
     tail = f"""
@@ -4221,8 +4232,21 @@ def x93_doremi_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             wi * (1.0 + DOREMI_ETA * max(li - mu, 0.0))
             for wi, li in zip(w_vec, losses)
         ]
-        z = math.fsum(wr)
-        w_vec = [round(x / z, 12) for x in wr]
+        # exact-integer renormalization mirroring the oracle CTEs (see
+        # _doremi_oracle): quantize wr to femto-units with half-away
+        # rounding of the same IEEE double (floor + exact fractional
+        # compare — y < 2^53, so y - floor(y) is exact), then the 12dp
+        # weight is the half-away integer rational in arbitrary-precision
+        # Python ints, bit-identical to HUGEINT by construction.
+        wr_e15 = []
+        for x in wr:
+            y = x * 1e15
+            f = math.floor(y)
+            wr_e15.append(f + (1 if y - f >= 0.5 else 0))
+        z = sum(wr_e15)
+        w_vec = [
+            (2 * we * 10**12 + z) // (2 * z) / 1e12 for we in wr_e15
+        ]
     return spark.createDataFrame(
         [
             (lang, source, n_docs, loss, w)
@@ -4869,9 +4893,13 @@ def x112_text_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the difference between sorting every language's documents and one "
     "extra vocab-sized aggregate: the NTILE sort is O(n log n) per lang "
     "on the full doc table, the sketch is one pass with bounded state. "
-    "Cost: bucket edges move by the sketch's rank error (<= 1/accuracy) "
-    "— per-bucket doc counts agree with exact x106 within that bound "
-    "(pinned in tests).",
+    "Cost: bucket edges move by the sketch's rank error (n/accuracy per "
+    "cut) and, because membership is a VALUE comparison, every doc tied "
+    "at the moved cut's 6dp score flips together — the deviation bound "
+    "is 2 x (rank error + max tie group), measured under degenerate "
+    "monolang skew in SCALE_REHEARSAL.json (dev 60 <= bound 451 at 150k "
+    "single-language docs) and <= 1 doc at fixture sizes (pinned in "
+    "tests).",
 )
 def x106b_ccnet_buckets_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -452,6 +452,13 @@ def s14h_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eviction is what bounds memory.",
 )
 def s14i_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_to_memory(s14i_joined_stream(spark, sf_dir), "append")
+
+
+def s14i_joined_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s14i join as an un-started streaming frame — split out so
+    tools/s14i_state_probe.py can start it itself and read the state-store
+    metrics (stateOperators[].numRowsTotal) from the query's progress."""
     stream = events_stream(spark, sf_dir)
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -485,7 +492,7 @@ def s14i_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("gap_seconds"),
     )
-    return _run_to_memory(joined, "append")
+    return joined
 
 
 SESSION_GAP_SECONDS = 4 * 3600  # same 4h gap as the batch twin (s14d)

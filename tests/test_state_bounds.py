@@ -178,3 +178,58 @@ def test_dedup_state_is_bounded_by_keys_and_watermark(spark, tmp_path):
     assert one_batch == n_keys
     assert four_batches <= n_keys
     assert double_volume <= n_keys
+
+
+def test_stream_stream_left_outer_state_is_horizon_bounded(spark, tmp_path):
+    # s14i (round-8 verdict task #3): the LEFT OUTER join's state must be
+    # bounded by the watermark horizon x arrival rate, not by stream
+    # length. Fixture arrives at 1 row/minute in event-time order, one
+    # 200-row (200-minute) file per micro-batch; clicks/purchases are the
+    # type0/type1 slices (1 per 5 minutes each side). A side's row is
+    # evictable once the watermark passes its join horizon, so live state
+    # never exceeds
+    #   2 sides * (delay 2h + window 1h + one batch's 200min span) / 5min
+    #   = 2 * 76 = 152 rows
+    # regardless of how many batches have run.
+    import pyspark.sql.functions as F
+
+    def drive(n_rows: int, n_files: int) -> int:
+        stream = _events_source(spark, str(tmp_path), n_rows, n_files)
+        clicks = (
+            stream.filter(F.col("event_type") == "type0")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "type1")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        ).select("click_id", "purchase_id")
+        return _max_state_rows(spark, joined, "append")
+
+    HORIZON_BOUND = 152  # 2 * (180min horizon + 200min batch span) / 5min
+    two_batches = drive(400, 2)
+    six_batches = drive(1200, 6)
+    twelve_batches = drive(2400, 12)
+    # constant across a 6x stream-length growth...
+    assert two_batches == six_batches == twelve_batches
+    # ...and within the analytic horizon bound
+    assert twelve_batches <= HORIZON_BOUND

@@ -84,6 +84,13 @@ def main() -> int:
     audits = [("gate 3", "AUDIT_sf0.1_r*.log", "sf0.1")]
     if "--require-sf001" in sys.argv:
         audits.append(("gate 5", "AUDIT_sf0.01_r*.log", "sf0.01"))
+    # expected tallies derive from the registry itself (round-8 verdict
+    # task #5: make the (ok, fail, rows-only) counts an ARITHMETIC gate,
+    # not an editorial one): every oracle-bearing key must be 'ok', every
+    # oracle=None key 'rows-only', failures and residual RISK tags zero.
+    q = all_queries()
+    want_rows_only = sum(1 for k in keys if q[k].oracle is None)
+    want_ok = len(keys) - want_rows_only
     for label, pattern, sf in audits:
         logs = sorted(glob.glob(os.path.join(REPO, pattern)))
         if not logs:
@@ -94,21 +101,33 @@ def main() -> int:
         seen = {m.group(1) for m in
                 (STATUS.match(l) for l in text.splitlines()) if m}
         uncovered = [k for k in keys if k not in seen]
-        fail_m = re.search(r"(\d+) ok, (\d+) fail", text)
+        fail_m = re.search(r"(\d+) ok, (\d+) fail, (\d+) rows-only", text)
+        got = tuple(int(g) for g in fail_m.groups()) if fail_m else None
+        risk_tags = re.findall(r"RISK:\S+", text)
         if uncovered:
             problems.append(
                 f"AUDIT: {os.path.basename(latest)} lacks entries for "
                 f"{len(uncovered)} key(s): {uncovered[:10]} — refresh the "
                 f"full {sf} audit log"
             )
-        elif not fail_m or int(fail_m.group(2)) != 0:
+        elif got != (want_ok, 0, want_rows_only):
             problems.append(
-                f"AUDIT: {os.path.basename(latest)} does not report '0 fail'"
+                f"AUDIT: {os.path.basename(latest)} tallies {got} != "
+                f"registry-expected ({want_ok} ok, 0 fail, "
+                f"{want_rows_only} rows-only)"
+            )
+        elif risk_tags:
+            problems.append(
+                f"AUDIT: {os.path.basename(latest)} carries "
+                f"{len(risk_tags)} residual RISK tag(s) "
+                f"({sorted(set(risk_tags))[:5]}) — the oracle-fragility "
+                f"classes were burned to 0 in round 9; burn the new one"
             )
         else:
             print(
                 f"{label}: {os.path.basename(latest)} covers all "
-                f"{len(keys)} keys, {fail_m.group(1)} ok / 0 fail"
+                f"{len(keys)} keys, {want_ok} ok / 0 fail / "
+                f"{want_rows_only} rows-only, 0 RISK tags"
             )
 
     # 4. README registered-query count must match the registry
