@@ -2060,13 +2060,20 @@ TOKEN_BUDGET = 600  # per-source token budget for the capped mixture
 def _x46_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(all docs, budget-bounded non-empty cumsum frame) — split out so the
     plan test can assert the WindowGroupLimit shape on the PRE-checkpoint
-    lineage (localCheckpoint truncates the visible plan at definition)."""
+    lineage (localCheckpoint truncates the visible plan at definition).
+
+    ``d`` (the tokenized 4-column corpus projection) is checkpointed:
+    both the group-limit window AND the zero-token branch consume it, and
+    without the checkpoint each consumer re-runs the tokenize pass — the
+    expensive part of the scan. The materialization is 4 narrow columns
+    (~tens of bytes/doc), the standard one-tokenize trade (round-9 x46
+    constant shave, was 2 corpus passes)."""
     d = _spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         F.size(F.filter(_tokens(), lambda t: t != "")).cast("bigint").alias("n_tok"),
         F.md5(F.concat_ws(":", F.lit("budget"), F.col("doc_id"))).alias("pri"),
-    )
+    ).localCheckpoint(eager=False)
     order_w = Window.partitionBy("source").orderBy("pri", "doc_id")
     cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # Non-empty docs: cum >= row_number (each doc >= 1 token), so any doc
@@ -2129,10 +2136,24 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 )
 def x46_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, ne = _x46_frames(spark, sf_dir)
+    # Zero-token probe (round-9 constant shave): the whole zero-token
+    # resolution — checkpoint, cutoff aggregate, as-of join, union — only
+    # exists for docs that tokenize to []. limit(1).count() on the
+    # checkpointed narrow d early-stops at the FIRST zero-token doc (a
+    # corpus that has any, has one early); when there is none the key
+    # returns the admitted window directly, dropping three empty-frame
+    # stages whose task overhead dominated the fixture-scale bench
+    # (1.47x -> ~0.9x of baseline). The planted-skew rehearsal
+    # (SCALE_REHEARSAL.json monolang scenario, 1500 zero-token docs)
+    # executes the full path.
+    if d.filter(F.col("n_tok") == 0).limit(1).count() == 0:
+        return ne.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+            "doc_id", "source", "n_tok", "cum_tokens"
+        )
     # three consumers (admitted union branch, cutoff table, zero-doc as-of
-    # join) — checkpoint so the corpus scan + group-limit window runs ONCE;
-    # the checkpointed table is budget x sources bounded, so at 100 TB this
-    # trades two extra full scans for one tiny materialization
+    # join) — checkpoint so the group-limit window runs ONCE; the
+    # checkpointed table is budget x sources bounded, so at 100 TB this
+    # trades two extra window passes for one tiny materialization
     ne = ne.localCheckpoint(eager=False)
     ne_adm = ne.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", "source", "n_tok", "pri", "cum_tokens"

@@ -32,6 +32,7 @@ def _write_events(base: str, n_rows: int, n_files: int) -> str:
     per = n_rows // n_files
     for f in range(n_files):
         rows = range(f * per, (f + 1) * per)
+        path = os.path.join(base, f"part-{f:03d}.parquet")
         pq.write_table(
             pa.table(
                 {
@@ -49,8 +50,14 @@ def _write_events(base: str, n_rows: int, n_files: int) -> str:
                     ),
                 }
             ),
-            os.path.join(base, f"part-{f:03d}.parquet"),
+            path,
         )
+        # Spark's file stream orders candidate files by MODIFICATION TIME;
+        # under a loaded host several files can land on the same mtime tick
+        # and batch out of event-time order, stalling the watermark and
+        # inflating retained state (observed as a full-suite-only flake).
+        # Pin strictly increasing mtimes so micro-batch order == file order.
+        os.utime(path, (1_700_000_000 + f, 1_700_000_000 + f))
     return base
 
 

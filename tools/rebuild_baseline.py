@@ -34,8 +34,15 @@ from presto_weather_spark.registry import all_queries  # noqa: E402
 # count-gated global numbering replacing the single-reducer window, the
 # round's skew-safety mandate) — the gate's count action adds ~0.25 s of
 # fixed cost at fixture scale, the price of the bounded 100-TB path.
+# Round 9: x46 re-recorded per the round-8 verdict's adjudication order —
+# its 2026-08-14 row predates BOTH the round-8 scale fix (group-limit
+# window + checkpointed shared subtree + zero-token side path) and the
+# round-9 constant shave (single-tokenize d checkpoint + probe-gated
+# zero path); the post-fix plan reproduced at 0.54-0.55 s across rounds
+# 8 and 9 (quiet-host min-of-2/3 full-bench runs), so the pre-fix row is
+# not a valid denominator for the deliberately different plan.
 RE_RECORD: set[str] = {
-    "x76_curriculum_ordering",
+    "x46_token_budget_cap",
 }
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
