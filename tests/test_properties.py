@@ -1450,3 +1450,69 @@ def test_textrank_local_and_distributed_paths_agree(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(ta, "TEXTRANK_LOCAL_LIMIT", 0)
     dist = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert local == dist and len(local) > 0
+
+
+@given(
+    st.integers(min_value=0, max_value=10**7),
+    st.integers(min_value=1, max_value=10**7),
+)
+def test_half_away_div_identity(a, b):
+    # The round-9 integer-rational convention (x94 mu, x93 weights, x02g
+    # jaccard_e6): (2*a*s + b) DIV (2*b) must equal half-away-from-zero
+    # rounding of the exact rational a*s/b — including EXACT .5 ties,
+    # where float round() would be engine-rule roulette.
+    from fractions import Fraction
+
+    s = 10**6
+    got = (2 * a * s + b) // (2 * b)
+    q = Fraction(a * s, b)
+    floor_q = q.numerator // q.denominator
+    frac = q - floor_q
+    want = floor_q + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == want, (a, b, got, want)
+
+
+def test_scalar_quantization_exact_half_boundary(spark):
+    # x03e's quantizer at the EXACT half-integer grid point: v = amax/2
+    # gives q = 63.5 precisely — the case the trunc(q +- 0.5) rewrite
+    # exists for. Both engines must produce identical rows (driver-style
+    # comparison) on a planted-boundary corpus, positive and negative.
+    import os
+    import tempfile
+
+    import duckdb
+
+    from presto_weather_spark.registry import all_queries
+
+    # amax = 2.0; v values hit 63.5 (2->1), -63.5 (2->-1), 31.75, 0
+    rows = [
+        (0, [2.0, 1.0, -1.0, 0.5, 0.0, 1.0, 1.0, 1.0]),
+        (1, [4.0, 2.0, -2.0, 1.0, 3.0, 0.0, 2.0, 2.0]),
+        (2, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # amax = 0 path
+    ]
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_sq_boundary")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    q = all_queries()["x03e_scalar_quantization"]
+    sdf = q.fn(spark, out).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{out}/embeddings.parquet/*.parquet')"
+    )
+    # the oracle divides by 64 (fixture dim) in rmse; planted dim is 8 —
+    # compare the dim-independent columns only
+    ddf = con.execute(q.oracle).fetchdf()
+    con.close()
+    key = ["vec_id", "amax", "sq_err"]
+
+    def norm(df):
+        return sorted(
+            tuple("NaN" if v != v else v for v in r)
+            for r in df[key].itertuples(index=False, name=None)
+        )
+
+    assert norm(sdf) == norm(ddf), (norm(sdf), norm(ddf))

@@ -88,3 +88,16 @@ def test_committed_replay_is_a_noop(spark, sf_dir):
         assert exactly_once_sink_read(spark, base).count() == n
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_empty_sink_read_legacy_fallback(spark):
+    # A pre-round-9 sink directory has no _schema.json; the reader must
+    # still return the legacy single-column empty frame instead of dying.
+    base = f"/tmp/pws_crash_{uuid.uuid4().hex[:12]}"
+    os.makedirs(base)
+    try:
+        legacy = exactly_once_sink_read(spark, base)
+        assert legacy.columns == ["event_id"]
+        assert legacy.count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
