@@ -1516,3 +1516,66 @@ def test_scalar_quantization_exact_half_boundary(spark):
         )
 
     assert norm(sdf) == norm(ddf), (norm(sdf), norm(ddf))
+
+
+def test_banding_recall_gate_fires_when_floor_unreachable(spark, sf_dir, monkeypatch):
+    # x02g's in-engine gate is the key's entire fidelity claim — prove the
+    # raise branch EXECUTES (not just exists) by making the floor
+    # unsatisfiable (> 100% recall required) and expecting the loud error.
+    import presto_weather_spark.operators.dedup as dd
+    from presto_weather_spark.registry import all_queries
+
+    import pytest as _pytest
+
+    monkeypatch.setattr(dd, "X02G_RECALL_NUM", 11)
+    monkeypatch.setattr(dd, "X02G_RECALL_DEN", 10)
+    with _pytest.raises(ValueError, match="banding recall gate"):
+        all_queries()["x02g_banding_recall_gate"].fn(spark, sf_dir).collect()
+
+
+def test_display_floor_guard_fires_on_negative_reading(spark):
+    # r09_12's positivity guard: a negative reading must raise loudly, not
+    # silently shift floor(-3.5) = -4 to trunc = -3 (both engines would
+    # move together, invisible to the parity hash — the guard is the only
+    # detector). Planted via a one-row events table.
+    import os
+    import tempfile
+
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from presto_weather_spark.registry import all_queries
+
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_neg_events")
+    spark.createDataFrame(
+        [(1, "reading", -3.5, '{"k": 1}', "2026-01-01 00:00:00")],
+        "event_id long, event_type string, value double, props string, ts string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value", "props",
+        "CAST(1 AS LONG) AS user_id",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    with _pytest.raises(Exception, match="r09_12"):
+        all_queries()["r09_12_display_formatting"].fn(spark, out).collect()
+
+
+def test_price_floor_guard_fires_on_negative_price(spark):
+    # s11's twin of the r09_12 guard, planted through a minimal lineitem.
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from presto_weather_spark.registry import all_queries
+
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_neg_lineitem")
+    spark.createDataFrame(
+        [(1, 1, -10.5, 0.05, 5.0, 0.04)],
+        "l_orderkey long, l_linenumber int, l_extendedprice double, "
+        "l_discount double, l_quantity double, l_tax double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    with _pytest.raises(Exception, match="s11"):
+        all_queries()["s11_math_functions"].fn(spark, out).collect()
