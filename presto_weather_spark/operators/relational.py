@@ -2778,6 +2778,16 @@ def s41_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
         )
     )
+    return wap_publish(spark, candidate, staging, published)
+
+
+def wap_publish(spark, candidate: DataFrame, staging: str, published: str) -> DataFrame:
+    """The write-audit-publish core, callable with ANY candidate frame —
+    split out so the audit-FAIL branch is executable under test (a dirty
+    candidate must abort before publish and leave any previous published
+    version untouched; tests/test_properties.py drives both outcomes)."""
+    import os
+
     # 1. WRITE to staging.
     candidate.write.mode("overwrite").parquet(staging)
     # 2. AUDIT the staged bytes (not the logical plan that produced them).

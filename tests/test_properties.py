@@ -1579,3 +1579,80 @@ def test_price_floor_guard_fires_on_negative_price(spark):
     )
     with _pytest.raises(Exception, match="s11"):
         all_queries()["s11_math_functions"].fn(spark, out).collect()
+
+
+def test_wap_failed_audit_keeps_previous_version(spark):
+    # s41's audit-fail branch executed: a dirty candidate must abort
+    # BEFORE publish, and a previously published version must survive
+    # byte-for-byte (consumers see old-or-new, never a mix, never a loss).
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from presto_weather_spark.operators.relational import wap_publish
+
+    base = os.path.join(tempfile.gettempdir(), "pws_prop_wap")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    staging, published = f"{base}/staging", f"{base}/published"
+    clean = spark.createDataFrame(
+        [(1, 1, "click", 2.5)], "event_id long, user_id long, event_type string, value double"
+    )
+    first = wap_publish(spark, clean, staging, published)
+    assert first.count() == 1
+
+    dirty = spark.createDataFrame(
+        [(2, 1, "click", -1.0)], "event_id long, user_id long, event_type string, value double"
+    )
+    with _pytest.raises(ValueError, match="not publishing"):
+        wap_publish(spark, dirty, staging, published)
+    # previous version intact; staging left for forensics
+    survivors = spark.read.parquet(published).collect()
+    assert [tuple(r) for r in survivors] == [(1, 1, "click", 2.5)]
+    assert os.path.isdir(staging)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_calibration_guard_fires_on_degenerate_vocabulary(spark):
+    # x141's avg_logprob >= 0 guard: a single-token vocabulary makes every
+    # token probability 1.0 -> ln = 0 -> bin 0 would be double-width under
+    # truncating DIV. The guard must turn that corpus into a loud error.
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from presto_weather_spark.registry import all_queries
+
+    out = os.path.join(tempfile.gettempdir(), "pws_prop_x141_degen")
+    rows = [(i, "a", "en", "web", 1) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    with _pytest.raises(Exception, match="x141"):
+        all_queries()["x141_score_calibration"].fn(spark, out).collect()
+
+
+def test_geocode_miss_fails_fast_when_asked(spark):
+    # open_meteo's reference-parity fail-fast (weather.py:50-51): an
+    # unknown place in replay mode with fail_on_empty must raise, not
+    # return an empty frame.
+    import pytest as _pytest
+
+    from presto_weather_spark.sources.open_meteo import register_open_meteo
+
+    register_open_meteo(spark)
+    with _pytest.raises(Exception, match="Could not find location"):
+        (
+            spark.read.format("open_meteo")
+            .option("endpoint", "geocoding")
+            .option("name", "Nowhereville")
+            .option("country_code", "ZZ")
+            .option("fail_on_empty", "true")
+            .load()
+            .collect()
+        )
