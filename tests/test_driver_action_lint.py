@@ -1,0 +1,192 @@
+"""Mechanize the anti-pattern sweep the verdict performs by hand each round
+(round 9; the window-skew lint precedent).
+
+Every `.collect()` / `.toPandas()` / `.toLocalIterator()` in the package is
+a driver-side materialization, and every `.crossJoin()` is a potential
+cartesian blow-up. Each existing site is allowlisted HERE with a written
+bound; a new site fails this lint until it is added with its own bound.
+That turns "I swept the package and every collect looked gated" from an
+editorial claim into a diff the reviewer must sign.
+
+The allowlist key is (file, enclosing function, method) — line numbers
+churn, function-level granularity doesn't. A site whose function gains a
+SECOND call of the same method stays covered (the bound argument is about
+the function's data, not the call count).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+PKG = "/root/repo/presto_weather_spark"
+
+METHODS = ("collect", "toPandas", "toLocalIterator", "crossJoin")
+
+# (relpath, function, method) -> written bound.
+B_SCALAR = "crossJoin(broadcast(one-row aggregate)) — scalar fan-out"
+B_SPINE = "crossJoin with a spine/K-row broadcast side — bounded by construction"
+B_VOCAB = "collect of a vocab-/K-/page-sized table — bounded by construction"
+B_GATED = "collect behind an explicit count/limit gate (the x94/x65 pattern)"
+
+ALLOWLIST: dict[tuple[str, str, str], str] = {
+    ("streaming/pipeline.py", "draw", "collect"): (
+        "display sink renders the <=N-row board — presentation surface"
+    ),
+    ("operators/corpus_stats.py", "x97_heaps_law_fit", "crossJoin"): B_SCALAR,
+    ("operators/corpus_stats.py", "x114_metadata_information_gain", "crossJoin"): B_SCALAR,
+    ("operators/corpus_stats.py", "x134_language_budget_planner", "crossJoin"): B_SCALAR,
+    ("operators/corpus_stats.py", "x136_chi_square_independence", "crossJoin"): B_SCALAR,
+    ("operators/dedup.py", "min_label_clusters", "collect"): (
+        "fixpoint loop reads ONE aggregated convergence scalar per round"
+    ),
+    ("operators/dedup.py", "x103_lsh_parameter_planner", "crossJoin"): (
+        "parameter grid (bands x rows candidates) is a constant-size table"
+    ),
+    ("operators/dedup.py", "x110_dup_graph_triangles", "crossJoin"): B_SCALAR,
+    ("operators/dedup.py", "x115_dedup_threshold_sensitivity", "crossJoin"): B_SCALAR,
+    ("operators/dedup.py", "x138_dedup_mixture_shift", "crossJoin"): B_SCALAR,
+    ("operators/relational.py", "s04f_cross_join_region_pairs", "crossJoin"): (
+        "the key's PURPOSE: 5x5 region pairs, both sides 5-row dims"
+    ),
+    ("operators/relational.py", "s29_time_gapfill_locf", "crossJoin"): (
+        "calendar spine x key list — both broadcast, spine-sized"
+    ),
+    ("operators/relational.py", "s39_join_strategy_hints", "collect"): (
+        "collects EXPLAIN plan strings (3 one-row frames), not data"
+    ),
+    ("operators/relational.py", "s47_keyset_pagination", "collect"): (
+        "PAGE_SIZE rows per page by construction"
+    ),
+    ("operators/relational.py", "x62_sketch_set_ops", "collect"): (
+        "three HLL sketch scalars"
+    ),
+    ("operators/relational.py", "s50_exchange_reuse", "crossJoin"): B_SCALAR,
+    ("operators/relational.py", "x119_event_association_rules", "crossJoin"): B_SCALAR,
+    ("operators/relational.py", "x121_rfm_segmentation", "crossJoin"): B_SCALAR,
+    ("operators/relational.py", "x127_power_analysis", "crossJoin"): B_SCALAR,
+    ("operators/relational.py", "x130_kaplan_meier_survival", "crossJoin"): B_SCALAR,
+    ("operators/relational.py", "x137_benford_audit", "crossJoin"): B_SCALAR,
+    ("operators/similarity.py", "x03_cosine_topk", "collect"): (
+        "collects the K query vectors (QUERY_K) for the kernel closure"
+    ),
+    ("operators/similarity.py", "x02d_embedding_cosine_neardup", "collect"): (
+        "collects the candidate matrix under the module's size gate"
+    ),
+    ("operators/similarity.py", "x03d_ivf_ann_topk", "crossJoin"): B_SPINE,
+    ("operators/similarity.py", "x15_kmeans_embeddings", "collect"): (
+        "per-round K centroids (k x d floats), the x15 fixpoint idiom"
+    ),
+    ("operators/similarity.py", "x03f_pq_ann_topk", "collect"): (
+        "PQ codebooks: M subspaces x K centroids, constant-size model"
+    ),
+    ("operators/similarity.py", "x31_hard_pair_mining", "collect"): B_GATED,
+    ("operators/similarity.py", "x37_pca_whitening", "collect"): (
+        "collects the d x d Gram matrix (d = 64), corpus-size-free"
+    ),
+    ("operators/similarity.py", "_kcenter_greedy_local", "collect"): (
+        "local path of the x65 hybrid — only below KCENTER_LOCAL_LIMIT "
+        "(limit-probe gated; distributed path equivalence-pinned)"
+    ),
+    ("operators/similarity.py", "x90_prototype_prune", "collect"): (
+        "collects N_PROTO prototype vectors (8 rows)"
+    ),
+    ("operators/similarity.py", "x94_twonn_intrinsic_dim", "collect"): (
+        "bounded by the TWONN_SAMPLE_LIMIT limit-probe gate (in code)"
+    ),
+    ("operators/similarity.py", "x94_twonn_intrinsic_dim", "crossJoin"): B_SCALAR,
+    ("operators/similarity.py", "_mmr_local", "collect"): (
+        "local path of the x98 hybrid — only below MMR_LOCAL_LIMIT "
+        "(equivalence-pinned vs the distributed path)"
+    ),
+    ("operators/similarity.py", "x99_matryoshka_overlap", "collect"): B_GATED,
+    ("operators/similarity.py", "x117_embedding_norm_screen", "crossJoin"): B_SCALAR,
+    ("operators/similarity.py", "x144_margin_bitext_mining", "collect"): (
+        "collects the target-language slice under the module's gate"
+    ),
+    ("operators/text_analysis.py", "x20_unigram_logprob", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x23_pmi_cooccurrence", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x28_mixture_reweighting", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x30_psi_drift_monitor", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x35_mixture_resample", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "_bpe_merges_local", "collect"): (
+        "local path of the x43 hybrid — pair-count table below the gate"
+    ),
+    ("operators/text_analysis.py", "x43_bpe_merges", "collect"): (
+        "emits the N_MERGES merge table (constant-size model)"
+    ),
+    ("operators/text_analysis.py", "_nb_predictions", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x51_bpe_tokenize", "collect"): (
+        "collects the N_MERGES merge rules for the tokenizer closure"
+    ),
+    ("operators/text_analysis.py", "x52_dsir_importance", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x64_epoch_shards", "crossJoin"): B_SPINE,
+    ("operators/text_analysis.py", "x67_vocab_coverage_curve", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x72_mixture_entropy", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x79_ks_drift", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x89_bm25_topk", "collect"): (
+        "collects the Q query rows (fixed query set) for the scorer"
+    ),
+    ("operators/text_analysis.py", "train_weak_label_lr", "collect"): (
+        "per-round gradient aggregates (F-sized vectors) + the gated "
+        "local path (equivalence-pinned, test_weak_label_lr)"
+    ),
+    ("operators/text_analysis.py", "x92_textrank_keywords", "collect"): (
+        "local path of the hybrid — vocab graph below TEXTRANK_LOCAL_LIMIT "
+        "(count-gated; distributed path equivalence-pinned)"
+    ),
+    ("operators/text_analysis.py", "x93_doremi_reweighting", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x93_doremi_reweighting", "collect"): (
+        "collects the K-row domain table (lang x source cells)"
+    ),
+    ("operators/text_analysis.py", "x95_temperature_sampling", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x101_kneser_ney_logprob", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x106_ccnet_perplexity_buckets", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x111_low_quality_span_localization", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x106b_ccnet_buckets_banded", "crossJoin"): B_SCALAR,
+    ("operators/text_analysis.py", "x152_nb_hash_fidelity", "crossJoin"): B_SCALAR,
+}
+
+
+def _sites() -> set[tuple[str, str, str]]:
+    found: set[tuple[str, str, str]] = set()
+    for root, _, files in os.walk(PKG):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, PKG)
+            tree = ast.parse(open(path).read())
+            stack: list[str] = []
+
+            class V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    fn = node.func
+                    if isinstance(fn, ast.Attribute) and fn.attr in METHODS:
+                        found.add((rel, stack[-1] if stack else "<module>", fn.attr))
+                    self.generic_visit(node)
+
+            V().visit(tree)
+    return found
+
+
+def test_every_driver_action_site_is_allowlisted_with_a_bound():
+    sites = _sites()
+    new = sorted(s for s in sites if s not in ALLOWLIST)
+    assert not new, (
+        "new driver-side materialization / cross-join site(s) — add each to "
+        f"tests/test_driver_action_lint.py with a WRITTEN bound: {new}"
+    )
+
+
+def test_allowlist_carries_no_dead_entries():
+    sites = _sites()
+    dead = sorted(k for k in ALLOWLIST if k not in sites)
+    assert not dead, f"allowlisted sites no longer exist — prune: {dead}"
