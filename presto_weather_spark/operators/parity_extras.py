@@ -335,7 +335,10 @@ def s02b_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         os.path.basename(os.path.normpath(sf_dir)),
     )
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema on read-back: an EMPTY source writes no part files
+    # and schema inference would fail — the writer's schema IS the
+    # contract either way (and inference is a production anti-pattern)
+    back = spark.read.schema(e.schema).parquet(out)
     return back.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id", "user_id", "value", "event_type"
     )
@@ -697,7 +700,9 @@ def s75_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         os.path.basename(os.path.normpath(sf_dir)),
     )
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit read-back schema (the s02b convention): an empty source
+    # writes no part files and inference would fail
+    fact = spark.read.schema(e.schema).parquet(out)
     stages = spark.createDataFrame(
         [
             ("view", "awareness"),

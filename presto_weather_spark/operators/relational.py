@@ -2104,6 +2104,10 @@ def s30_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_u, hi_u, lo_v, hi_v = e.agg(
         F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
     ).first()
+    if lo_u is None:  # empty table: nothing to cluster -> empty, typed
+        return e.select(
+            "event_id", "user_id", F.round("value", 6).alias("value"), "event_type"
+        ).limit(0)
     top = (1 << Z_BITS) - 1
     xb = F.floor(
         (F.col("user_id") - F.lit(lo_u)) * F.lit(top / max(hi_u - lo_u, 1))
@@ -2230,7 +2234,15 @@ def s32_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_qty"]))],
+        # SUM observations are NULL on an empty pipeline — report them as
+        # the zero counters a monitoring surface expects, not a crash
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_discounted"] or 0),
+                float(m["total_qty"] or 0.0),
+            )
+        ],
         "n_rows bigint, n_discounted bigint, total_qty double",
     )
 
@@ -2586,13 +2598,16 @@ def s38_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_click"),
         F.count("t3").alias("n_purchase"),
     )
+    # try_divide: a funnel with zero upstream users has UNDEFINED
+    # conversion (NULL), not a crash — ANSI `/ 0` would error on a
+    # degenerate (empty or click-free) slice
     return counts.selectExpr(
         """stack(3,
             'view', n_view, CAST(1.0 AS DOUBLE),
             'view>click', n_click,
-            round(CAST(n_click AS DOUBLE) / n_view, 6),
+            round(try_divide(CAST(n_click AS DOUBLE), n_view), 6),
             'view>click>purchase', n_purchase,
-            round(CAST(n_purchase AS DOUBLE) / n_click, 6)
+            round(try_divide(CAST(n_purchase AS DOUBLE), n_click), 6)
         ) AS (stage, n_users, conversion)"""
     )
 
@@ -2846,6 +2861,8 @@ def s42_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
     e.write.mode("overwrite").partitionBy("day").parquet(out)
     last_day = e.agg(F.max("day").alias("d")).first()["d"]
+    if last_day is None:  # empty table: nothing written, nothing to restate
+        return e.select("day", "event_id", "user_id", "value").limit(0)
     restated = e.filter(F.col("day") == last_day).withColumn(
         "value", F.round(F.col("value") * 2, 6)
     )
@@ -2937,7 +2954,10 @@ def s47_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
     # The client already holds page 2's tail — recompute it as a top-k.
-    boundary = c.orderBy(*order).limit(2 * PAGE_SIZE).orderBy(*order).collect()[-1]
+    prior = c.orderBy(*order).limit(2 * PAGE_SIZE).orderBy(*order).collect()
+    if not prior:  # empty table: no prior page, so no page 3 — empty, typed
+        return c.limit(0)
+    boundary = prior[-1]
     b_bal, b_key = boundary["c_acctbal"], boundary["c_custkey"]
     page3 = (
         c.filter(
@@ -2982,11 +3002,14 @@ def x62_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hll_sketch_estimate("sk").alias("est")
     ).collect()
     est = {r["event_type"]: int(r["est"]) for r in per_type}
-    union_est = int(
-        sketches.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
-        ).first()["u"]
-    )
+    # a slice with no events of a type is valid input: its sketch is
+    # absent and the HLL estimate of the missing set is exactly 0
+    est.setdefault("click", 0)
+    est.setdefault("purchase", 0)
+    union_row = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+    ).first()
+    union_est = int(union_row["u"]) if union_row["u"] is not None else 0
     inter_est = est["click"] + est["purchase"] - union_est
     return spark.createDataFrame(
         [

@@ -89,6 +89,12 @@ def x03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()  # query set is small by definition; rides the closure
     )
+    if not qrows:  # empty corpus/slice: no queries -> empty result, typed
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, neighbor_label int, "
+            "cosine_sim double, nn_rank int",
+        )
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in qrows]
@@ -321,6 +327,10 @@ def x02d_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("vec_id") < NEARDUP_SUBSET
     )
     probe = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    if not probe:  # empty corpus/slice: no probe set -> empty pairs, typed
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cosine_sim double"
+        )
     pids = np.asarray([r["vec_id"] for r in probe], dtype=np.int64)
     pmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in probe])
     punit = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
@@ -493,6 +503,10 @@ def x15_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dbl("embedding").alias("v"))
         .collect()
     )
+    if not init:  # empty corpus: no seed centroids -> empty result, typed
+        return spark.createDataFrame(
+            [], "cluster int, n_members bigint, avg_dist double"
+        )
     cent = np.asarray(
         [list(r["v"]) for r in sorted(init, key=lambda r: r["vec_id"])],
         dtype=np.float64,
@@ -751,6 +765,12 @@ def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not train:  # empty corpus: no codebook training set -> empty, typed
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, neighbor_label int, "
+            "cosine_sim double, nn_rank int",
+        )
     sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in train])
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     books = _pq_codebooks(sample)
@@ -761,6 +781,12 @@ def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not qrows:  # non-empty corpus can still carry no low-id queries
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, neighbor_label int, "
+            "cosine_sim double, nn_rank int",
+        )
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -899,6 +925,12 @@ def x31_hard_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not qrows:  # empty corpus/slice: no queries -> empty result, typed
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, kind string, neighbor_id bigint, "
+            "neighbor_label int, cosine_sim double",
+        )
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
     qlabels = np.asarray([r["label"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
@@ -1188,6 +1220,10 @@ def _kcenter_greedy_local(emb: DataFrame) -> DataFrame:
     import numpy as np
 
     rows_in = emb.orderBy("vec_id").collect()
+    if not rows_in:  # empty corpus: no seed point -> empty coreset, typed
+        return emb.sparkSession.createDataFrame(
+            [], "selection_rank int, vec_id bigint, radius_at_selection double"
+        )
     ids = np.asarray([r["vec_id"] for r in rows_in], dtype=np.int64)
     mat = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in rows_in]
@@ -1211,6 +1247,10 @@ def _kcenter_greedy_distributed(emb: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     first = emb.orderBy("vec_id").first()
+    if first is None:  # forced-distributed on an empty frame
+        return emb.sparkSession.createDataFrame(
+            [], "selection_rank int, vec_id bigint, radius_at_selection double"
+        )
     centers = [(int(first["vec_id"]), [float(x) for x in first["embedding"]])]
     rows = [(1, centers[0][0], 0.0)]
     # min_dist starts as distance to the first center, computed in round 1.
@@ -1302,6 +1342,12 @@ def x90_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()  # 8 x 64 doubles — rides the closure
     )
+    if not prows:  # empty corpus: no prototypes -> empty result, typed
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cluster_id bigint, l2_dist double, "
+            "proto_rank int, cluster_size bigint, keep int",
+        )
     pids = np.asarray([r["vec_id"] for r in prows], dtype=np.int64)
     pmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in prows])
 
@@ -1461,6 +1507,12 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.limit(TWONN_SAMPLE_LIMIT + 1).count() > TWONN_SAMPLE_LIMIT:
         emb = _twonn_sample(emb, TWONN_SAMPLE_LIMIT)
     rows = emb.collect()  # bounded by construction (gate above)
+    if not rows:  # empty corpus: no neighbors, no estimator -> empty, typed
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, nn1_id bigint, nn2_id bigint, d1 double, "
+            "d2 double, mu double, d_hat double",
+        )
     ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     sq = (mat * mat).sum(axis=1)
@@ -1614,6 +1666,12 @@ def _mmr_local(emb: DataFrame) -> DataFrame:
     import numpy as np
 
     rows_in = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    if not rows_in:  # empty corpus: nothing to select -> empty, typed
+        return emb.sparkSession.createDataFrame(
+            [],
+            "rank int, vec_id bigint, relevance double, redundancy double, "
+            "mmr_score double",
+        )
     ids = np.asarray([r["vec_id"] for r in rows_in], dtype=np.int64)
     m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows_in])
     nrm = np.linalg.norm(m, axis=1)
@@ -1625,7 +1683,9 @@ def _mmr_local(emb: DataFrame) -> DataFrame:
     selected: list[int] = []
     sel_mat = np.zeros((0, m.shape[1]), dtype=np.float64)
     out_rows = []
-    for rank in range(1, MMR_K + 1):
+    # a sub-K corpus yields one row per AVAILABLE vector (both paths cap
+    # identically, so the equivalence pin holds on degenerate slices too)
+    for rank in range(1, min(MMR_K, len(ids)) + 1):
         red = (m @ sel_mat.T).max(axis=1) if len(sel_mat) else np.zeros(len(m))
         mmr = np.round(MMR_LAMBDA * rel_all - (1.0 - MMR_LAMBDA) * red, 6)
         keep = ~np.isin(ids, selected)
@@ -1664,6 +1724,13 @@ def _mmr_distributed(emb: DataFrame) -> DataFrame:
     unit = emb.select("vec_id", "embedding").mapInPandas(
         normalize, "vec_id bigint, unit array<double>"
     ).localCheckpoint()  # consumed K+1 times across the greedy rounds
+    first_unit = unit.select("unit").first()
+    if first_unit is None:  # forced-distributed on an empty frame
+        return emb.sparkSession.createDataFrame(
+            [],
+            "rank int, vec_id bigint, relevance double, redundancy double, "
+            "mmr_score double",
+        )
 
     # Corpus mean direction = the relevance anchor (1-row aggregate).
     # Components go through 12dp rounding + DECIMAL(28,18) (the x20
@@ -1671,7 +1738,7 @@ def _mmr_distributed(emb: DataFrame) -> DataFrame:
     # double SUM varies with partial-merge order by ~1 ulp, enough to
     # flip a 6dp-rounded score sitting on a rounding boundary and make
     # the greedy picks run-dependent.
-    dim = len(unit.select("unit").first()["unit"])
+    dim = len(first_unit["unit"])
     mean_row = unit.select(
         *[
             F.sum(F.round(F.col("unit")[i], 12).cast("decimal(28,18)"))
@@ -1733,6 +1800,8 @@ def _mmr_distributed(emb: DataFrame) -> DataFrame:
             .limit(1)
             .first()
         )
+        if win is None:  # sub-K corpus: every vector already selected —
+            break  # the local path's min(K, n) cap, expressed as exhaustion
         selected_ids.append(win["vec_id"])
         picked_unit = np.asarray(win["unit"], dtype=np.float64)
         selected_mat = np.vstack([selected_mat, picked_unit[None, :]])
@@ -1815,6 +1884,12 @@ def x99_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()  # bounded query set rides the closure (x03 convention)
     )
+    if not qrows:  # empty corpus/slice: no queries -> empty eval, typed
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, trunc_dim int, overlap_at_k bigint, "
+            "recall_at_k double",
+        )
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     full_dim = qmat.shape[1]

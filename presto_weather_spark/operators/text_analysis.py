@@ -3709,6 +3709,10 @@ def x89_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     n_docs = int(stats["n"])
+    if n_docs == 0:  # empty corpus: no postings -> empty ranking, typed
+        return spark.createDataFrame(
+            [], "query_id int, doc_id bigint, bm25 double, doc_rank int"
+        )
     avgdl = float(stats["s"]) / n_docs
 
     qt = spark.createDataFrame(list(BM25_QUERIES), "query_id int, term string")
@@ -3824,6 +3828,10 @@ def train_weak_label_lr(
         *[F.avg(c).alias(f"m_{c}") for c in LR_FEATURES],
         *[F.stddev_pop(c).alias(f"s_{c}") for c in LR_FEATURES],
     ).collect()[0]
+    if stats[f"m_{LR_FEATURES[0]}"] is None:
+        # empty corpus: nothing to standardize or train on — zero weights,
+        # empty loss trace, empty (persisted-for-contract) feature frame
+        return raw.limit(0).persist(), [0.0] * (len(LR_FEATURES) + 1), []
     feats = raw.select(
         "doc_id",
         "y",
@@ -4246,6 +4254,12 @@ def x93_doremi_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losses = [r[3] for r in rows]
     k = len(rows)
+    if k == 0:  # empty corpus: no domains to reweight -> empty, typed
+        return spark.createDataFrame(
+            [],
+            "lang string, source string, n_docs bigint, loss double, "
+            "weight double",
+        )
     w_vec = [1.0 / k] * k
     for _ in range(DOREMI_ROUNDS):
         mu = math.fsum(wi * li for wi, li in zip(w_vec, losses))
@@ -5455,6 +5469,11 @@ def x147_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt, nr, v = vocab.agg(
         F.sum("ct"), F.sum("cr"), F.count(F.lit(1))
     ).first()
+    if nt is None:  # empty corpus: no vocabulary, no LM -> empty, typed
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_tokens bigint, log_weight double, "
+            "dsir_gate string"
+        )
     lr = vocab.select(
         "term",
         F.log(
@@ -5585,6 +5604,11 @@ def x148_dsir_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     nt, nr = feat.agg(F.sum("ct"), F.sum("cr")).first()
+    if nt is None:  # empty corpus -> empty hashed-feature scoring, typed
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_features bigint, log_weight double, "
+            "dsir_gate string"
+        )
     lr = feat.select(
         "b",
         F.log(

@@ -592,8 +592,10 @@ def s24_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        # localCheckpoint so the returned frame outlives the tmp cleanup
-        return spark.read.parquet(sink_dir).localCheckpoint()
+        # localCheckpoint so the returned frame outlives the tmp cleanup;
+        # explicit schema: an empty stream commits no part files and
+        # inference would fail (the s02b read-back convention)
+        return spark.read.schema(out.schema).parquet(sink_dir).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -822,6 +824,12 @@ def s14n_stream_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not _os.path.isdir(mv_path):
+        # an EMPTY stream triggers no batch, so the MV was never created:
+        # the view over nothing is the empty view, typed
+        return spark.createDataFrame(
+            [], "day string, event_type string, n_events bigint, sum_value double"
+        )
     return (
         spark.read.parquet(mv_path)
         .select(

@@ -1,0 +1,51 @@
+"""Every registered key must survive a schema-correct EMPTY corpus (round 9).
+
+A 100-TB pipeline feeds operators empty slices constantly — an empty
+language partition, a filter that matches nothing, a fresh ingest hour.
+Before this sweep, 28 of 322 keys crashed on driver-local model paths
+(np.stack of zero rows, float(None) corpus scalars, 1/0 renormalizers)
+or empty-write parquet round-trips (no part files -> schema inference
+failure). The contract pinned here: empty in -> either an EMPTY result or
+a meaningful degenerate (zero counters, NULL stats) — never an exception.
+
+One test loops all keys (not parametrized: one Spark session, one empty
+fixture, sub-5-minute wall) and reports every violator at once.
+"""
+
+from __future__ import annotations
+
+import os
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def test_every_key_survives_an_empty_corpus(spark, sf_dir, tmp_path_factory):
+    from presto_weather_spark.registry import all_queries
+
+    out = str(tmp_path_factory.mktemp("pws_sf0"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+    failures: list[str] = []
+    for name, q in sorted(all_queries().items()):
+        try:
+            q.fn(spark, out).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
+    assert not failures, (
+        f"{len(failures)} key(s) crash on an empty corpus:\n" + "\n".join(failures)
+    )
