@@ -722,14 +722,18 @@ def _pq_codebooks(sample: np.ndarray) -> np.ndarray:
     across runs, no RNG."""
     n, dim = sample.shape
     sub = dim // PQ_M
-    books = np.empty((PQ_M, PQ_K, sub))
+    # a training set smaller than PQ_K can only support n distinct
+    # codewords — cap the codebook instead of broadcasting into garbage
+    # (standard PQ practice: k <= n_train)
+    n_codes = min(PQ_K, n)
+    books = np.empty((PQ_M, n_codes, sub))
     for m in range(PQ_M):
         x = sample[:, m * sub : (m + 1) * sub]
-        c = x[:PQ_K].copy()
+        c = x[:n_codes].copy()
         for _ in range(PQ_ITERS):
             d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            for k in range(PQ_K):
+            for k in range(n_codes):
                 mask = assign == k
                 if mask.any():
                     c[k] = x[mask].mean(axis=0)
@@ -1543,6 +1547,13 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cand_d2 = d2m[i][mask]
                 cand_id = ids[mask]
                 k = min(K_EXACT, len(cand_id))
+                if k == 0:  # singleton corpus: a point with no neighbors
+                    out["vec_id"].append(batch_ids[i])
+                    out["nn1_id"].append(None)
+                    out["nn2_id"].append(None)
+                    out["d1"].append(None)
+                    out["d2"].append(None)
+                    continue
                 near = np.argpartition(cand_d2, k - 1)[:k]
                 diff = mat[mask][near] - bm[i][None, :]
                 exact = np.round(np.sqrt((diff * diff).sum(axis=1)), 6)
@@ -1551,9 +1562,13 @@ def x94_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 order = np.lexsort((cand_id[near], exact))
                 out["vec_id"].append(batch_ids[i])
                 out["nn1_id"].append(cand_id[near][order[0]])
-                out["nn2_id"].append(cand_id[near][order[1]])
+                # a 2-point corpus has no 2nd neighbor: nn2/d2 are NULL,
+                # mu stays NULL, and the point drops from the MLE — the
+                # same rows the oracle's MAX(CASE WHEN rn = 2 ...) yields
+                has2 = len(order) > 1
+                out["nn2_id"].append(cand_id[near][order[1]] if has2 else None)
                 out["d1"].append(exact[order[0]])
-                out["d2"].append(exact[order[1]])
+                out["d2"].append(exact[order[1]] if has2 else None)
             yield pd.DataFrame(out)
 
     nn = emb.select("vec_id", "embedding").mapInPandas(

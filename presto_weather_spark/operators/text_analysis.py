@@ -3584,14 +3584,19 @@ def x79_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(grand))
         .groupBy("source", "n_s", "n")
         .agg(
+            # try_divide: a single-source corpus has an EMPTY "rest"
+            # distribution (n - n_s = 0) — KS vs nothing is undefined,
+            # NULL in both engines (DuckDB x/0 is NULL), not a crash
             F.round(
-                F.max(
-                    F.abs(
-                        F.col("cum_s") * (F.col("n") - F.col("n_s"))
-                        - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
-                    ).cast("double")
-                )
-                / (F.col("n_s").cast("double") * (F.col("n") - F.col("n_s"))),
+                F.try_divide(
+                    F.max(
+                        F.abs(
+                            F.col("cum_s") * (F.col("n") - F.col("n_s"))
+                            - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+                        ).cast("double")
+                    ),
+                    F.col("n_s").cast("double") * (F.col("n") - F.col("n_s")),
+                ),
                 6,
             ).alias("ks_stat")
         )
