@@ -79,6 +79,32 @@ def scratch_root() -> str:
     return _SCRATCH_ROOT
 
 
+def grand_total_if_empty(inp, out, row: tuple):
+    """Standard-SQL empty-input semantics for grouping sets (round-10
+    degenerate-parity find): Spark's Expand-based rollup/cube emits ZERO
+    rows on empty input, while the SQL standard's () grouping set — and
+    DuckDB/Postgres — aggregate the empty table into ONE grand-total row
+    (COUNT 0, NULL sums). Same for per-column profile reports, which must
+    still list their columns over an empty table.
+
+    Append the constant degenerate row(s) iff the aggregation INPUT is
+    empty: the marker is a limit(1) probe of the input (LocalLimit stops
+    each scan task at the first row — O(1) work at any corpus size, the
+    x94 limit-probe pattern), anti-joined against the constant row so no
+    driver action runs and the plan stays fully declarative. At normal
+    scale the anti-join kills the constant branch and the result is
+    untouched.
+
+    ``row``: one tuple matching out.schema (or a list of tuples for
+    multi-row degenerates like the per-column profile)."""
+    rows = row if isinstance(row, list) else [row]
+    grand = out.sparkSession.createDataFrame(rows, out.schema)
+    marker = inp.select(F.lit(1).alias("__present")).limit(1)
+    return out.unionByName(
+        grand.join(F.broadcast(marker), F.lit(True), "left_anti")
+    )
+
+
 def distributed_global_rank(df, order_exprs, out_col: str = "global_rn"):
     """Total-order global row numbering WITHOUT a single-reducer window —
     the s74 two-pass pattern (Spark's zipWithIndex over DataFrames),

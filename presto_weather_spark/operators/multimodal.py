@@ -70,14 +70,18 @@ GROUP BY CUBE (lang, source)
     "the dataset-card summary query.",
 )
 def x06_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.operators._util import grand_total_if_empty
+
     d = load_table(spark, sf_dir, "documents")
-    return d.cube("lang", "source").agg(
+    out = d.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.sum("n_chars").alias("total_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+    # standard-SQL () grouping set on empty input (see grand_total_if_empty)
+    return grand_total_if_empty(d, out, (None, None, 0, None, None, None, None))
 
 
 # ---------------------------------------------------------------------------

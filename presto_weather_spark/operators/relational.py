@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from presto_weather_spark.operators._util import dec, dsum, scratch_root, sql_dsum
+from presto_weather_spark.operators._util import (
+    dec,
+    dsum,
+    grand_total_if_empty,
+    scratch_root,
+    sql_dsum,
+)
 from presto_weather_spark.registry import register
 from presto_weather_spark.session import load_table
 
@@ -132,17 +138,16 @@ def s05b_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal",
         )
     )
-    return (
-        joined.rollup("region_name", "nation_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            dsum(F.col("c_acctbal")).alias("total_acctbal"),
-            (
-                F.grouping(F.col("region_name")).cast("int")
-                + F.grouping(F.col("nation_name")).cast("int")
-            ).alias("grouping_level"),
-        )
+    out = joined.rollup("region_name", "nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        (
+            F.grouping(F.col("region_name")).cast("int")
+            + F.grouping(F.col("nation_name")).cast("int")
+        ).alias("grouping_level"),
     )
+    # standard-SQL () grouping set on empty input (see grand_total_if_empty)
+    return grand_total_if_empty(joined, out, (None, None, 0, None, 2))
 
 
 @register(
@@ -159,10 +164,12 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 )
 def s05c_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    out = o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+    # standard-SQL () grouping set on empty input (see grand_total_if_empty)
+    return grand_total_if_empty(o, out, (None, None, 0, None))
 
 
 @register(
@@ -1652,7 +1659,7 @@ FROM (
 )
 def s05m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return (
+    out = (
         e.select(
             # Integer field extraction + lpad beats three DateTimeFormatter
             # passes per row; output strings are identical for 4-digit years.
@@ -1674,6 +1681,8 @@ def s05m_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+    # standard-SQL () grouping set on empty input (see grand_total_if_empty)
+    return grand_total_if_empty(e, out, ("ALL", "ALL", "ALL", 0, None))
 
 def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The s23 join with runtime-bloom-filter-friendly shape: selective
@@ -2194,9 +2203,9 @@ def s31_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s32_observed_metrics",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) > 5
-                 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+       CAST(COALESCE(SUM(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) > 5
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_discounted,
+       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_qty
 FROM lineitem
 WHERE l_returnflag IN ('A', 'R')
 """,
@@ -3398,11 +3407,17 @@ def s52_column_profile(
     lvl1 = unp.groupBy("column_name", "vnum", "vstr", "vts").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return lvl1.groupBy("column_name").agg(
+    out = lvl1.groupBy("column_name").agg(
         F.sum(F.when(isnull, F.col("cnt")).otherwise(0)).alias("n_nulls"),
         F.count(F.when(~isnull, 1)).alias("n_distinct"),
         mins.alias("min_value"),
         maxs.alias("max_value"),
+    )
+    # a profile of an EMPTY table still lists its columns with zero
+    # counters and NULL min/max (the oracle's UNION-of-global-aggregates
+    # shape) — see grand_total_if_empty
+    return grand_total_if_empty(
+        li, out, [(c, 0, 0, None, None) for c, _ in PROFILE_COLUMNS]
     )
 
 

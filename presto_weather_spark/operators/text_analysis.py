@@ -825,8 +825,15 @@ def x25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOP_K_TERMS = 5  # top-5 counts are tie-free at every shipped sf; ties below
-# the cutoff don't affect the returned SET (compare is order-insensitive)
+TOP_K_TERMS = 5
+# The sketch tracks far more items than it returns so the top-k cut can be
+# re-ranked under a deterministic (count DESC, term ASC) total order —
+# count ties AT the boundary (guaranteed on degenerate corpora, where every
+# term counts 1) then resolve identically in both engines. TRACK bounds the
+# sketch map AND the one-row result array; vocab above TRACK means the
+# counts themselves are approximate and the exact oracle no longer applies
+# (not the shipped-fixture regime, per the x26 doc).
+X26_TRACK = 10000
 
 
 @register(
@@ -839,7 +846,7 @@ freq AS (
   SELECT term, count(*) AS est_count FROM toks WHERE term <> '' GROUP BY term
 )
 SELECT term, CAST(est_count AS BIGINT) AS est_count
-FROM freq ORDER BY est_count DESC LIMIT {TOP_K_TERMS}
+FROM freq ORDER BY est_count DESC, term LIMIT {TOP_K_TERMS}
 """,
     doc="X26: heavy-hitter terms via Spark 4's approx_top_k frequent-items "
     "sketch — the mergeable one-pass path to 'most common tokens' over a "
@@ -857,9 +864,32 @@ def x26_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(_tokens()).alias("term"))
         .filter(F.col("term") != "")
     )
+    # Ask the sketch for its full tracked map (one bounded array in a 1-row
+    # aggregate), re-rank under the engine-independent (count DESC, term
+    # ASC) order with an array_sort comparator — no window, no shuffle —
+    # then slice the top k. approx_top_k's own tie order among equal counts
+    # is map-iteration-dependent, which diverged from the oracle on a
+    # singleton corpus (every term counts 1 — the round-10 parity find).
     return (
-        toks.agg(F.expr(f"approx_top_k(term, {TOP_K_TERMS})").alias("tk"))
-        .select(F.explode("tk").alias("e"))
+        toks.agg(
+            F.expr(f"approx_top_k(term, {X26_TRACK}, {X26_TRACK})").alias("tk")
+        )
+        .select(
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "array_sort(tk, (a, b) -> CASE"
+                        " WHEN a.count > b.count THEN -1"
+                        " WHEN a.count < b.count THEN 1"
+                        " WHEN a.item < b.item THEN -1"
+                        " WHEN a.item > b.item THEN 1"
+                        " ELSE 0 END)"
+                    ),
+                    1,
+                    TOP_K_TERMS,
+                )
+            ).alias("e")
+        )
         .select(F.col("e.item").alias("term"), F.col("e.count").alias("est_count"))
     )
 
@@ -1003,11 +1033,14 @@ binned AS (
   SELECT e.event_type,
          CASE WHEN epoch(e.ts) * 2 <= epoch(b.t0) + epoch(b.t1)
               THEN 'ref' ELSE 'cur' END AS period,
-         least(CAST((CAST(round(e.value * 100) AS BIGINT)
+         CASE WHEN CAST(round(b.v1 * 100) AS BIGINT)
+                   = CAST(round(b.v0 * 100) AS BIGINT)
+              THEN 0  -- degenerate range (all values equal): one bin
+              ELSE least(CAST((CAST(round(e.value * 100) AS BIGINT)
                       - CAST(round(b.v0 * 100) AS BIGINT)) * {PSI_BINS}
                      // (CAST(round(b.v1 * 100) AS BIGINT)
                          - CAST(round(b.v0 * 100) AS BIGINT)) AS INT),
-               {PSI_BINS - 1}) AS bin
+               {PSI_BINS - 1}) END AS bin
   FROM events e CROSS JOIN bounds b
 ),
 spine AS (
@@ -1071,12 +1104,20 @@ def x30_psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("cur")
         .alias("period"),
-        F.least(
-            F.expr(
-                f"CAST(({cents} - {c0}) * {PSI_BINS} DIV ({c1} - {c0}) AS INT)"
-            ),
-            F.lit(PSI_BINS - 1),
-        ).alias("bin"),
+        # degenerate range (all values equal, e.g. a 1-row shard): the
+        # divisor (c1 - c0) is 0 and ANSI DIV raises — route every row to
+        # bin 0 instead (CASE branches evaluate lazily in codegen, so the
+        # DIV never runs when guarded)
+        F.when(F.expr(f"{c1} = {c0}"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.expr(
+                    f"CAST(({cents} - {c0}) * {PSI_BINS} DIV ({c1} - {c0}) AS INT)"
+                ),
+                F.lit(PSI_BINS - 1),
+            )
+        )
+        .alias("bin"),
     )
     counts = (
         binned.groupBy("event_type", "bin")

@@ -36,18 +36,47 @@ from presto_weather_spark.session import load_table
 WINDOW_SECONDS = 6 * 3600  # 6-hour tumbling windows over the events fixture
 
 
+def _stage_stream_dir(path: str) -> str:
+    """Stage a parquet TABLE (bare file or directory of part files) as a
+    directory of file symlinks for the file-stream source.
+
+    The file source lists FILES in the given directory and does not
+    recurse: symlinking a directory-shaped table (the normal production
+    layout, and what Spark's own writers produce) made the stream silently
+    read ZERO rows — the round-10 degenerate-parity find. So: a bare file
+    (the read-only testdata layout) symlinks as itself; a directory
+    symlinks each of its part files. The stage name folds in the part-file
+    listing, so a rewritten table (new part names) gets a fresh stage
+    instead of dangling stale links."""
+    import hashlib
+
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    else:
+        parts = None
+    token = hashlib.md5(repr((path, parts)).encode()).hexdigest()[:16]
+    stage = f"/tmp/pws_stream_{token}"
+    os.makedirs(stage, exist_ok=True)
+    if parts is None:
+        link = os.path.join(stage, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    else:
+        for f in parts:
+            link = os.path.join(stage, f)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(path, f), link)
+    return stage
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema from batch read)."""
     path = os.path.join(sf_dir, "events.parquet")
     from presto_weather_spark.session import _normalize_nanos, _prepare_parquet_read
 
-    # The file-stream source wants a directory; stage a symlink dir (the
-    # read-only testdata layout is one bare file per table).
-    stage = f"/tmp/pws_stream_{abs(hash(path))}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage = _stage_stream_dir(path)
     nanos_cols = _prepare_parquet_read(spark, path)
     schema = spark.read.parquet(path).schema  # raw on-disk schema (long/NTZ)
     return _normalize_nanos(spark.readStream.schema(schema).parquet(stage), nanos_cols)
@@ -672,8 +701,8 @@ def s14k_stream_window_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s14l_stream_observed_metrics",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(COALESCE(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_high,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_value
 FROM events
 """,
     doc="S14l: STREAMING observed metrics — df.observe() on a streaming "
@@ -933,11 +962,7 @@ def s14o_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (schema from batch)."""
     path = os.path.join(sf_dir, "documents.parquet")
-    stage = f"/tmp/pws_stream_{abs(hash(path))}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    stage = _stage_stream_dir(path)
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(stage)
 
@@ -1059,6 +1084,151 @@ def s14p_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         emitted.withColumn("max_seen", F.max("n_seen").over(latest))
         .filter(F.col("n_seen") == F.col("max_seen"))
         .select("source", "doc_id", "n_chars", "aes_key", "sample_rank")
+    )
+
+
+SQ_SAMPLE_K = 256  # retained bottom-k hash sample per event_type
+# quantile probes as EXACT integer rationals (numerator, denominator) so the
+# sample rank ceil(q * k) is integer arithmetic in both engines
+SQ_QS = ((1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+
+
+def sample_quantiles_stream_fold(key, pdfs, state):
+    """s14r's GroupState fold, module-level so state-bound tests can
+    re-drive it under controlled micro-batching. The md5 sample key
+    arrives as the JVM-computed ``hkey`` column (one codegen expression
+    per row beats a per-row Python hashlib loop ~30x)."""
+    import pandas as pd
+
+    (event_type,) = key
+    if state.exists:
+        ids, keys, vals, seen = state.get
+        ids, keys, vals = list(ids), list(keys), list(vals)
+    else:
+        ids, keys, vals, seen = [], [], [], 0
+    for pdf in pdfs:
+        seen += len(pdf)
+        for eid, hk, val in zip(pdf["event_id"], pdf["hkey"], pdf["value"]):
+            ids.append(int(eid))
+            keys.append(str(hk))
+            vals.append(float(val))
+        order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))[
+            :SQ_SAMPLE_K
+        ]
+        ids = [ids[i] for i in order]
+        keys = [keys[i] for i in order]
+        vals = [vals[i] for i in order]
+    state.update((ids, keys, vals, seen))
+    k = len(vals)
+    if k == 0:
+        return
+    svals = sorted(vals)
+    rows = {"event_type": [], "q": [], "est_value": [], "n_sample": [], "n_seen": []}
+    for num, den in SQ_QS:
+        r = max((num * k + den - 1) // den, 1)  # ceil(q*k), integer-exact
+        rows["event_type"].append(event_type)
+        rows["q"].append(num / den)
+        rows["est_value"].append(svals[r - 1])
+        rows["n_sample"].append(k)
+        rows["n_seen"].append(seen)
+    yield pd.DataFrame(rows)
+
+
+@register(
+    "s14r_stream_sample_quantiles",
+    # The bottom-k hash sample is a MERGEABLE MINIMUM (top-k of a union =
+    # top-k of per-part top-k's, the s14p/x109 argument), so the stream
+    # result is byte-identical to the batch query under ANY batching — a
+    # stateful streaming QUANTILE operator with a full SQL oracle, the
+    # hash-green sibling the rows-only s14o/x100 sketch family lacked
+    # (round-9 verdict task #4).
+    oracle=f"""
+WITH keyed AS (
+  SELECT event_type, event_id, value,
+         md5('sq:' || CAST(event_id AS VARCHAR)) AS hkey
+  FROM events
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hkey, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_seen
+  FROM keyed
+),
+sample AS (
+  SELECT event_type, value, n_seen FROM ranked WHERE rk <= {SQ_SAMPLE_K}
+),
+vr AS (
+  SELECT event_type, value, n_seen,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vrank,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_sample
+  FROM sample
+),
+qs(qn, qd) AS (VALUES {', '.join(f'({n}, {d})' for n, d in SQ_QS)})
+SELECT v.event_type,
+       CAST(qs.qn AS DOUBLE) / qs.qd AS q,
+       v.value AS est_value,
+       CAST(v.n_sample AS INT) AS n_sample,
+       CAST(v.n_seen AS BIGINT) AS n_seen
+FROM vr v JOIN qs
+  ON v.vrank = greatest((qs.qn * v.n_sample + qs.qd - 1) // qs.qd, 1)
+""",
+    doc="S14r: STREAMING sample quantiles with a FULL SQL oracle — the "
+    "hash-verified sibling of the rows-only s14o sketch (round-9 verdict "
+    "task #4): per event_type, GroupState retains the k=256 rows with "
+    "the SMALLEST md5('sq:'||event_id) keys (a bottom-k hash sample — "
+    "uniform without coordination, and a mergeable minimum: bottom-k of "
+    "a union is the bottom-k of per-batch bottom-k's, Efraimidis-"
+    "Spirakis §3 symmetric to s14p's top-k), and each update emits the "
+    "sample order statistics at q in {{0.1..0.99}}, rank ceil(q*k) "
+    "computed as the exact integer rational (qn*k + qd - 1) DIV qd in "
+    "BOTH engines — no float rank anywhere, values pass through "
+    "untouched from parquet. Because the retained set is a pure "
+    "function of event_ids (batching- and order-independent), the "
+    "stream result is byte-identical to the batch/oracle query — "
+    "unlike a compaction sketch, whose summary depends on batch "
+    "boundaries. State per key is k (id, key, value) triples, constant "
+    "in stream length; sample error is the classic O(1/sqrt(k)) rank "
+    "error with high probability. The final filter keeps the newest "
+    "emission per key (max n_seen), the s14p presentation contract.",
+)
+def s14r_stream_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window as W
+
+    stream = events_stream(spark, sf_dir)
+
+    out = (
+        stream.select(
+            "event_type",
+            "event_id",
+            "value",
+            # the sample key, JVM-side (same expression as the oracle)
+            F.md5(
+                F.concat(F.lit("sq:"), F.col("event_id").cast("string"))
+            ).alias("hkey"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            sample_quantiles_stream_fold,
+            outputStructType=(
+                "event_type string, q double, est_value double, "
+                "n_sample int, n_seen long"
+            ),
+            stateStructType=(
+                "ids array<long>, keys array<string>, "
+                "vals array<double>, seen long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = _run_to_memory(out, "update")
+    latest = W.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    return (
+        emitted.withColumn("max_seen", F.max("n_seen").over(latest))
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("event_type", "q", "est_value", "n_sample", "n_seen")
     )
 
 

@@ -300,7 +300,9 @@ def _write_docs(spark, rows, name):
     import os
     import tempfile
 
-    out = os.path.join(tempfile.gettempdir(), name)
+    import uuid
+
+    out = os.path.join(tempfile.gettempdir(), f"{name}_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(

@@ -1,20 +1,34 @@
-"""Every registered key must survive a schema-correct EMPTY corpus (round 9).
+"""Every registered key must survive — AND stay oracle-correct on — the
+degenerate corpus sizes n in {0, 1, 2} (round 9 crash sweep, upgraded to
+full driver parity in round 10).
 
 A 100-TB pipeline feeds operators empty slices constantly — an empty
-language partition, a filter that matches nothing, a fresh ingest hour.
-Before this sweep, 28 of 322 keys crashed on driver-local model paths
-(np.stack of zero rows, float(None) corpus scalars, 1/0 renormalizers)
-or empty-write parquet round-trips (no part files -> schema inference
-failure). The contract pinned here: empty in -> either an EMPTY result or
-a meaningful degenerate (zero counters, NULL stats) — never an exception.
+language partition, a filter that matches nothing, a fresh ingest hour —
+and just-barely-nonempty ones at shard boundaries: a point with no 2nd
+neighbor (TwoNN), a PQ training set smaller than the codebook, a
+single-source corpus whose "rest" distribution is empty (KS drift).
 
-One test loops all keys (not parametrized: one Spark session, one empty
-fixture, sub-5-minute wall) and reports every violator at once.
+Round 9 pinned crash-survival only (q.fn(...).count() does not raise) and
+that gap let a real divergence through: x94's singleton branch emitted a
+(vec_id, NULL, ...) row while its oracle's self-join yields ZERO rows for
+a 1-vector corpus (round-9 ADVICE, medium). So this sweep now runs the
+EXACT driver comparison (row count + sorted column names + normalized
+values, conftest.driver_norm == tools/drive_contract.py:43) against the
+DuckDB oracle for every oracle-bearing key at each n; rows-only keys keep
+the crash-survival contract.
+
+One test per fixture-size group (not parametrized per key: one Spark
+session, one fixture, one DuckDB connection) reporting every violator at
+once.
 """
 
 from __future__ import annotations
 
 import os
+
+import duckdb
+
+from conftest import driver_norm
 
 TABLES = (
     "region",
@@ -30,51 +44,76 @@ TABLES = (
 )
 
 
-def test_every_key_survives_an_empty_corpus(spark, sf_dir, tmp_path_factory):
-    from presto_weather_spark.registry import all_queries
-
-    out = str(tmp_path_factory.mktemp("pws_sf0"))
+def _write_fixture(spark, sf_dir: str, out: str, n: int) -> None:
     for t in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+        df.limit(n).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
 
-    failures: list[str] = []
-    for name, q in sorted(all_queries().items()):
+
+def _oracle_con(out: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes a directory per table; glob the part files. An empty
+        # write still carries schema (single schema-bearing part file).
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(out, t + '.parquet')}/*.parquet')"
+        )
+    return con
+
+
+def _sweep(spark, out: str, n: int, failures: list[str]) -> None:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = _oracle_con(out)
+    for name, fn in sorted(qs.items()):
         try:
-            q.fn(spark, out).count()
+            sdf = fn(spark, out).toPandas()
         except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:90]}")
+            failures.append(
+                f"n={n} {name}: CRASH {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:90]}"
+            )
+            continue
+        if name not in oracles:
+            continue  # rows-only contract: crash-survival is the pin
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(
+                f"n={n} {name}: ORACLE-CRASH {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:90]}"
+            )
+            continue
+        if len(sdf) != len(ddf):
+            failures.append(f"n={n} {name}: ROWS {len(sdf)} vs oracle {len(ddf)}")
+        elif sorted(sdf.columns) != sorted(ddf.columns):
+            failures.append(f"n={n} {name}: SCHEMA {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        elif driver_norm(sdf) != driver_norm(ddf):
+            failures.append(f"n={n} {name}: VALUES diverge ({len(sdf)} rows)")
+    con.close()
+
+
+def test_every_key_survives_an_empty_corpus(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pws_sf0"))
+    _write_fixture(spark, sf_dir, out, 0)
+    failures: list[str] = []
+    _sweep(spark, out, 0, failures)
     assert not failures, (
-        f"{len(failures)} key(s) crash on an empty corpus:\n" + "\n".join(failures)
+        f"{len(failures)} key(s) wrong on an empty corpus:\n" + "\n".join(failures)
     )
 
 
 def test_every_key_survives_singleton_and_pair_corpora(spark, sf_dir, tmp_path_factory):
-    # n=1 and n=2 are the degenerate sizes BETWEEN empty and normal: a
-    # point with no 2nd neighbor (TwoNN), a PQ training set smaller than
-    # the codebook, a single-source corpus whose "rest" distribution is
-    # empty (KS drift) — each caught a real crash in round 9. Empty-in is
-    # covered above; these pin the just-barely-nonempty contract.
-    from presto_weather_spark.registry import all_queries
-
     failures: list[str] = []
     for n in (1, 2):
         out = str(tmp_path_factory.mktemp(f"pws_sf_tiny{n}"))
-        for t in TABLES:
-            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-            df.limit(n).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(out, f"{t}.parquet")
-            )
-        for name, q in sorted(all_queries().items()):
-            try:
-                q.fn(spark, out).count()
-            except Exception as e:  # noqa: BLE001
-                failures.append(
-                    f"n={n} {name}: {type(e).__name__}: "
-                    f"{str(e).splitlines()[0][:90]}"
-                )
+        _write_fixture(spark, sf_dir, out, n)
+        _sweep(spark, out, n, failures)
     assert not failures, (
-        f"{len(failures)} key(s) crash on tiny corpora:\n" + "\n".join(failures)
+        f"{len(failures)} key(s) wrong on tiny corpora:\n" + "\n".join(failures)
     )

@@ -8,6 +8,8 @@ stubbed image/video paths cannot exercise.
 
 from __future__ import annotations
 
+import uuid
+
 import wave
 
 import pytest
@@ -88,7 +90,7 @@ def test_loudness_screen_gates_planted_amplitudes(spark):
         (1, "mmmmmmmm", "en", "s", 8),           # |s| = (109-128)*256 -> 4864
         (2, "a b c d e f g h", "en", "s", 15),   # spaces spike to 24576
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_loudness")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_loudness_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))

@@ -11,6 +11,8 @@ per-example Spark job.
 
 from __future__ import annotations
 
+import uuid
+
 import math
 
 from hypothesis import given, settings
@@ -136,7 +138,7 @@ def test_chunk_dedup_flags_planted_duplicates(spark):
         (2, dup_text, "en", "src1", len(dup_text)),
         (3, "totally different unique content with its own words entirely", "en", "src0", 61),
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_chunkdedup")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_chunkdedup_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -167,7 +169,7 @@ def test_compression_ratio_gates_planted_repetition(spark):
         (1, "spam ham " * 200, "en", "src0", 1800),
         (2, noisy, "en", "src1", len(noisy)),
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_compress")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_compress_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -930,7 +932,7 @@ def test_heaps_cumulatives_hand_computed(spark):
         (2, "a b e f g h", "en", "s1", 11),     # 6 tokens, 4 new
         (3, "a a a b c d e f", "en", "s0", 15), # 8 tokens, 0 new
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_heaps")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_heaps_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -978,7 +980,7 @@ def test_entropy_screen_tie_and_degenerate_docs(spark):
         (3, "spam spam spam spam spam spam", "en", "src0", 29),  # H=0 -> drop
         (4, "w x y z", "en", "src0", 7),           # uniform -> keep
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_entropy")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_entropy_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -1005,7 +1007,7 @@ def test_kappa_degenerate_and_known_value(spark):
     gibberish = "qqq www eee rrr ttt yyy uuu iii"      # 0 stopwords -> 'other'
 
     # Degenerate: every doc is (en, en) -> po=pe=1 -> kappa=1.0 exactly.
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_kappa1")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_kappa1_{uuid.uuid4().hex}")
     spark.createDataFrame(
         [(i, stopword_dense, "en", "src0", len(stopword_dense)) for i in range(4)],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -1023,7 +1025,7 @@ def test_kappa_degenerate_and_known_value(spark):
         (5, gibberish, "es", "src0", 1),        # (other, other)
         (6, gibberish, "fr", "src0", 1),        # (other, other)
     ]
-    out2 = os.path.join(tempfile.gettempdir(), "pws_prop_kappa2")
+    out2 = os.path.join(tempfile.gettempdir(), f"pws_prop_kappa2_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out2, "documents.parquet"))
@@ -1048,7 +1050,7 @@ def test_ccnet_buckets_order_and_mass(spark):
         rows.append((i, common.strip(), "en", "src0", 1))
     rows.append((4, "common common rareish tokens here", "en", "src0", 1))
     rows.append((5, "utterly unseen vocabulary everywhere now", "en", "src0", 1))
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_ccnet")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_ccnet_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -1086,7 +1088,7 @@ def test_triangle_count_planted_clique_and_chain(spark):
         (5, b + " " + c, "en", "s", 1),
         (6, c + " violin cello flute oboe harp drum horn tuba", "en", "s", 1),
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_triangles")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_triangles_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -1128,7 +1130,7 @@ def test_canonicalization_planted_unicode(spark):
         (2, dirty, "en", "s", len(dirty)),
         (3, "already clean text", "en", "s", 18),
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_canon")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_canon_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -1203,7 +1205,7 @@ def test_rouge_decontamination_catches_paraphrase(spark):
         (2, near, "en", "s", 1),
         (3, "totally unrelated words only here nothing shared at all", "en", "s", 1),
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_rouge")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_rouge_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
@@ -1229,7 +1231,7 @@ def test_norm_screen_flags_planted_outliers(spark):
     rows = [(i, [1.0, 0.0, 0.0, 0.0], i % 3) for i in range(40)]
     rows.append((100, [0.001, 0.0, 0.0, 0.0], 0))   # near-zero norm
     rows.append((101, [2.0, 0.0, 0.0, 0.0], 1))     # doubled norm
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_normscreen")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_normscreen_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
@@ -1284,7 +1286,7 @@ def test_split_ngram_leakage_short_docs(spark):
         (3, long_doc, "en", "s", len(long_doc)),
         (4, long_doc, "fr", "s", len(long_doc)),      # duplicate content
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_leak_short")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_leak_short_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1314,7 +1316,7 @@ def test_bitext_mining_empty_target_slice(spark):
 
     rows = [(i, f"english only doc {i}", "en", "s", 20) for i in range(6)]
     emb = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_bitext_empty")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_bitext_empty_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1350,7 +1352,7 @@ def test_twonn_sample_gate_is_deterministic(spark, monkeypatch):
         for i in range(120)
         for j in [0]
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_twonn_gate")
+    out = os.path.join(tempfile.gettempdir(), f"pws_prop_twonn_gate_{uuid.uuid4().hex}")
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1377,7 +1379,7 @@ def test_twonn_sample_gate_is_deterministic(spark, monkeypatch):
         tuple(r) for r in all_queries()["x94_twonn_intrinsic_dim"].fn(spark, out).collect()
     )
     assert len(gated) == 50
-    sub = os.path.join(tempfile.gettempdir(), "pws_prop_twonn_gate_sub")
+    sub = os.path.join(tempfile.gettempdir(), f"pws_prop_twonn_gate_sub_{uuid.uuid4().hex}")
     spark.createDataFrame(
         [r for r in rows if r[0] in expect], "vec_id long, embedding array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1472,13 +1474,12 @@ def test_half_away_div_identity(a, b):
     assert got == want, (a, b, got, want)
 
 
-def test_scalar_quantization_exact_half_boundary(spark):
+def test_scalar_quantization_exact_half_boundary(spark, tmp_path):
     # x03e's quantizer at the EXACT half-integer grid point: v = amax/2
     # gives q = 63.5 precisely — the case the trunc(q +- 0.5) rewrite
     # exists for. Both engines must produce identical rows (driver-style
     # comparison) on a planted-boundary corpus, positive and negative.
     import os
-    import tempfile
 
     import duckdb
 
@@ -1490,7 +1491,7 @@ def test_scalar_quantization_exact_half_boundary(spark):
         (1, [4.0, 2.0, -2.0, 1.0, 3.0, 0.0, 2.0, 2.0]),
         (2, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # amax = 0 path
     ]
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_sq_boundary")
+    out = str(tmp_path / "pws_prop_sq_boundary")
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1533,20 +1534,38 @@ def test_banding_recall_gate_fires_when_floor_unreachable(spark, sf_dir, monkeyp
         all_queries()["x02g_banding_recall_gate"].fn(spark, sf_dir).collect()
 
 
-def test_display_floor_guard_fires_on_negative_reading(spark):
+def test_ann_recall_gates_fire_when_floor_unreachable(spark, sf_dir, monkeypatch):
+    # The x03b/x03d/x03f in-engine recall gates (round-9 verdict task #1,
+    # the x02g pattern): prove each raise branch EXECUTES by making the
+    # floor unsatisfiable (> 100% recall required) and expecting the loud
+    # error through the public entry point. sf0.001 carries
+    # N_QUERIES x TOP_K = 40 exact pairs >= the gate's MIN_SUPPORT, so the
+    # gate is live there.
+    import presto_weather_spark.operators.similarity as sim
+    from presto_weather_spark.registry import all_queries
+
+    import pytest as _pytest
+
+    monkeypatch.setattr(sim, "X03_ANN_RECALL_NUM", 11)
+    monkeypatch.setattr(sim, "X03_ANN_RECALL_DEN", 10)
+    for key in ("x03b_lsh_ann_topk", "x03d_ivf_ann_topk", "x03f_pq_ann_topk"):
+        with _pytest.raises(ValueError, match="ann recall gate"):
+            all_queries()[key].fn(spark, sf_dir).collect()
+
+
+def test_display_floor_guard_fires_on_negative_reading(spark, tmp_path):
     # r09_12's positivity guard: a negative reading must raise loudly, not
     # silently shift floor(-3.5) = -4 to trunc = -3 (both engines would
     # move together, invisible to the parity hash — the guard is the only
     # detector). Planted via a one-row events table.
     import os
-    import tempfile
 
     import pytest as _pytest
     from pyspark.sql.utils import AnalysisException  # noqa: F401
 
     from presto_weather_spark.registry import all_queries
 
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_neg_events")
+    out = str(tmp_path / "pws_prop_neg_events")
     spark.createDataFrame(
         [(1, "reading", -3.5, '{"k": 1}', "2026-01-01 00:00:00")],
         "event_id long, event_type string, value double, props string, ts string",
@@ -1560,16 +1579,15 @@ def test_display_floor_guard_fires_on_negative_reading(spark):
         all_queries()["r09_12_display_formatting"].fn(spark, out).collect()
 
 
-def test_price_floor_guard_fires_on_negative_price(spark):
+def test_price_floor_guard_fires_on_negative_price(spark, tmp_path):
     # s11's twin of the r09_12 guard, planted through a minimal lineitem.
     import os
-    import tempfile
 
     import pytest as _pytest
 
     from presto_weather_spark.registry import all_queries
 
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_neg_lineitem")
+    out = str(tmp_path / "pws_prop_neg_lineitem")
     spark.createDataFrame(
         [(1, 1, -10.5, 0.05, 5.0, 0.04)],
         "l_orderkey long, l_linenumber int, l_extendedprice double, "
@@ -1581,21 +1599,17 @@ def test_price_floor_guard_fires_on_negative_price(spark):
         all_queries()["s11_math_functions"].fn(spark, out).collect()
 
 
-def test_wap_failed_audit_keeps_previous_version(spark):
+def test_wap_failed_audit_keeps_previous_version(spark, tmp_path):
     # s41's audit-fail branch executed: a dirty candidate must abort
     # BEFORE publish, and a previously published version must survive
     # byte-for-byte (consumers see old-or-new, never a mix, never a loss).
     import os
-    import tempfile
 
     import pytest as _pytest
 
     from presto_weather_spark.operators.relational import wap_publish
 
-    base = os.path.join(tempfile.gettempdir(), "pws_prop_wap")
-    import shutil
-
-    shutil.rmtree(base, ignore_errors=True)
+    base = str(tmp_path / "pws_prop_wap")
     staging, published = f"{base}/staging", f"{base}/published"
     clean = spark.createDataFrame(
         [(1, 1, "click", 2.5)], "event_id long, user_id long, event_type string, value double"
@@ -1612,21 +1626,19 @@ def test_wap_failed_audit_keeps_previous_version(spark):
     survivors = spark.read.parquet(published).collect()
     assert [tuple(r) for r in survivors] == [(1, 1, "click", 2.5)]
     assert os.path.isdir(staging)
-    shutil.rmtree(base, ignore_errors=True)
 
 
-def test_calibration_guard_fires_on_degenerate_vocabulary(spark):
+def test_calibration_guard_fires_on_degenerate_vocabulary(spark, tmp_path):
     # x141's avg_logprob >= 0 guard: a single-token vocabulary makes every
     # token probability 1.0 -> ln = 0 -> bin 0 would be double-width under
     # truncating DIV. The guard must turn that corpus into a loud error.
     import os
-    import tempfile
 
     import pytest as _pytest
 
     from presto_weather_spark.registry import all_queries
 
-    out = os.path.join(tempfile.gettempdir(), "pws_prop_x141_degen")
+    out = str(tmp_path / "pws_prop_x141_degen")
     rows = [(i, "a", "en", "web", 1) for i in range(10)]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"

@@ -163,6 +163,83 @@ def test_weighted_sample_state_is_key_bounded(spark, tmp_path):
     assert one_batch == four_batches == double_volume == N_TYPES
 
 
+def test_sample_quantiles_state_bounded_and_batching_invariant(spark, tmp_path):
+    # s14r: the bottom-k hash sample is a mergeable MINIMUM, so (a) state
+    # stays one row (<= k retained triples inside it) per event_type, and
+    # (b) the FINAL emission per key is byte-identical no matter how the
+    # stream is batched — the property that lets a stateful streaming
+    # quantile operator carry a full SQL oracle (unlike the s14o sketch,
+    # whose summary depends on batch boundaries).
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from presto_weather_spark.streaming.pipeline import (
+        sample_quantiles_stream_fold,
+    )
+
+    def drive(n_rows: int, n_files: int):
+        stream = _events_source(spark, str(tmp_path), n_rows, n_files)
+        src = stream.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.md5(
+                F.concat(F.lit("sq:"), F.col("event_id").cast("string"))
+            ).alias("hkey"),
+        )
+        out = src.groupBy("event_type").applyInPandasWithState(
+            sample_quantiles_stream_fold,
+            outputStructType=(
+                "event_type string, q double, est_value double, "
+                "n_sample int, n_seen long"
+            ),
+            stateStructType=(
+                "ids array<long>, keys array<string>, "
+                "vals array<double>, seen long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"sq_{_uuid.uuid4().hex[:10]}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            state_rows = max(
+                op["numRowsTotal"]
+                for p in q.recentProgress
+                for op in p["stateOperators"]
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        emitted = spark.table(name).collect()
+        latest_seen = {}
+        for r in emitted:
+            latest_seen[r["event_type"]] = max(
+                latest_seen.get(r["event_type"], 0), r["n_seen"]
+            )
+        final = {
+            (r["event_type"], r["q"], r["est_value"], r["n_sample"], r["n_seen"])
+            for r in emitted
+            if r["n_seen"] == latest_seen[r["event_type"]]
+        }
+        return state_rows, final
+
+    s1, f1 = drive(400, 1)
+    s4, f4 = drive(400, 4)
+    assert s1 == s4 == N_TYPES  # one state row per key, any batching
+    assert f1 == f4 and len(f1) > 0  # final sample quantiles byte-identical
+
+
 def test_dedup_state_is_bounded_by_keys_and_watermark(spark, tmp_path):
     import pyspark.sql.functions as F
 

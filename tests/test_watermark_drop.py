@@ -100,6 +100,139 @@ def test_late_rows_dropped_across_checkpointed_runs(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _write_typed(path: str, rows: list[tuple]) -> None:
+    ids, tss, types, users = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        ),
+        path,
+    )
+
+
+def test_arrival_order_permutation_invariance(spark):
+    # Round-9 verdict task #5: the property 100-TB out-of-order ingestion
+    # actually stresses — the SAME rows arriving in permuted order must
+    # produce (a) identical closed-window counts from the s14 tumbling agg
+    # and (b) the identical dedup KEY SET from the s14c dropDuplicates
+    # shape, as long as lateness stays within the watermark. Three drives:
+    #   A: event-time order, one run;
+    #   B: full arrival shuffle (per-file scramble), one run;
+    #   C: two checkpointed runs where a slice arrives a run LATE but
+    #      within the watermark horizon (the cross-run case the watermark
+    #      filter actually evaluates — within one run the filter uses the
+    #      run-start watermark, see this module's docstring finding #1).
+    # Final watermark is max(event time) - delay in every drive, so the
+    # emitted window set and surviving key set are arrival-order-free.
+    MIN_US = 60 * 1_000_000
+    rows = [
+        (i, T0 + i * MIN_US, f"type{i % 5}", i % 7) for i in range(360)
+    ]
+
+    def drive(file_lists: list[list[list[tuple]]]):
+        """file_lists: one entry per RUN; each run a list of files."""
+        base = f"/tmp/pws_perm_{uuid.uuid4().hex[:8]}"
+        src = f"{base}/src"
+        os.makedirs(src)
+        schema = "event_id long, ts timestamp, event_type string, user_id long"
+        win_sink, win_ckpt = f"{base}/win", f"{base}/win_ckpt"
+        ded_sink, ded_ckpt = f"{base}/ded", f"{base}/ded_ckpt"
+        dropped = 0
+        try:
+            nfile = 0
+            for run_files in file_lists:
+                for rs in run_files:
+                    p = f"{src}/f{nfile:03d}.parquet"
+                    _write_typed(p, rs)
+                    os.utime(p, (1_700_000_000 + nfile, 1_700_000_000 + nfile))
+                    nfile += 1
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                )
+                wm = stream.withWatermark("ts", "1 hour")
+                win = (
+                    wm.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select(
+                        F.col("w.start").cast("long").alias("start_s"),
+                        "event_type",
+                        "n",
+                    )
+                )
+                ded = wm.dropDuplicates(["user_id", "event_type"]).select(
+                    "user_id", "event_type"
+                )
+                for df, sink, ckpt in (
+                    (win, win_sink, win_ckpt),
+                    (ded, ded_sink, ded_ckpt),
+                ):
+                    q = (
+                        df.writeStream.outputMode("append")
+                        .format("parquet")
+                        .option("path", sink)
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    dropped += sum(
+                        op.get("numRowsDroppedByWatermark", 0)
+                        for p_ in q.recentProgress
+                        for op in p_["stateOperators"]
+                    )
+            wins = {
+                (r["start_s"], r["event_type"]): r["n"]
+                for r in spark.read.parquet(win_sink).collect()
+            }
+            keys = {
+                (r["user_id"], r["event_type"])
+                for r in spark.read.parquet(ded_sink).collect()
+            }
+            return wins, keys, dropped
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    # A: in event-time order, 12 files of 30 minutes each, one run
+    ordered = [rows[i : i + 30] for i in range(0, 360, 30)]
+    wins_a, keys_a, drop_a = drive([ordered])
+
+    # B: bounded-lateness permutation, one run — every row shuffled within
+    # its 30-min file and ~1/3 of rows displaced ONE file later (max
+    # lateness ~60 min, inside the 1 h watermark delay with margin). An
+    # UNBOUNDED scramble is deliberately out of contract: arrival later
+    # than the delay is exactly what the watermark defines as droppable.
+    files_b: list[list[tuple]] = [[] for _ in range(13)]
+    for r in rows:
+        f = r[0] // 30 + (1 if (r[0] * 2654435761) % 3 == 0 else 0)
+        files_b[f].append(r)
+    scrambled = [
+        sorted(fr, key=lambda r: (r[0] * 7919) % 360) for fr in files_b if fr
+    ]
+    wins_b, keys_b, drop_b = drive([scrambled])
+
+    # C: run 1 gets minutes 0-299 EXCEPT 240-299 of type0/type1 (held
+    # back); run 2 delivers the held slice (now a run late, but its ts >
+    # run-1 watermark 299-60=239) plus minutes 300-359.
+    held = [r for r in rows if 240 <= r[0] < 300 and r[0] % 5 in (0, 1)]
+    run1 = [r for r in rows if r[0] < 300 and r not in held]
+    run2 = held + [r for r in rows if r[0] >= 300]
+    wins_c, keys_c, drop_c = drive(
+        [[run1[:150], run1[150:]], [run2[:60], run2[60:]]]
+    )
+
+    assert wins_a == wins_b == wins_c and len(wins_a) > 0
+    assert keys_a == keys_b == keys_c and len(keys_a) == 35  # 7 users x 5 types
+    # nothing was late past the watermark in any drive
+    assert drop_a == drop_b == drop_c == 0
+
+
 def test_dedup_within_watermark_matches_batch_keyset(spark, sf_dir):
     # s14m: with a single micro-batch the surviving key set must equal the
     # batch distinct key set (which row survives per key is arrival-order

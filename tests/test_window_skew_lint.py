@@ -57,6 +57,10 @@ ALLOWLIST: dict[tuple[str, tuple[str, ...]], str] = {
     ("s14p_stream_weighted_sample", ("source",)):
         "structured-streaming operator: the window input is one "
         "micro-batch (trigger-bounded), never the accumulated stream",
+    ("s14r_stream_sample_quantiles", ("event_type",)):
+        "latest-emission filter over the memory-sink EMISSIONS table — "
+        "rows = micro-batches x |SQ_QS| per key (trigger-bounded), "
+        "never the stream's data rows",
     ("s74_global_row_numbering", ()):
         "offsets prefix-sum over the per-partition COUNT table "
         "(~numPartitions rows); the data path is range-exchange + "
