@@ -88,21 +88,20 @@ def grand_total_if_empty(inp, out, row: tuple):
     still list their columns over an empty table.
 
     Append the constant degenerate row(s) iff the aggregation INPUT is
-    empty: the marker is a limit(1) probe of the input (LocalLimit stops
-    each scan task at the first row — O(1) work at any corpus size, the
-    x94 limit-probe pattern), anti-joined against the constant row so no
-    driver action runs and the plan stays fully declarative. At normal
-    scale the anti-join kills the constant branch and the result is
-    untouched.
+    empty, decided by a limit(1) count probe of the input (LocalLimit
+    stops each scan task at the first row — O(1) work at any corpus
+    size, the x94/x65/x98 limit-probe pattern). On the normal non-empty
+    path the function returns ``out`` UNCHANGED — same plan, no union
+    branch; the declarative alternative (anti-join against a broadcast
+    limit(1) marker) was measured at ~0.35 s of fixed two-stage
+    scheduling per key at sf0.1, vs ~0.05 s for this probe job.
 
     ``row``: one tuple matching out.schema (or a list of tuples for
     multi-row degenerates like the per-column profile)."""
+    if inp.limit(1).count() > 0:
+        return out
     rows = row if isinstance(row, list) else [row]
-    grand = out.sparkSession.createDataFrame(rows, out.schema)
-    marker = inp.select(F.lit(1).alias("__present")).limit(1)
-    return out.unionByName(
-        grand.join(F.broadcast(marker), F.lit(True), "left_anti")
-    )
+    return out.unionByName(out.sparkSession.createDataFrame(rows, out.schema))
 
 
 def distributed_global_rank(df, order_exprs, out_col: str = "global_rn"):

@@ -28,6 +28,10 @@ from presto_weather_spark.session import build_session  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("PWS_SF1_DIR", "/tmp/pws_scale/sf1")
+# Optional third point (30x): measured when the synthesized sf3 dir exists
+# (tools/synth_scale.py --mult 30 --out /tmp/pws_scale/sf3) — round-9
+# verdict task #7 extends the round-9-new machinery to three points.
+SF3 = os.environ.get("PWS_SF3_DIR", "/tmp/pws_scale/sf3")
 REPS = 2
 
 
@@ -56,29 +60,39 @@ def main() -> None:
         ("x65_kcenter_coreset", sim, "KCENTER_LOCAL_LIMIT"),
         ("x92_textrank_keywords", ta, "TEXTRANK_LOCAL_LIMIT"),
     ]
-    for key, mod, attr in forced:
-        saved = getattr(mod, attr)
-        try:
-            setattr(mod, attr, 0)
-            t_small = _time(q[key].fn, spark, SF01)
-            t_big = _time(q[key].fn, spark, SF1)
-        finally:
-            setattr(mod, attr, saved)
-        out[key + "__forced_distributed"] = {
+    has_sf3 = os.path.isdir(SF3)
+    if has_sf3:
+        spark.read.parquet(os.path.join(SF3, "documents.parquet")).count()
+
+    def three_point(key: str) -> dict:
+        t_small = _time(q[key].fn, spark, SF01)
+        t_big = _time(q[key].fn, spark, SF1)
+        row = {
             "sf0.1": round(t_small, 3),
             "sf1": round(t_big, 3),
             "alpha": round(math.log(t_big / t_small) / math.log(10), 2),
         }
+        if has_sf3:
+            t_sf3 = _time(q[key].fn, spark, SF3)
+            row["sf3"] = round(t_sf3, 3)
+            row["alpha_1_to_3"] = round(
+                math.log(t_sf3 / t_big) / math.log(3), 2
+            )
+        return row
+
+    for key, mod, attr in forced:
+        saved = getattr(mod, attr)
+        try:
+            setattr(mod, attr, 0)
+            out[key + "__forced_distributed"] = three_point(key)
+        finally:
+            setattr(mod, attr, saved)
         print(key, out[key + "__forced_distributed"], flush=True)
 
-    t_small = _time(q["x02g_banding_recall_gate"].fn, spark, SF01)
-    t_big = _time(q["x02g_banding_recall_gate"].fn, spark, SF1)
-    out["x02g_banding_recall_gate"] = {
-        "sf0.1": round(t_small, 3),
-        "sf1": round(t_big, 3),
-        "alpha": round(math.log(t_big / t_small) / math.log(10), 2),
-        "note": "fixed 2000-doc audit subset by design — alpha ~0 expected",
-    }
+    out["x02g_banding_recall_gate"] = three_point("x02g_banding_recall_gate")
+    out["x02g_banding_recall_gate"]["note"] = (
+        "fixed 2000-doc audit subset by design — alpha ~0 expected"
+    )
     print("x02g", out["x02g_banding_recall_gate"], flush=True)
 
     path = os.path.join(

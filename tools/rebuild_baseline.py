@@ -41,8 +41,44 @@ from presto_weather_spark.registry import all_queries  # noqa: E402
 # zero path); the post-fix plan reproduced at 0.54-0.55 s across rounds
 # 8 and 9 (quiet-host min-of-2/3 full-bench runs), so the pre-fix row is
 # not a valid denominator for the deliberately different plan.
+# Round 10: plans deliberately changed for correctness/fidelity, so the
+# old rows are not valid denominators —
+#   x03b/x03d/x03f: in-engine recall gates (one extra exact-x03 pass + a
+#     single bounded gate action per run, round-9 verdict task #1);
+#   x02g: gate fused to ONE driver action (task #3);
+#   s05b/s05c/s05m/x06/s52: standard-SQL empty-input grand-total row via
+#     an O(1) limit-probe (grand_total_if_empty);
+#   x26: deterministic (count DESC, term) re-rank of the full tracked
+#     sketch map (the singleton-corpus tie fix);
+#   x30: degenerate-range guard branch around the bin division.
+# Round-10 adjudication (round-9 verdict What's-wrong #2, the x46/s14e/x23
+# precedent): x04b / s06e / s11 / x05b reproduced at 1.15-1.5x across
+# THREE round-10 quiet-host full runs with byte-identical plans, inside a
+# host window where many UNTOUCHED sub-second keys drifted the same way
+# (run totals 243/284/236 s vs round-9's 197 s) — host drift, not
+# regressions; their pre-drift rows are stale denominators and are
+# re-recorded at this round's min-of-runs. r09_12 and s03 — untouched
+# this round, >= 1.5x in the min-of-3 under the same drift — are
+# adjudicated identically.
+# (x46's round-9 re-record landed in BASELINE.md; it is no longer listed.)
 RE_RECORD: set[str] = {
-    "x46_token_budget_cap",
+    "x03b_lsh_ann_topk",
+    "x03d_ivf_ann_topk",
+    "x03f_pq_ann_topk",
+    "x02g_banding_recall_gate",
+    "s05b_rollup_region_nation",
+    "s05c_cube_order_status",
+    "s05m_time_rollup",
+    "x06_corpus_profile",
+    "s52_column_profile",
+    "x26_heavy_hitters_sketch",
+    "x30_psi_drift_monitor",
+    "x04b_tfidf_top_terms",
+    "s06e_range_interval_window",
+    "s11_math_functions",
+    "x05b_media_feature_extract",
+    "r09_12_display_formatting",
+    "s03_filter_predicates",
 }
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
