@@ -827,6 +827,18 @@ def _pq_codebooks(sample: np.ndarray) -> np.ndarray:
     "(~16 bytes/vector); raw vectors stream past once for the re-rank.",
 )
 def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _x03f_build(spark, sf_dir).localCheckpoint(eager=False)
+    # the gate consumes it AND it returns (checkpoint computed once)
+    _ann_recall_gate(spark, sf_dir, out, "x03f")
+    return out
+
+
+def _x03f_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x03f's plan builder, un-gated and un-checkpointed — the plan that
+    EXECUTES when the key's checkpoint materializes.
+    test_plans.py::test_pq_ann_corpus_stays_partition_local pins the
+    partition-local shape HERE: the registered key's returned frame shows
+    only a checkpoint scan once the gate has materialized it."""
     emb = load_table(spark, sf_dir, "embeddings")
     train = (
         emb.filter(F.col("vec_id") < PQ_TRAIN_IDS)
@@ -946,14 +958,11 @@ def x03f_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
-    out = (
+    return (
         cands.withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= TOP_K)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "nn_rank")
-        .localCheckpoint(eager=False)  # the gate consumes it AND it returns
     )
-    _ann_recall_gate(spark, sf_dir, out, "x03f")
-    return out
 
 
 @register(

@@ -77,7 +77,7 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("operators/similarity.py", "x15_kmeans_embeddings", "collect"): (
         "per-round K centroids (k x d floats), the x15 fixpoint idiom"
     ),
-    ("operators/similarity.py", "x03f_pq_ann_topk", "collect"): (
+    ("operators/similarity.py", "_x03f_build", "collect"): (
         "PQ codebooks: M subspaces x K centroids, constant-size model"
     ),
     ("operators/similarity.py", "x31_hard_pair_mining", "collect"): B_GATED,
