@@ -167,36 +167,74 @@ X03_ANN_RECALL_NUM, X03_ANN_RECALL_DEN = 1, 4
 X03_ANN_GATE_MIN_SUPPORT = 20
 
 
+# Session-scoped memo of the exact audit pair set, keyed by a FINGERPRINT
+# of the embeddings table (path + per-part-file name/size/mtime): the three
+# gated ANN keys share one exact-x03 pass per dataset version instead of
+# re-scanning the corpus per invocation — exactly what a production deploy
+# gate does with its audit artifact. A rewritten table (new parts/mtimes)
+# misses the memo and recomputes; an unreadable path skips memoization.
+_X03_EXACT_MEMO: dict = {}
+
+
+def _embeddings_fingerprint(sf_dir: str):
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(p):
+            listing = tuple(
+                (f, os.path.getsize(os.path.join(p, f)),
+                 os.path.getmtime(os.path.join(p, f)))
+                for f in sorted(os.listdir(p))
+            )
+        else:
+            listing = (("", os.path.getsize(p), os.path.getmtime(p)),)
+    except OSError:
+        return None
+    return (os.path.abspath(p), listing)
+
+
+def _exact_topk_pairs(spark: SparkSession, sf_dir: str) -> set:
+    fp = _embeddings_fingerprint(sf_dir)
+    if fp is not None and fp in _X03_EXACT_MEMO:
+        return _X03_EXACT_MEMO[fp]
+    pairs = {
+        (r["query_id"], r["neighbor_id"])
+        # bounded by construction: N_QUERIES x TOP_K rows
+        for r in x03_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    if fp is not None:
+        _X03_EXACT_MEMO[fp] = pairs
+    return pairs
+
+
 def _ann_recall_gate(
     spark: SparkSession, sf_dir: str, approx: DataFrame, key: str
 ) -> None:
     """Raise if `approx` catches < NUM/DEN of the exact x03 top-k pairs.
 
-    The exact side is ONE extra bounded corpus scan (x03's closure-matmul
-    kernel over the N_QUERIES query vectors); (n_exact, n_hits) come from a
-    SINGLE driver action — a left join against the (unique) approx pair set
-    with a conditional count — not a count()+semi-join-count() pair. At
-    100 TB this is the standing audit-sample pattern: exact side bounded by
-    the fixed query set, candidate side the production ANN plan, the floor
-    a deploy gate.
+    The exact side is ONE bounded corpus scan per dataset version (x03's
+    closure-matmul kernel over the N_QUERIES query vectors), memoized
+    across the three gated keys; both pair sets are N_QUERIES x TOP_K
+    rows, so recall is a driver-side set intersection — the approx
+    collect doubles as the materialization of the key's lazy checkpoint.
+    At 100 TB this is the standing audit-sample pattern: exact side
+    bounded by the fixed query set, candidate side the production ANN
+    plan, the floor a deploy gate.
     """
-    exact = x03_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = approx.select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )  # top-k rows are unique per (query, neighbor) -> left join is 1:<=1
-    stats = (
-        exact.join(hits, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("hit").alias("n_hits"),
-        )
-        .first()
-    )
-    n_exact, n_hits = stats["n_exact"], stats["n_hits"]
-    if (
-        n_exact >= X03_ANN_GATE_MIN_SUPPORT
-        and n_hits * X03_ANN_RECALL_DEN < n_exact * X03_ANN_RECALL_NUM
-    ):
+    exact = _exact_topk_pairs(spark, sf_dir)
+    n_exact = len(exact)
+    if n_exact < X03_ANN_GATE_MIN_SUPPORT:
+        return
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        # bounded by construction: N_QUERIES x TOP_K rows
+        for r in approx.select("query_id", "neighbor_id").collect()
+    }
+    n_hits = len(exact & got)
+    if n_hits * X03_ANN_RECALL_DEN < n_exact * X03_ANN_RECALL_NUM:
         raise ValueError(
             f"{key} ann recall gate: caught {n_hits}/{n_exact} exact "
             f"top-{TOP_K} pairs — below the pinned "

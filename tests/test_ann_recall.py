@@ -50,6 +50,34 @@ def test_ann_results_subset_of_corpus_and_ranked(spark, sf_dir):
         assert sims == sorted(sims, reverse=True), query_id
 
 
+def test_exact_audit_memo_invalidates_on_corpus_rewrite(spark, sf_dir, tmp_path):
+    # The gate's exact-pair memo is keyed by a fingerprint of the
+    # embeddings table (part names + sizes + mtimes): rewriting the table
+    # IN PLACE must miss the memo and recompute, or a deploy gate would
+    # audit a stale dataset version.
+    import os
+    import time
+
+    from presto_weather_spark.operators import similarity as sim
+
+    out = str(tmp_path / "memo_fixture")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.limit(40).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    first = sim._exact_topk_pairs(spark, out)
+    fp1 = sim._embeddings_fingerprint(out)
+    assert fp1 in sim._X03_EXACT_MEMO
+    time.sleep(0.05)  # ensure a distinct mtime tick for the rewrite
+    emb.limit(20).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    fp2 = sim._embeddings_fingerprint(out)
+    assert fp2 != fp1  # rewrite changed the fingerprint -> memo miss
+    second = sim._exact_topk_pairs(spark, out)
+    assert first != second  # recomputed on the new 20-vector corpus
+
+
 def test_kmeans_partitions_corpus_deterministically(spark, sf_dir):
     from presto_weather_spark.operators.similarity import KMEANS_K
 

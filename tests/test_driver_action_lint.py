@@ -80,6 +80,12 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("operators/similarity.py", "_x03f_build", "collect"): (
         "PQ codebooks: M subspaces x K centroids, constant-size model"
     ),
+    ("operators/similarity.py", "_exact_topk_pairs", "collect"): (
+        "the memoized exact ANN audit set: N_QUERIES x TOP_K rows"
+    ),
+    ("operators/similarity.py", "_ann_recall_gate", "collect"): (
+        "the gated key's top-k output: N_QUERIES x TOP_K rows"
+    ),
     ("operators/similarity.py", "x31_hard_pair_mining", "collect"): B_GATED,
     ("operators/similarity.py", "x37_pca_whitening", "collect"): (
         "collects the d x d Gram matrix (d = 64), corpus-size-free"
