@@ -90,3 +90,17 @@ def test_kmeans_partitions_corpus_deterministically(spark, sf_dir):
     second = {r["cluster"]: (r["n_members"], r["avg_dist"])
               for r in QS["x15_kmeans_embeddings"].fn(spark, sf_dir).collect()}
     assert first == second  # centroid rounding makes re-runs bit-stable
+
+
+def test_exact_audit_skips_memo_when_fingerprint_unavailable(spark, sf_dir, monkeypatch):
+    # The OSError->None fingerprint path: an unreadable table listing must
+    # compute WITHOUT memoizing (never serve a stale audit set it cannot
+    # validate).
+    from presto_weather_spark.operators import similarity as sim
+
+    assert sim._embeddings_fingerprint("/nonexistent/sf_dir") is None
+    monkeypatch.setattr(sim, "_embeddings_fingerprint", lambda _: None)
+    before = dict(sim._X03_EXACT_MEMO)
+    pairs = sim._exact_topk_pairs(spark, sf_dir)
+    assert len(pairs) > 0
+    assert sim._X03_EXACT_MEMO == before  # nothing new memoized

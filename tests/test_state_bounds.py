@@ -317,3 +317,31 @@ def test_stream_stream_left_outer_state_is_horizon_bounded(spark, tmp_path):
     assert two_batches == six_batches == twelve_batches
     # ...and within the analytic horizon bound
     assert twelve_batches <= HORIZON_BOUND
+
+
+def test_sample_quantiles_fold_emits_nothing_for_an_all_empty_group():
+    # s14r's k == 0 guard must EXECUTE, not just exist: an existing group
+    # whose micro-batch chunks are all empty (state-store timeout replays,
+    # empty file slices) yields NO emission rather than a 0-sample frame.
+    import pandas as pd
+
+    from presto_weather_spark.streaming.pipeline import (
+        sample_quantiles_stream_fold,
+    )
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    st = _State()
+    out = list(
+        sample_quantiles_stream_fold(
+            ("type0",),
+            iter([pd.DataFrame({"event_id": [], "hkey": [], "value": []})]),
+            st,
+        )
+    )
+    assert out == []
+    assert st.val == ([], [], [], 0)  # state still written (idempotent)
