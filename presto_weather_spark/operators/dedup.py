@@ -2569,3 +2569,95 @@ def x138_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kl_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X154 — near-dup cluster representative selection (the keep/drop manifest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x154_cluster_rep_keeplist",
+    oracle=None,  # composed from x02f's oracle at import time (see below)
+    doc="X154: CLUSTER REPRESENTATIVE selection — the decision x02f's "
+    "clusters exist to feed: which document SURVIVES each near-dup "
+    "cluster. Where x34 picks quality survivors within exact-digest "
+    "groups, this picks them within the transitive LSH/Jaccard "
+    "clusters (x02f's connected components): the representative "
+    "maximizes alphabetic ratio (x09's quality ingredient, here an "
+    "exact e6 micro-unit integer via DIV), doc_id breaking ties. "
+    "Emits the full keep/drop manifest — one row per clustered doc "
+    "with its cluster, score and flag — the artifact a curation run "
+    "joins back onto the corpus as its dedup filter. Oracle composed "
+    "textually on x02f's recursive-CTE ground truth (the x133 "
+    "pattern), so the manifest is hash-verified end to end. Scale: "
+    "scoring is scan-side; the only new shuffle beyond x02f's CC is "
+    "the per-cluster rank window, partitioned on cluster_id (grows "
+    "with the data) and WindowGroupLimit-prunable.",
+)
+def x154_cluster_rep_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = x02f_neardup_clusters(spark, sf_dir)
+    sc = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) "
+                "* CAST(1000000 AS BIGINT) "
+                "DIV greatest(length(text), 1) AS BIGINT)"
+            ).alias("alpha_e6"),
+        )
+    )
+    j = labels.join(sc, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("alpha_e6").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "alpha_e6",
+            "cluster_size",
+            F.when(F.col("rn") == 1, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("rep_flag"),
+        )
+    )
+
+
+def _install_x154_oracle() -> None:
+    from presto_weather_spark.registry import _REGISTRY, Query
+
+    base = _REGISTRY["x02f_neardup_clusters"].oracle
+    q = _REGISTRY["x154_cluster_rep_keeplist"]
+    sql = f"""
+WITH labels AS ({base}),
+sc AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+              // greatest(length(text), 1) AS BIGINT) AS alpha_e6
+  FROM documents WHERE doc_id < 60
+),
+j AS (SELECT l.doc_id, l.cluster_id, sc.alpha_e6
+      FROM labels l JOIN sc USING (doc_id)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY alpha_e6 DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM j
+)
+SELECT doc_id, cluster_id, alpha_e6, cluster_size,
+       CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS rep_flag
+FROM r
+"""
+    _REGISTRY["x154_cluster_rep_keeplist"] = Query(
+        name=q.name, fn=q.fn, oracle=sql, doc=q.doc
+    )
+
+
+_install_x154_oracle()

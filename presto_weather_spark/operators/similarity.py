@@ -2416,3 +2416,234 @@ def x144_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_id", "tgt_id", F.col("cos6").alias("cosine_sim"), "margin")
     )
+
+
+# ---------------------------------------------------------------------------
+# X153 / X155 — kNN-distance outlier screen and kNN label-consistency screen
+# over a bounded probe sample (the audit-sample pattern: x02g/x03 shape)
+# ---------------------------------------------------------------------------
+
+X15X_N_PROBES = 32  # probe sample: vec_id < 32 (bounded by construction)
+X15X_K = 10  # neighbors per probe
+X15X_MARGIN_E6 = 30000  # outlier if mean kNN dist exceeds probe mean by 0.03
+
+_X15X_KNN_SQL = f"""
+q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+      FROM embeddings WHERE vec_id < {X15X_N_PROBES}),
+c AS (SELECT vec_id, embedding, label FROM embeddings),
+sims AS (
+  SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         CAST(round({_SQL_DOT.format(a='q.qv', b='c.embedding')} /
+              ({_SQL_NORM.format(v='q.qv')} *
+               {_SQL_NORM.format(v='c.embedding')}) * 1000000) AS BIGINT)
+           AS sim_e6
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_e6 DESC, neighbor_id) AS rn
+  FROM sims
+),
+knn AS (SELECT * FROM ranked WHERE rn <= {X15X_K})
+"""
+
+
+def _probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN of the bounded probe sample against the full corpus.
+
+    The x03 kernel, re-parameterized for audit screens: the probe matrix
+    (X15X_N_PROBES x 64 doubles) rides the UDF closure, the corpus scan
+    stays partition-local with ONE BLAS matmul per Arrow batch, each
+    partition emits only its top-k per probe, and the final window
+    shuffle carries partitions x probes x k rows — never corpus x probes.
+    Similarities leave the kernel as e6 micro-unit INTEGERS (np.rint of
+    sim*1e6, matching the oracle's round(sim*1e6)), so every downstream
+    mean/threshold is exact integer arithmetic in both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    prows = (
+        emb.filter(F.col("vec_id") < X15X_N_PROBES)
+        .select("vec_id", "label", "embedding")
+        .collect()  # bounded by construction: X15X_N_PROBES rows
+    )
+    schema = (
+        "query_id bigint, q_label int, neighbor_id bigint, "
+        "neighbor_label int, sim_e6 bigint"
+    )
+    if not prows:
+        return spark.createDataFrame([], schema)
+    qids = np.asarray([r["vec_id"] for r in prows], dtype=np.int64)
+    qlabels = np.asarray([r["label"] for r in prows], dtype=np.int32)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in prows])
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            sims = (mat @ qmat.T) / (
+                np.sqrt((mat * mat).sum(axis=1))[:, None] * qnorm[None, :]
+            )
+            sim_e6 = np.rint(sims * 1e6).astype(np.int64)
+            n = len(pdf)
+            cand = pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "q_label": np.tile(qlabels, n),
+                    "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), len(qids)),
+                    "neighbor_label": np.repeat(
+                        pdf["neighbor_label"].to_numpy(), len(qids)
+                    ),
+                    "sim_e6": sim_e6.ravel(),
+                }
+            )
+            cand = cand[cand["query_id"] != cand["neighbor_id"]]
+            best = cand if best is None else pd.concat([best, cand])
+            best = (
+                best.sort_values(
+                    ["query_id", "sim_e6", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(X15X_K)
+            )
+        if best is not None and len(best):
+            yield best
+
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cv"),
+    ).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id")
+    )
+    return cands.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= X15X_K
+    )
+
+
+@register(
+    "x153_knn_distance_outliers",
+    oracle=f"""
+WITH {_X15X_KNN_SQL},
+per AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+         CAST((count(*) * 1000000 - SUM(sim_e6)) // count(*) AS BIGINT)
+           AS mean_knn_dist_e6
+  FROM knn GROUP BY query_id
+),
+m AS (SELECT CAST(SUM(mean_knn_dist_e6) // count(*) AS BIGINT)
+        AS probe_mean_e6 FROM per)
+SELECT per.query_id, per.n_neighbors, per.mean_knn_dist_e6, m.probe_mean_e6,
+       CASE WHEN per.mean_knn_dist_e6 > m.probe_mean_e6 + {X15X_MARGIN_E6}
+            THEN 'outlier' ELSE 'ok' END AS dist_flag
+FROM per CROSS JOIN m
+""",
+    doc="X153: kNN-DISTANCE outlier screen — the embedding-space quality "
+    "filter x117 (norms) cannot express: a vector far from even its "
+    f"nearest {X15X_K} neighbors is an encoder failure or out-of-"
+    "distribution junk that SemDeDup-style clustering (x36) silently "
+    "absorbs. Run over a bounded probe sample (vec_id < "
+    f"{X15X_N_PROBES}) against the FULL corpus — the x02g audit-sample "
+    "pattern, constant cost at any corpus size: the probe matrix rides "
+    "the closure, the corpus is streamed once partition-local (one "
+    "BLAS matmul per Arrow batch), and per-partition top-k pruning "
+    "means the shuffle carries partitions x probes x k rows. Mean kNN "
+    "cosine DISTANCE per probe in e6 micro-units (exact integer DIV), "
+    "flagged against the probe-set mean + margin — all arithmetic "
+    "integer-exact in both engines after the single e6 rounding at "
+    "the kernel boundary (the x03 convention).",
+)
+def x153_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = _probe_knn(spark, sf_dir)
+    per = (
+        knn.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum("sim_e6").cast("bigint").alias("sum_sim_e6"),
+        )
+        .select(
+            "query_id",
+            "n_neighbors",
+            F.expr(
+                "CAST((n_neighbors * 1000000 - sum_sim_e6) DIV n_neighbors"
+                " AS BIGINT)"
+            ).alias("mean_knn_dist_e6"),
+        )
+    )
+    m = per.agg(
+        F.expr("CAST(SUM(mean_knn_dist_e6) DIV count(*) AS BIGINT)").alias(
+            "probe_mean_e6"
+        )
+    )
+    return per.crossJoin(F.broadcast(m)).select(
+        "query_id",
+        "n_neighbors",
+        "mean_knn_dist_e6",
+        "probe_mean_e6",
+        F.when(
+            F.col("mean_knn_dist_e6")
+            > F.col("probe_mean_e6") + F.lit(X15X_MARGIN_E6),
+            F.lit("outlier"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("dist_flag"),
+    )
+
+
+@register(
+    "x155_knn_label_consistency",
+    oracle=f"""
+WITH {_X15X_KNN_SQL},
+per AS (
+  SELECT query_id, any_value(q_label) AS label,
+         CAST(count(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(CASE WHEN neighbor_label = q_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM knn GROUP BY query_id
+)
+SELECT query_id, label, n_neighbors, n_agree,
+       CAST(n_agree * 1000000 // n_neighbors AS BIGINT) AS consistency_e6,
+       CASE WHEN 3 * n_agree < n_neighbors THEN 'suspect' ELSE 'ok' END
+         AS label_flag
+FROM per
+""",
+    doc="X155: kNN LABEL-CONSISTENCY screen — confident-learning-lite "
+    "label-noise detection over the embeddings table's label column: a "
+    f"point whose {X15X_K} nearest neighbors mostly carry a DIFFERENT "
+    "label is a likely annotation error (or a class-boundary hard "
+    "example — either way the row a curation pass reviews before "
+    "training a classifier like x91 on it). Shares x153's bounded-"
+    "probe exact-kNN kernel (same closure matmul, same partition-local "
+    "top-k pruning, same e6 integer boundary), so the screen costs one "
+    "corpus scan regardless of corpus size; agreement and the "
+    "suspect flag (agreement < 1/3) are pure integer arithmetic.",
+)
+def x155_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = _probe_knn(spark, sf_dir)
+    per = knn.groupBy("query_id").agg(
+        F.any_value("q_label").alias("label"),
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("neighbor_label") == F.col("q_label"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    return per.select(
+        "query_id",
+        "label",
+        "n_neighbors",
+        "n_agree",
+        F.expr("CAST(n_agree * 1000000 DIV n_neighbors AS BIGINT)").alias(
+            "consistency_e6"
+        ),
+        F.when(F.col("n_agree") * 3 < F.col("n_neighbors"), F.lit("suspect"))
+        .otherwise(F.lit("ok"))
+        .alias("label_flag"),
+    )

@@ -104,3 +104,39 @@ def test_exact_audit_skips_memo_when_fingerprint_unavailable(spark, sf_dir, monk
     pairs = sim._exact_topk_pairs(spark, sf_dir)
     assert len(pairs) > 0
     assert sim._X03_EXACT_MEMO == before  # nothing new memoized
+
+
+def test_probe_knn_screens_are_bounded_and_consistent(spark, sf_dir):
+    # x153/x155 share _probe_knn: per probe at most K neighbors, never the
+    # probe itself, and the two screens agree on (query_id, n_neighbors) —
+    # the shared-kernel contract that keeps both at one corpus scan.
+    from presto_weather_spark.operators.similarity import X15X_K, X15X_N_PROBES
+
+    dist = {r["query_id"]: r for r in QS["x153_knn_distance_outliers"].fn(spark, sf_dir).collect()}
+    lab = {r["query_id"]: r for r in QS["x155_knn_label_consistency"].fn(spark, sf_dir).collect()}
+    assert set(dist) == set(lab)
+    assert all(qid < X15X_N_PROBES for qid in dist)
+    for qid, r in dist.items():
+        assert 1 <= r["n_neighbors"] <= X15X_K
+        assert lab[qid]["n_neighbors"] == r["n_neighbors"]
+        assert 0 <= r["mean_knn_dist_e6"] <= 2_000_000
+        assert r["dist_flag"] in ("outlier", "ok")
+    for r in lab.values():
+        assert 0 <= r["n_agree"] <= r["n_neighbors"]
+        assert r["label_flag"] == ("suspect" if 3 * r["n_agree"] < r["n_neighbors"] else "ok")
+
+
+def test_cluster_rep_keeplist_one_keep_per_cluster(spark, sf_dir):
+    # x154: exactly one 'keep' per cluster, every clustered doc present
+    # once, and the keep maximizes (alpha_e6, -doc_id) within its cluster.
+    rows = QS["x154_cluster_rep_keeplist"].fn(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for members in by_cluster.values():
+        keeps = [r for r in members if r["rep_flag"] == "keep"]
+        assert len(keeps) == 1
+        best = max(members, key=lambda r: (r["alpha_e6"], -r["doc_id"]))
+        assert keeps[0]["doc_id"] == best["doc_id"]
+        assert all(r["cluster_size"] == len(members) for r in members)

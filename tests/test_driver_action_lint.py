@@ -86,6 +86,10 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("operators/similarity.py", "_ann_recall_gate", "collect"): (
         "the gated key's top-k output: N_QUERIES x TOP_K rows"
     ),
+    ("operators/similarity.py", "_probe_knn", "collect"): (
+        "collects the X15X_N_PROBES probe vectors for the kernel closure"
+    ),
+    ("operators/similarity.py", "x153_knn_distance_outliers", "crossJoin"): B_SCALAR,
     ("operators/similarity.py", "x31_hard_pair_mining", "collect"): B_GATED,
     ("operators/similarity.py", "x37_pca_whitening", "collect"): (
         "collects the d x d Gram matrix (d = 64), corpus-size-free"

@@ -864,3 +864,17 @@ def test_hashed_nb_grid_joins_are_broadcast(spark, sf_dir):
     # the doc-grain frequency stream must never sort-merge against any
     # model table: the only SMJs allowed are none at all
     assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_probe_knn_corpus_stays_partition_local(spark, sf_dir):
+    """x153/x155 (_probe_knn): the corpus scan feeds the closure-matmul
+    kernel with NO shuffle below it — the only hash exchange in either
+    screen is the query_id window/groupBy over the partitions x probes x k
+    candidate rows the kernel emits."""
+    from presto_weather_spark.operators.similarity import _probe_knn
+
+    plan = simple_plan(_probe_knn(spark, sf_dir))
+    scan_side = plan.split("MapInPandas")[-1]  # below the kernel = scan side
+    assert "Exchange" not in scan_side, plan[:900]
+    above = plan.split("MapInPandas")[0]
+    assert "Exchange hashpartitioning(query_id" in above, plan[:900]
