@@ -1452,3 +1452,76 @@ def exactly_once_sink_read(spark: SparkSession, base: str) -> DataFrame:
                 )
         return spark.createDataFrame([], "event_id bigint")
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# S14s — streaming windowed top-k (heavy hitters per tumbling window)
+# ---------------------------------------------------------------------------
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "s14s_stream_windowed_topk",
+    oracle=f"""
+WITH counts AS (
+  SELECT CAST(date_trunc('second', TIMESTAMP '1970-01-01 00:00:00'
+              + CAST((epoch_us(ts) // {WINDOW_SECONDS * 1000000})
+                     * {WINDOW_SECONDS} AS BIGINT)
+              * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT window_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {TOPK_PER_WINDOW}
+""",
+    doc="S14s: STREAMING windowed top-k — the per-window heavy-hitters "
+    "board a monitoring pipeline serves (which event types dominate "
+    "each 6h window): the streamed watermarked tumbling-count MV (the "
+    "s14 aggregate) lands in the sink, and the serving-side rank takes "
+    f"the top {TOPK_PER_WINDOW} per window under the deterministic "
+    "(count DESC, event_type) order — exact counts, so unlike the x26 "
+    "frequency sketch there is no approximation to audit, and the "
+    "result is batch-equivalent with a full SQL oracle (the s14r "
+    "argument: a streamed exact aggregate is batching-invariant). "
+    "Scale: in complete mode the streaming state IS the MV — windows x "
+    "event types, growing with the stream's TIME SPAN, not its event "
+    "volume (production bounds served history by retention, the s14n "
+    "note; append+watermark would bound state but never emits the "
+    "still-open final window, breaking batch equivalence). The serving "
+    "rank runs on that MV, never on event rows, and its "
+    "WindowGroupLimit prunes each window to k before the sort.",
+)
+def s14s_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", f"{WINDOW_SECONDS} seconds").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    mv = _run_to_memory(agg, "complete")
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        mv.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_PER_WINDOW)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
