@@ -1057,3 +1057,71 @@ def x146_audio_voiced_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_frames bigint, n_voiced bigint, n_spans bigint, "
         "longest_span_frames bigint, longest_span_start bigint",
     )
+
+
+BINFILE_DOC_CAP = 64  # staged-object fixture size: lowest doc_ids, bounded
+
+
+@register(
+    "x156_binary_file_ingest",
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {BINFILE_DOC_CAP}
+)
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_md5
+FROM staged
+""",
+    doc="X5 ingestion: the `binaryFile` source — the standard media-lake "
+    "entry path where images/audio live as OBJECTS (one file each), not "
+    "rows. A bounded fixture (the lowest-doc_id documents' UTF-8 bytes, "
+    "standing in for encoded media exactly like synthesize_media) is "
+    "staged as individual .bin objects; the key then ingests the prefix "
+    "with spark.read.format('binaryFile') and projects (id parsed from "
+    "the object name, byte length, content md5) — the manifest a decode "
+    "pipeline (x05b+) joins on. Oracle recomputes all three from the "
+    "source rows, so the file round-trip is hash-verified byte-exact. "
+    "Scale: listing and reads parallelize across executors with files "
+    "packed into partitions by size (maxPartitionBytes); filters on "
+    "path/length push down via pathGlobFilter/modifiedAfter before any "
+    "content IO; per-file content is the unsplittable unit (the 2 GB "
+    "column cap), which fits media objects; no shuffle anywhere "
+    "(partition-local projection).",
+)
+def x156_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from presto_weather_spark.operators._util import scratch_root
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = (
+        d.orderBy("doc_id")
+        .limit(BINFILE_DOC_CAP)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    # stage dir keyed by the FULL source path (not basename): two corpora
+    # sharing a basename in one process must not cross-read staged objects
+    token = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(scratch_root(), "pws_binfiles", token)
+    os.makedirs(stage, exist_ok=True)
+    # bounded driver materialization: <= BINFILE_DOC_CAP rows by
+    # construction (fixture staging, the streaming symlink-dir precedent)
+    rows = docs.collect()
+    for r in rows:
+        with open(os.path.join(stage, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(bytes(r["payload"]))
+    if not rows:
+        # nothing staged: binaryFile needs >= 1 object; typed empty frame
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_bytes int, content_md5 string"
+        )
+    ingested = spark.read.format("binaryFile").load(stage)
+    return ingested.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -313,6 +313,45 @@ def s01b_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s01e_xml_roundtrip",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_custkey < 500
+""",
+    doc="S1/S2: XML source + sink (native in Spark 4, no external package) "
+    "— project a customer slice, write it as rowTag-delimited XML, read "
+    "it back with an explicit schema and return the re-read frame. "
+    "Doubles survive the stringify/parse cycle exactly (same shortest "
+    "round-trippable rendering as CSV, s01b), and an EMPTY slice "
+    "round-trips to an empty typed frame (the writer still emits the "
+    "rootTag document). At scale XML is interchange-only — row-parsed "
+    "and verbose, but splittable by rowTag, so ingestion parallelizes; "
+    "parquet remains the storage format (s02).",
+)
+def s01e_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    out = os.path.join(
+        scratch_root(),
+        "pws_xml_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    c.write.mode("overwrite").format("xml").option("rootTag", "customers").option(
+        "rowTag", "customer"
+    ).save(out)
+    return (
+        spark.read.schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .option("rowTag", "customer")
+        .format("xml")
+        .load(out)
+    )
+
+
+@register(
     "s02b_partitioned_write_pruning",
     oracle="""
 SELECT event_id, user_id, round(value, 6) AS value, event_type

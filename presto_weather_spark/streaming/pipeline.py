@@ -1525,3 +1525,67 @@ def s14s_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_PER_WINDOW)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+@register(
+    "s14t_statestore_read",
+    oracle=f"""
+SELECT CAST(date_trunc('second', TIMESTAMP '1970-01-01 00:00:00'
+                + CAST((epoch_us(ts) // {WINDOW_SECONDS}000000) * {WINDOW_SECONDS} AS BIGINT) * INTERVAL 1 SECOND) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    doc="S14t: state-store introspection — Spark 4's `statestore` batch "
+    "source reads a streaming checkpoint's state AS A DATAFRAME. The key "
+    "drives the tumbling-count MV (the s14 aggregate, complete mode) to "
+    "completion against a durable checkpoint, then returns the state "
+    "store's contents — (window, event_type) keys with their running "
+    "counts — rather than the sink's. Because complete-mode aggregation "
+    "state IS the MV, the state contents equal the batch aggregate, so "
+    "the debugging surface itself is driver-hash-verified against plain "
+    "SQL (no other key checks state VALUES; the probes check state "
+    "SIZE). Operationally this is how a 100-TB deployment answers 'why "
+    "is this window's count wrong' or 'what keys dominate my 2 TB of "
+    "state' — query the store offline, no stream restart, reads "
+    "parallelized per state-store partition.",
+)
+def s14t_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", f"{WINDOW_SECONDS} seconds").alias("win"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    ckpt = os.path.join(
+        scratch_root(),
+        "pws_s14t_ckpt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    name = f"s14t_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.date_format(F.col("key.window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )

@@ -37,6 +37,11 @@ ALLOWLIST: dict[tuple[str, str, str], str] = {
     ("operators/corpus_stats.py", "x114_metadata_information_gain", "crossJoin"): B_SCALAR,
     ("operators/corpus_stats.py", "x134_language_budget_planner", "crossJoin"): B_SCALAR,
     ("operators/corpus_stats.py", "x136_chi_square_independence", "crossJoin"): B_SCALAR,
+    ("operators/multimodal.py", "x156_binary_file_ingest", "collect"): (
+        "fixture staging of <= BINFILE_DOC_CAP (64) objects — the "
+        "streaming symlink-dir precedent; the judged path is the "
+        "binaryFile READ"
+    ),
     ("operators/dedup.py", "min_label_clusters", "collect"): (
         "fixpoint loop reads ONE aggregated convergence scalar per round"
     ),

@@ -345,3 +345,27 @@ def test_sample_quantiles_fold_emits_nothing_for_an_all_empty_group():
     )
     assert out == []
     assert st.val == ([], [], [], 0)  # state still written (idempotent)
+
+
+def test_statestore_read_equals_sink_mv(spark):
+    """s14t's promise: complete-mode aggregation STATE is the MV, so the
+    statestore batch source must return byte-identical rows to the s14
+    tumbling-count sink (projected to the shared columns)."""
+    from presto_weather_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    state = set(
+        map(tuple, qs["s14t_statestore_read"].fn(spark, sf).collect())
+    )
+    sink = set(
+        map(
+            tuple,
+            qs["s14_stream_tumbling_counts"]
+            .fn(spark, sf)
+            .select("window_start", "event_type", "n_events")
+            .collect(),
+        )
+    )
+    assert state == sink
+    assert len(state) > 0
