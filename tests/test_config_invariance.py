@@ -54,9 +54,16 @@ KEYS = [
     "x156_binary_file_ingest",
 ]
 
-ALT = {
-    "spark.sql.adaptive.enabled": "false",
-    "spark.sql.codegen.wholeStage": "false",
+ALTS = {
+    "aqe_codegen_off": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.codegen.wholeStage": "false",
+    },
+    # a 1000-executor deployment sizes this to the cluster, not to the
+    # test harness's 32 — results must not care (catches
+    # partition-count-dependent output: limit-without-order, ties
+    # resolved by partition layout, accumulation order outside DECIMAL)
+    "shuffle_partitions_7": {"spark.sql.shuffle.partitions": "7"},
 }
 
 
@@ -65,16 +72,17 @@ def _rows(spark, key):
     return sorted(map(tuple, df.collect()))
 
 
+@pytest.mark.parametrize("alt", sorted(ALTS))
 @pytest.mark.parametrize("key", KEYS)
-def test_rows_identical_with_aqe_and_codegen_off(spark, key):
+def test_rows_identical_across_exec_configs(spark, key, alt):
     baseline = _rows(spark, key)
-    saved = {k: spark.conf.get(k) for k in ALT}
+    saved = {k: spark.conf.get(k) for k in ALTS[alt]}
     try:
-        for k, v in ALT.items():
+        for k, v in ALTS[alt].items():
             spark.conf.set(k, v)
-        alt = _rows(spark, key)
+        changed = _rows(spark, key)
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-    assert alt == baseline
+    assert changed == baseline
     assert len(baseline) > 0
