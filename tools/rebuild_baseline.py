@@ -61,25 +61,13 @@ from presto_weather_spark.registry import all_queries  # noqa: E402
 # this round, >= 1.5x in the min-of-3 under the same drift — are
 # adjudicated identically.
 # (x46's round-9 re-record landed in BASELINE.md; it is no longer listed.)
-RE_RECORD: set[str] = {
-    "x03b_lsh_ann_topk",
-    "x03d_ivf_ann_topk",
-    "x03f_pq_ann_topk",
-    "x02g_banding_recall_gate",
-    "s05b_rollup_region_nation",
-    "s05c_cube_order_status",
-    "s05m_time_rollup",
-    "x06_corpus_profile",
-    "s52_column_profile",
-    "x26_heavy_hitters_sketch",
-    "x30_psi_drift_monitor",
-    "x04b_tfidf_top_terms",
-    "s06e_range_interval_window",
-    "s11_math_functions",
-    "x05b_media_feature_extract",
-    "r09_12_display_formatting",
-    "s03_filter_predicates",
-}
+# The round-10 set (17 keys: the gate/fidelity plan changes x03b/x03d/
+# x03f/x02g, the grand-total keys s05b/c/m + x06 + s52, the tie/guard
+# fixes x26/x30, and the host-drift adjudications x04b/s06e/s11/x05b/
+# r09_12/s03) was re-stamped by the round-10 seal's min-of-3 and then
+# CLEARED — later rebuilds in the same round only ADD rows for new keys,
+# so the adjudicated numbers don't churn with every merge.
+RE_RECORD: set[str] = set()
 
 ROW = re.compile(r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| (.*?) \| (\d{4}-\d{2}-\d{2}) \|$")
 
