@@ -5273,3 +5273,118 @@ def x137_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(share - F.col("p"), 6).alias("deviation"),
         )
     )
+
+
+@register(
+    "s76_parameterized_sql",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+           AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 25
+GROUP BY l_returnflag
+""",
+    doc="S76: named-parameter SQL binding — the Q6 archetype submitted as "
+    "spark.sql(sql, args={...}) with every predicate constant bound "
+    "through a named marker (:ship_from/:ship_to/:disc_lo/:disc_hi/"
+    ":max_qty), the injection-safe front-end surface a SQL service "
+    "exposes. Parameter substitution happens at PARSE time, so the "
+    "bound literals reach the parquet scan as ordinary PushedFilters "
+    "with the scan still column-pruned (both asserted in "
+    "tests/test_plans.py) — binding costs nothing at any scale.",
+)
+def s76_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+                   AS revenue_delta,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= :ship_from AND l_shipdate < :ship_to
+          AND l_discount BETWEEN :disc_lo AND :disc_hi
+          AND l_quantity < :max_qty
+        GROUP BY l_returnflag
+        """,
+        args={
+            "ship_from": "1994-01-01",
+            "ship_to": "1995-01-01",
+            "disc_lo": 0.04,
+            "disc_hi": 0.06,
+            "max_qty": 25,
+        },
+    )
+
+
+@register(
+    "s77_sql_scripting",
+    oracle="""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS sum_c, CAST(count(*) AS BIGINT) AS n
+  FROM cents
+)
+SELECT o_orderpriority,
+       CASE WHEN tot.sum_c > 10000000 * tot.n THEN 'HIGH' ELSE 'LOW' END
+           AS avg_band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN cents.c * tot.n > tot.sum_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_avg
+FROM cents, tot
+GROUP BY 1, 2
+""",
+    doc="S77: SQL scripting (Spark 4 BEGIN/DECLARE/SET/IF) — the "
+    "procedural front-end: the script computes the corpus-wide order "
+    "total into a session variable, branches on whether the mean "
+    "clears 100k, and emits per-priority counts above the mean. Every "
+    "comparison is integer-rational (cents x n vs sum-of-cents — the "
+    "repo's cross-multiplied-mean convention), so the script's control "
+    "flow and output are bit-identical to the plain-SQL oracle in both "
+    "engines. Scale: the script is driver-side CONTROL FLOW only — each "
+    "statement is still a full Catalyst plan (the scalar subquery is "
+    "one map-side partial agg; the final group-by shuffles 5 keys); "
+    "procedure logic adds no per-row work.",
+)
+def s77_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from presto_weather_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE sum_c BIGINT DEFAULT 0;
+              DECLARE n BIGINT DEFAULT 0;
+              SET sum_c = (SELECT CAST(SUM(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT)
+                           FROM orders);
+              SET n = (SELECT CAST(count(*) AS BIGINT) FROM orders);
+              SELECT o_orderpriority,
+                     CASE WHEN sum_c > 10000000 * n THEN 'HIGH'
+                          ELSE 'LOW' END AS avg_band,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CASE WHEN CAST(round(o_totalprice * 100)
+                                           AS BIGINT) * n > sum_c
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+              FROM orders
+              GROUP BY o_orderpriority, avg_band;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)

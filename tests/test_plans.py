@@ -878,3 +878,17 @@ def test_probe_knn_corpus_stays_partition_local(spark, sf_dir):
     assert "Exchange" not in scan_side, plan[:900]
     above = plan.split("MapInPandas")[0]
     assert "Exchange hashpartitioning(query_id" in above, plan[:900]
+
+
+def test_parameterized_sql_binds_reach_scan_as_pushed_filters(spark, sf_dir):
+    """s76's named parameters are substituted at parse time, so the bound
+    constants must reach the lineitem scan as ordinary pushed filters —
+    binding must not degrade the plan vs inlined literals."""
+    plan = formatted_plan(_df("s76_parameterized_sql", spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    joined = " ".join(pushed)
+    assert "l_shipdate" in joined and "l_quantity" in joined, pushed
+    # and the scan is pruned to the query's columns, params notwithstanding
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("l_comment" not in l for l in schemas), schemas
