@@ -657,16 +657,27 @@ def _x97_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     tok = d.select("doc_id", F.explode(toks).alias("term"))
-    first_doc = F.min("doc_id").over(Window.partitionBy("term"))
-    per_doc = (
-        tok.withColumn("first_doc", first_doc)
+    # Round-10 optimization (guide §2.3, aggregate before you shuffle): the
+    # old shape computed first_doc with min(doc_id) OVER (PARTITION BY term)
+    # — a term-keyed exchange plus SORT of every token OCCURRENCE. The same
+    # integers come from two hash aggregates with map-side partial combine:
+    # per-term min(doc_id) shuffles at most one row per distinct term per
+    # map partition (no sort), and "new_terms per doc" is a count over that
+    # (terms are unique per group, so the old count_distinct is a plain
+    # count). Docs whose every term first appeared earlier get 0 via the
+    # left join, exactly the rows the old aggregate produced.
+    tok = tok.localCheckpoint(eager=False)  # n_tokens agg + first-doc agg
+    n_tok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    firsts = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count_distinct(
-                F.when(F.col("first_doc") == F.col("doc_id"), F.col("term"))
-            ).alias("new_terms"),
-        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    per_doc = n_tok.join(firsts, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("new_terms"), F.lit(0)).alias("new_terms"),
     )
     # Two-level prefix sum: intra-bucket running totals + broadcast offsets
     # of completed buckets — no global single-partition window over the

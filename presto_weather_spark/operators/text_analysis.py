@@ -1957,11 +1957,30 @@ def _nb_predictions(
     class — the shared core of x45 (exact terms, vocab_size computed
     from the corpus) and x45b (hashed buckets, vocab_size fixed at
     NBH_BUCKETS so the smoothing denominator is corpus-independent).
+
     Scoring uses sum(lp * tf) over the frequency table, which equals a
     per-occurrence SUM(lp) exactly: lp is DECIMAL(28,18) and tf rides
     as DECIMAL(9,0), so the product stays inside DECIMAL(38,18) with no
-    precision loss; the argmax breaks ties by class name, making the
-    prediction engine-identical.
+    precision loss.
+
+    Round-10 optimization note: a delta-scoring rewrite (score via
+    sum_{t seen in c} tf*(lp - lp0) + T_d*lp0, shipping only the SEEN
+    (term, class) pairs instead of the V x C grid) was implemented,
+    proved oracle-identical at both SFs, and MEASURED SLOWER at bench
+    scale (x45 2.05 s -> 2.37 s min-of-3 A/B): at sf0.1 the grid is
+    broadcast-small and the delta shape's extra aggregates (doc totals,
+    union, wider final agg) cost more than the C-fold join fan-out they
+    remove. Kept: the grid. At true 100-TB vocabularies the delta shape
+    is the right plan; the exact recipe is recorded in
+    OPTIMIZATION_r10.md ("Changes (batch 1)").
+
+    The argmax IS changed (kept from that experiment, measured neutral
+    to positive): a hash aggregate min(struct(-score, c)) — struct
+    ordering compares -score first (score DESC), then c (name ASC),
+    exactly the row_number ordering it replaces, without the window's
+    extra exchange + sort. -score negates a DECIMAL(38,17) (exact), so
+    ties still break by class name and the prediction stays
+    engine-identical.
     """
     classes = doc_term.groupBy(F.col("lang").alias("c")).agg(
         F.countDistinct("doc_id").cast("double").alias("docs_c")
@@ -2012,11 +2031,14 @@ def _nb_predictions(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "c")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "score")
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("neg"), F.col("c").alias("c"))
+            ).alias("m")
+        )
+        .select("doc_id", "lang", F.col("m.c").alias("c"))
     )
 
 
@@ -2754,13 +2776,26 @@ def x54_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("term", 1).over(w).alias("n1"),
         F.lead("term", 2).over(w).alias("n2"),
     )
-    fwd1 = ahead.filter(F.col("n1").isNotNull())
-    fwd2 = ahead.filter(F.col("n2").isNotNull())
+    # Round-10 optimization: the four directed projections used to ride a
+    # 4-way unionAll over `ahead` — physical plans do not share subtrees
+    # across union branches, so the tokenize + explode + window SORT ran
+    # FOUR times (plan showed 4 Window nodes). One explode over the array
+    # of the same four (center, context) structs emits the identical pair
+    # multiset in a single window pass; rows where the lead is NULL (last
+    # 1-2 tokens of a doc) drop via the null filter exactly as the
+    # isNotNull-filtered union branches dropped them.
+    p = F.explode(
+        F.array(
+            F.struct(F.col("term").alias("center"), F.col("n1").alias("context")),
+            F.struct(F.col("n1").alias("center"), F.col("term").alias("context")),
+            F.struct(F.col("term").alias("center"), F.col("n2").alias("context")),
+            F.struct(F.col("n2").alias("center"), F.col("term").alias("context")),
+        )
+    )
     pairs = (
-        fwd1.select(F.col("term").alias("center"), F.col("n1").alias("context"))
-        .unionAll(fwd1.select(F.col("n1").alias("center"), F.col("term").alias("context")))
-        .unionAll(fwd2.select(F.col("term").alias("center"), F.col("n2").alias("context")))
-        .unionAll(fwd2.select(F.col("n2").alias("center"), F.col("term").alias("context")))
+        ahead.select(p.alias("p"))
+        .filter(F.col("p.center").isNotNull() & F.col("p.context").isNotNull())
+        .select("p.center", "p.context")
     )
     return (
         pairs.groupBy("center", "context")
@@ -5501,14 +5536,25 @@ def x147_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.explode(_tokens()).alias("term"))
         .filter(F.col("term") != "")
     )
-    tc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    # Round-10 optimization: tokenize ONCE. tc and vocab both consumed the
+    # raw token stream, so the scan + explode ran twice; collapsing first
+    # to the (doc, lang, term) frequency table (one pass, checkpointed —
+    # the x89/x45 idiom) lets both derive from it: tc is a projection and
+    # vocab a re-aggregation (sum of per-doc counts = occurrence counts,
+    # exactly the integers the per-token pass produced).
+    tf3 = (
+        tok.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tc = tf3.select("doc_id", "term", "c")
     vocab = (
-        tok.groupBy("term")
+        tf3.groupBy("term")
         .agg(
             F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
             ).alias("ct"),
-            F.count(F.lit(1)).alias("cr"),
+            F.sum("c").alias("cr"),
         )
         .localCheckpoint()  # consumed by the scalar agg AND the join
     )
@@ -5638,14 +5684,24 @@ def x148_dsir_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nxt").isNotNull())
         .drop("nxt")
     )
-    bc = bi.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    # Round-10 optimization: bc and feat both consumed the raw bigram
+    # stream, so tokenize + posexplode + the lead() window ran TWICE; one
+    # (doc, lang, bucket) count pass (checkpointed, the x147/x89 idiom)
+    # feeds both — bc is a projection, feat the bucket re-aggregation of
+    # the same integer counts.
+    bc3 = (
+        bi.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    bc = bc3.select("doc_id", "b", "c")
     feat = (
-        bi.groupBy("b")
+        bc3.groupBy("b")
         .agg(
             F.sum(
-                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+                F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
             ).alias("ct"),
-            F.count(F.lit(1)).alias("cr"),
+            F.sum("c").alias("cr"),
         )
         .localCheckpoint()
     )

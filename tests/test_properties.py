@@ -379,6 +379,33 @@ def test_naive_bayes_covers_every_document(spark, sf_dir):
     assert {r["pred_lang"] for r in rows} <= langs
 
 
+def test_nb_prediction_tiebreak_prefers_first_class_name(spark):
+    # _nb_predictions round-10 delta-scoring rewrite: on an EXACT score tie
+    # (symmetric corpus: docs 3/4 hold both terms, class-term counts are the
+    # mirror image, priors equal), the argmax must break by class name
+    # ascending — the same ordering the pre-rewrite row_number window
+    # (ORDER BY score DESC, c) pinned. min(struct(-score, c)) must
+    # reproduce it exactly.
+    from presto_weather_spark.operators.text_analysis import _nb_predictions
+
+    doc_term = spark.createDataFrame(
+        [
+            (1, "aa", "t1", 1),
+            (2, "bb", "t2", 1),
+            (3, "aa", "t1", 1),
+            (3, "aa", "t2", 1),
+            (4, "bb", "t1", 1),
+            (4, "bb", "t2", 1),
+        ],
+        "doc_id bigint, lang string, term string, tf bigint",
+    )
+    out = {r["doc_id"]: r["c"] for r in _nb_predictions(doc_term).collect()}
+    # docs 3 and 4 score identically under both classes -> tie -> 'aa'
+    assert out[3] == "aa" and out[4] == "aa"
+    # docs 1 and 2 are asymmetric: their own class must win
+    assert out[1] == "aa" and out[2] == "bb"
+
+
 def test_bpe_tokenize_matches_local_apply(spark, sf_dir):
     # x51: per-doc token counts must equal a pure-Python application of the
     # same learned merge table, and segmentation never increases token count
