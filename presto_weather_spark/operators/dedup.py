@@ -30,6 +30,49 @@ def _tokens() -> F.Column:
     return F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
 
 
+def _hashed_gram_stream(
+    tokened: DataFrame, k: int, keep_short_head: bool
+) -> DataFrame:
+    """(doc_id, pos, gh) stream of k-token window hashes with NO gram
+    strings (round-10 optimization, guide §2.3/§4.2): hash each token once,
+    combine k consecutive token hashes with a multi-arg xxhash64 over
+    lead() columns — the minhash_signatures idiom. Everything stays in
+    WholeStageCodegen; the interpreted transform(i -> concat_ws(slice(...)))
+    lambda it replaces allocated every gram string and copied each token k
+    times, and every downstream exchange/join shipped ~(k x token) bytes
+    per row where 8 now go. gh identifies the gram string injectively
+    short of a 64-bit collision — the exact trade x18/x40/x115 already
+    ship against their string-gram DuckDB oracles (~n^2/2^65 collision
+    odds; ~3e-9 at a million grams).
+
+    ``tokened`` must be (doc_id, ts) with ts the token array, partitioned
+    by doc_id (the lead window then sorts in place, no new exchange).
+    pos is 1-based. keep_short_head=True keeps the pos==1 truncated
+    window of docs shorter than k tokens (the array-slice builders'
+    sequence(1, greatest(n-k+1, 1)) emitted one partial gram there);
+    xxhash64 skips NULL lead columns, so the truncated hash is consistent
+    across docs. keep_short_head=False emits complete windows only
+    (docs shorter than k tokens contribute nothing)."""
+    th = tokened.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "tok")
+    ).select("doc_id", "pos0", F.xxhash64("tok").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    leads = [F.lead("h", i).over(w) for i in range(1, k)]
+    keep = F.col("tail").isNotNull()
+    if keep_short_head:
+        keep = keep | (F.col("pos0") == 0)
+    return (
+        th.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64(F.col("h"), *leads).alias("gh"),
+            leads[-1].alias("tail"),
+        )
+        .filter(keep)
+        .select("doc_id", "pos", "gh")
+    )
+
+
 @register(
     "x01_exact_dedup",
     oracle="""
@@ -954,34 +997,40 @@ def x02g_banding_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < X02G_SUBSET
     )
-    toks = _tokens()
-    n = F.size(toks)
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        )
-    )
-    # Explicit gram partitioning (user repartition — AQE does not coalesce
+    dp = d.sparkSession.sparkContext.defaultParallelism
+    # Round-10 optimization: 3-gram HASHES via the lead-window token-hash
+    # idiom (_hashed_gram_stream) instead of interpreted transform() gram
+    # strings; the in-doc dedup the old array_distinct did happens in a
+    # distinct() whose (doc_id, gh) clustering is satisfied by the doc_id
+    # partitioning — no extra exchange. Same output short of a 64-bit
+    # collision (the x18/x40 convention; ~2000 docs x ~e2 grams here).
+    #
+    # Explicit gh partitioning (user repartition — AQE does not coalesce
     # it) + one materialization for the three consumers (both self-join
     # branches and the sizes aggregate). Without this the CPU-heavy pair
     # join ran nearly single-task: AQE coalesces shuffle reads by BYTES,
     # and the gram table is small in bytes but quadratic in join output.
-    # Measured 3.5 s -> 2.1 s on the exact join at sf0.1.
+    # Measured 3.5 s -> 2.1 s on the exact join at sf0.1 (strings, r9);
+    # the 8-byte keys shrink the same exchange/join a further step.
+    tokened = d.repartition(dp, "doc_id").select(
+        "doc_id", _tokens().alias("ts")
+    )
     grams = (
-        d.select("doc_id", F.explode(grams_arr).alias("gram"))
-        .repartition(d.sparkSession.sparkContext.defaultParallelism, "gram")
+        _hashed_gram_stream(tokened, 3, keep_short_head=True)
+        .select("doc_id", "gh")
+        .distinct()
+        .repartition(dp, "gh")
         .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(
-        F.countDistinct("gram").alias("n_grams")
+        F.count(F.lit(1)).alias("n_grams")  # rows pre-deduped above
     )
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -1697,27 +1746,30 @@ JOIN documents tb ON tb.doc_id = c.doc_b
 def x96_editdist_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    toks = _tokens()
-    n = F.size(toks)
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (X96_GRAM_K - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, X96_GRAM_K)),
-        )
-    )
-    grams = d.select("doc_id", F.explode(grams_arr).alias("gram"))
+    # Round-10 optimization: k-gram HASHES via the lead-window token-hash
+    # idiom (_hashed_gram_stream) — no interpreted transform() string
+    # builder, 8-byte keys through the df count, the broadcast and the
+    # blocking self-join; the array_distinct in-doc dedup becomes a
+    # distinct() whose (doc_id, gh) clustering the doc_id partitioning
+    # already satisfies (no extra exchange). Identical candidate set
+    # short of a 64-bit collision (the x18/x40 convention).
+    grams = _hashed_gram_stream(
+        d.select("doc_id", _tokens().alias("ts")),
+        X96_GRAM_K,
+        keep_short_head=True,
+    ).select("doc_id", "gh").distinct()
     grams = grams.localCheckpoint(eager=False)  # df counts + both join sides
     df_ok = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= X96_DF_CAP))
-        .select("gram")
+        .select("gh")
     )
-    capped = grams.join(F.broadcast(df_ok), "gram")
-    a = capped.select("gram", F.col("doc_id").alias("doc_a"))
-    b = capped.select("gram", F.col("doc_id").alias("doc_b"))
+    capped = grams.join(F.broadcast(df_ok), "gh")
+    a = capped.select("gh", F.col("doc_id").alias("doc_a"))
+    b = capped.select("gh", F.col("doc_id").alias("doc_b"))
     cand = (
-        a.join(b, "gram")
+        a.join(b, "gh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1810,36 +1862,31 @@ GROUP BY doc_id, island_id
     "window-frequency table, one join back, then a doc_id-partitioned "
     "islands window (positions already co-partitioned after the "
     "join's doc-side shuffle). Integer-only arithmetic end to end — "
-    "no rounding convention needed. At 100 TB attribute by "
-    "xxhash64(gram) instead of the string to cut exchange bytes ~W x "
-    "(kept as strings for oracle exactness, x82's documented trade).",
+    "no rounding convention needed. Windows ride as xxhash64 gram "
+    "hashes (round 10): the exchange ships 8 bytes/row instead of "
+    "~W-token strings — the x18/x40 collision trade, identical rows "
+    "short of a 64-bit collision.",
 )
 def x102_dup_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    toks = _tokens()
-    n = F.size(toks)
-    wins = (
-        d.filter(n >= X102_W)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n - (X102_W - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, X102_W)),
-                )
-            ).alias("pos0", "gram"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-    )
+    # Round-10 optimization: 8-token window HASHES via the lead-window
+    # token-hash idiom (_hashed_gram_stream) — the gram-keyed exchange and
+    # dup join now ship 8 bytes/row instead of ~8-token strings, and the
+    # interpreted transform() string builder leaves the scan. Complete
+    # windows only (tail lead non-null <=> pos <= n-W+1), exactly the rows
+    # the old size(ts) >= W filter + sequence(1, n-W+1) emitted. Same
+    # output short of a 64-bit collision (the x18/x40 convention).
+    tokened = d.select("doc_id", _tokens().alias("ts"))
+    wins = _hashed_gram_stream(tokened, X102_W, keep_short_head=False)
     wins = wins.localCheckpoint(eager=False)  # dup table + the hits join
     dup = (
-        wins.groupBy("gram")
+        wins.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gh")
     )
-    hits = wins.join(dup, "gram").select("doc_id", "pos")
+    hits = wins.join(dup, "gh").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     new_island = F.when(
         F.col("pos") - F.lag("pos").over(w_doc) <= X102_W, 0
@@ -2062,27 +2109,20 @@ def x104_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     base = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") > 0)
     base = base.localCheckpoint(eager=False)  # windows, positions, final join
-    wins = (
-        base.filter(F.size("ts") >= X102_W)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("ts") - (X102_W - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, X102_W)),
-                )
-            ).alias("pos0", "gram"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    # Round-10 optimization: same lead-window token-hash windows as x102
+    # (8-byte gh keys through the dup exchange/join, no interpreted
+    # transform() string builder; identical rows short of 64-bit collision).
+    wins = _hashed_gram_stream(
+        base.select("doc_id", "ts"), X102_W, keep_short_head=False
     )
     wins = wins.localCheckpoint(eager=False)  # dup table + hits join
     dup = (
-        wins.groupBy("gram")
+        wins.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gh")
     )
-    hits = wins.join(dup, "gram").select("doc_id", "pos")
+    hits = wins.join(dup, "gh").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         hits.withColumn(
