@@ -38,20 +38,37 @@ def conditions_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     dim = weather_codes_dim(spark)
 
-    latest = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    # Round-10 optimization: the latest-reading pick ran as a row_number
+    # window (exchange + per-station sort of every event) with the
+    # rain_prob JSON parse projected BELOW it — every event paid
+    # get_json_object, then all but one per station were discarded. The
+    # same survivor comes from max(struct(ts, event_id, ...)): struct
+    # ordering compares ts then event_id exactly like ORDER BY ts DESC,
+    # event_id DESC picks its first row ((ts, event_id) is unique per
+    # station, so the carried value/props fields never tip a comparison;
+    # an all-NULL-ts station degenerates to max event_id in both shapes).
+    # The JSON parse now runs on ONE surviving row per station.
     readings = (
-        events.select(
-            "event_id",
-            "user_id",
-            "ts",
-            "value",
-            F.get_json_object("props", "$.k").cast("int").alias("rain_prob"),
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("value").alias("value"),
+                    F.col("props").alias("props"),
+                )
+            ).alias("m")
         )
-        .withColumn("rn", F.row_number().over(latest))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select(
+            F.col("m.event_id").alias("event_id"),
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.value").alias("value"),
+            F.get_json_object(F.col("m.props"), "$.k")
+            .cast("int")
+            .alias("rain_prob"),
+        )
         .withColumn("code", code_expr(F.col("event_id")))
     )
 

@@ -1568,30 +1568,38 @@ def x142_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
     )
-    # materialize the token array ONCE per row before the generator —
-    # written inline, projection collapse re-inlines split(text) into
-    # every use site inside the transform lambda (one split per GRAM,
-    # the HOF trap the MinHash kernel hit)
+    # Round-10 optimization (the batch-2 dedup move): LEAK_N-token window
+    # HASHES via per-token xxhash64 + lead() instead of the interpreted
+    # transform(i -> array_join(slice(...))) string builder — the gram
+    # aggregate's exchange ships 8 bytes/key instead of ~8-token strings
+    # (the docstring's own "x84 note" made real). Complete windows only
+    # (tail lead non-null), exactly the rows the old size(ws) >= LEAK_N
+    # CASE guard emitted; leaked-share counts are identical short of a
+    # 64-bit collision (the x18/x40 convention, oracle-verified
+    # end-to-end at both SFs).
     words = d.select(
+        "doc_id",
         "lang",
         split.alias("split"),
         F.split(F.col("text"), " ").alias("ws"),
     ).filter(F.col("split") != "valid")
-    grams = words.select(
-        "lang",
-        "split",
-        # docs shorter than LEAK_N tokens contribute no grams. The guard
-        # must be a CASE, not greatest(..., 0): sequence(1, 0) in Spark
-        # steps DOWNWARD to [1, 0] and the i=0 slice then raises
-        # INVALID_PARAMETER_VALUE.START on any short document.
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(ws) >= {LEAK_N} THEN "
-                f"transform(sequence(1, size(ws) - {LEAK_N - 1}), "
-                f"i -> array_join(slice(ws, i, {LEAK_N}), ' ')) "
-                f"ELSE array() END"
-            )
-        ).alias("gram"),
+    words = words.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    th = words.select(
+        "doc_id", "lang", "split", F.posexplode("ws").alias("pos", "tok")
+    ).select("doc_id", "lang", "split", "pos", F.xxhash64("tok").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("h", i).over(w) for i in range(1, LEAK_N)]
+    grams = (
+        th.select(
+            "lang",
+            "split",
+            F.xxhash64(F.col("h"), *leads).alias("gram"),
+            leads[-1].alias("tail"),
+        )
+        .filter(F.col("tail").isNotNull())
+        .drop("tail")
     )
     per_gram = grams.groupBy("gram").agg(
         F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(

@@ -93,18 +93,28 @@ FROM ranked WHERE rn = 1
 )
 def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    # Round-10 optimization (the r14 move): the rank-1 window (exchange +
+    # per-key sort of every event) becomes a map-side-combinable
+    # max(struct(ts, event_id, value)) — struct ordering is exactly
+    # ORDER BY ts DESC, event_id DESC's first row ((ts, event_id) unique
+    # per group; the carried value never tips a comparison).
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("m")
+        )
         .select(
-            "event_id",
+            F.col("m.event_id").alias("event_id"),
             "user_id",
             "event_type",
-            F.round("value", 6).alias("value"),
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.round(F.col("m.value"), 6).alias("value"),
+            F.date_format(F.col("m.ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         )
     )
 
@@ -771,18 +781,21 @@ def x40_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_weather_spark.operators.text_analysis import _spread
 
     d = _spread(load_table(spark, sf_dir, "documents"))
+    # Round-10: hash each token ONCE and combine k hashes with multi-arg
+    # xxhash64 — the old concat_ws(tok, lead...) allocated a k-token gram
+    # string per position AND shipped token strings through the window
+    # sort; now only 8-byte longs ride the sort and no string is built.
+    # Same key class (injective short of a 64-bit collision).
     th = d.select(
         "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
-    )
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
-    ]
+    leads = [F.lead("h", i).over(w) for i in range(1, CONTAIN_NGRAM)]
     grams = (
         th.select(
             "doc_id",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("tail"),
+            F.xxhash64(F.col("h"), *leads).alias("gh"),
+            leads[-1].alias("tail"),
         )
         .filter(F.col("tail").isNotNull())
         .select("doc_id", "gh")
@@ -2247,16 +2260,19 @@ def x110_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_weather_spark.operators.text_analysis import _spread, _tokens
 
     d = _spread(load_table(spark, sf_dir, "documents"))
-    th = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    # Round-10: per-token hash + multi-arg xxhash64 combine (see x40) —
+    # no gram-string allocation, longs instead of strings through the
+    # window sort; same key class short of a 64-bit collision.
+    th = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
-    ]
+    leads = [F.lead("h", i).over(w) for i in range(1, CONTAIN_NGRAM)]
     grams = (
         th.select(
             "doc_id",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("tail"),
+            F.xxhash64(F.col("h"), *leads).alias("gh"),
+            leads[-1].alias("tail"),
         )
         .filter(F.col("tail").isNotNull())
         .select("doc_id", "gh")
@@ -2401,16 +2417,19 @@ def x115_dedup_threshold_sensitivity(
     from presto_weather_spark.operators.text_analysis import _spread, _tokens
 
     d = _spread(load_table(spark, sf_dir, "documents"))
-    th_doc = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    # Round-10: per-token hash + multi-arg xxhash64 combine (see x40) —
+    # no gram-string allocation, longs instead of strings through the
+    # window sort; same key class short of a 64-bit collision.
+    th_doc = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
-    ]
+    leads = [F.lead("h", i).over(w) for i in range(1, CONTAIN_NGRAM)]
     grams = (
         th_doc.select(
             "doc_id",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("tail"),
+            F.xxhash64(F.col("h"), *leads).alias("gh"),
+            leads[-1].alias("tail"),
         )
         .filter(F.col("tail").isNotNull())
         .select("doc_id", "gh")

@@ -1324,15 +1324,21 @@ KCENTER_LOCAL_LIMIT = 100_000  # collect-and-solve below this corpus size
 )
 def x65_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, "vec_id")
     # limit(N+1) probe (the x94 pattern): LocalLimit stops each scan task
     # at the threshold, so the gate check reads O(N) rows, never the table.
+    # Round-10: the repartition moves BELOW the gate (the x98 move) — the
+    # local path collects, so the probe and the orderBy().collect() were
+    # paying an exchange that only the distributed kernel needs.
     if emb.limit(KCENTER_LOCAL_LIMIT + 1).count() <= KCENTER_LOCAL_LIMIT:
         # Same greedy, driver-local on the collected matrix (the x43
         # hybrid contract: tiny-data iterations skip per-round job
         # latency; path equivalence pinned in tests/test_properties.py).
         return _kcenter_greedy_local(emb)
-    return _kcenter_greedy_distributed(emb)
+    return _kcenter_greedy_distributed(
+        emb.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
+    )
 
 
 def _kcenter_greedy_local(emb: DataFrame) -> DataFrame:
@@ -1762,13 +1768,18 @@ MMR_LAMBDA = 0.7  # relevance-vs-diversity trade-off
 )
 def x98_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    emb = emb.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    )
     # limit(N+1) probe (the x94 pattern): the gate check reads O(N) rows.
+    # Round-10: the repartition moves BELOW the gate — the local path
+    # collects (an exchange before a collect is pure overhead: the probe
+    # and the orderBy().collect() both paid it), only the distributed
+    # kernel needs the vec_id spread.
     if emb.limit(MMR_LOCAL_LIMIT + 1).count() <= MMR_LOCAL_LIMIT:
         return _mmr_local(emb)
-    return _mmr_distributed(emb)
+    return _mmr_distributed(
+        emb.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        )
+    )
 
 
 MMR_LOCAL_LIMIT = 100_000  # collect-and-solve below this corpus size
@@ -2404,16 +2415,56 @@ def x144_margin_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
-    r_src = Window.partitionBy("src_id").orderBy(F.col("margin").desc(), "tgt_id")
-    r_tgt = Window.partitionBy("tgt_id").orderBy(F.col("margin").desc(), "src_id")
-    return (
-        scored.withColumn("r_src", F.row_number().over(r_src))
-        .withColumn("r_tgt", F.row_number().over(r_tgt))
-        .filter(
-            (F.col("r_src") == 1)
-            & (F.col("r_tgt") == 1)
-            & (F.col("margin") > BITEXT_MARGIN)
+    # Round-10 optimization: the mutual-best filter ran as TWO row_number
+    # windows over the full src x tgt pair table (each an exchange + sort
+    # of every scored pair). rank==1 is an argmax: min(struct(-margin,
+    # tie_id, ...)) per side is the identical selection (margin DESC, then
+    # id ASC — struct ordering; the (-margin, id) prefix is unique per
+    # group, so the carried cos6/margin fields never tip a comparison and
+    # -margin negates a double exactly). Two map-side-combinable hash
+    # aggregates + one keys-only join replace the two full-table sorts.
+    # NULL margins (a zero k-NN denominator) map to +inf so they sort
+    # LAST exactly like the window's DESC NULLS LAST — they must not
+    # steal the argmax from a real row (they could not survive the
+    # margin > threshold filter, but the row they displaced could have).
+    # Both argmax passes recompute `scored` from the checkpointed pair
+    # table — the margin projection + two broadcast joins are cheap
+    # codegen, and NOT materializing the src x tgt scored table (a lazy
+    # checkpoint here measured slower: 9M-row block-manager writes for a
+    # projection that costs less to redo).
+    neg_or_inf = lambda c: F.coalesce(-c, F.lit(float("inf")))  # noqa: E731
+    best_src = (
+        scored.groupBy("src_id")
+        .agg(
+            F.min(
+                F.struct(
+                    neg_or_inf(F.col("margin")).alias("nm"),
+                    F.col("tgt_id").alias("tgt_id"),
+                    F.col("cos6").alias("cos6"),
+                    F.col("margin").alias("margin"),
+                )
+            ).alias("m")
         )
+        .select(
+            "src_id", F.col("m.tgt_id").alias("tgt_id"),
+            F.col("m.cos6").alias("cos6"), F.col("m.margin").alias("margin"),
+        )
+    )
+    best_tgt = (
+        scored.groupBy("tgt_id")
+        .agg(
+            F.min(
+                F.struct(
+                    neg_or_inf(F.col("margin")).alias("nm"),
+                    F.col("src_id").alias("src_id"),
+                )
+            ).alias("m")
+        )
+        .select(F.col("m.src_id").alias("src_id"), "tgt_id")
+    )
+    return (
+        best_src.join(best_tgt, ["src_id", "tgt_id"])  # mutual best only
+        .filter(F.col("margin") > BITEXT_MARGIN)
         .select("src_id", "tgt_id", F.col("cos6").alias("cosine_sim"), "margin")
     )
 

@@ -561,19 +561,23 @@ def x18_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = d.select(
         "doc_id",
         F.posexplode(F.filter(_tokens(), lambda t: t != "")).alias("pos", "tok"),
-    )
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, DECON_NGRAM)]
+    leads = [F.lead("h", i).over(w) for i in range(1, DECON_NGRAM)]
     # Distinct/join/count on the 8-byte gram hash, not the gram string —
     # the oracle matches on string grams, which is the same answer short of
     # a 64-bit collision; checkpoint the distinct gram table because both
     # the eval and train branches read it (it would otherwise recompute
     # tokenize+window+distinct per branch). Together: 4.4s -> ~1s at sf0.1.
+    # Round-10: the gram hash combines per-token hashes (multi-arg
+    # xxhash64 over lead columns) instead of hashing a concat_ws string —
+    # no gram-string allocation, longs not strings through the window
+    # sort; same key class.
     grams = (
         th.select(
             "doc_id",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("tail"),
+            F.xxhash64(F.col("h"), *leads).alias("gh"),
+            leads[-1].alias("tail"),
         )
         .filter(F.col("tail").isNotNull())
         .select("doc_id", "gh")
@@ -5099,16 +5103,18 @@ def x113_rouge_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(_tokens(), lambda t: t != "")
     base = _spread(d).select("doc_id", toks.alias("ts"))
-    th = base.select("doc_id", F.posexplode("ts").alias("pos", "tok"))
+    # Round-10: per-token hash + multi-arg xxhash64 combine (see x18) —
+    # no gram-string allocation, longs through the window sort.
+    th = base.select("doc_id", F.posexplode("ts").alias("pos", "tok")).select(
+        "doc_id", "pos", F.xxhash64("tok").alias("h")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, DECON_NGRAM)
-    ]
+    leads = [F.lead("h", i).over(w) for i in range(1, DECON_NGRAM)]
     grams = (
         th.select(
             "doc_id",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("tail"),
+            F.xxhash64(F.col("h"), *leads).alias("gh"),
+            leads[-1].alias("tail"),
         )
         .filter(F.col("tail").isNotNull())
         .select("doc_id", "gh")
