@@ -83,13 +83,25 @@ def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     quality = d.filter(F.col("n_chars") >= MIN_CHARS).select("doc_id", "lang", "text")
 
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Round-10 optimization (the r14/x01 move): the md5-keyed survivor
+    # window (exchange + sort of every quality-surviving doc WITH its
+    # text) becomes a map-side-combinable min(struct(doc_id, lang, text))
+    # per text hash — identical survivor (lowest doc_id; doc_id unique,
+    # so the carried lang/text never tip a comparison).
     exact = (
-        quality.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        quality.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                    F.col("text").alias("text"),
+                )
+            ).alias("m")
+        )
+        .select("m.doc_id", "m.lang", "m.text")
         # exact feeds both the chunk profile and the final keep-join;
-        # checkpoint so the dedup window runs once
+        # checkpoint so the dedup aggregate runs once
         .localCheckpoint(eager=False)
     )
 
@@ -462,27 +474,35 @@ def x77_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = d.select("doc_id", "source", "lang", score.alias("score"))
-    w_best = Window.partitionBy("source", "lang").orderBy(
-        F.col("score").desc(), "doc_id"
+    # Round-10 optimization (the r14/x01 argmax move, doubled): both
+    # per-cell extremes come from ONE map-side-combinable aggregate —
+    # min(struct(-score, doc_id)) is the rk_best==1 row (score DESC,
+    # doc_id ASC; -score negates a finite double exactly, and (score,
+    # doc_id) is unique per cell so the carried id never tips a
+    # comparison), min(struct(score, doc_id)) the rk_worst==1 row. The
+    # two full-corpus window sorts AND the cell self-join disappear.
+    cells = scored.groupBy("source", "lang").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("score").alias("score"),  # original, no -(-x) roundtrip
+            )
+        ).alias("b"),
+        F.min(
+            F.struct(F.col("score").alias("s"), F.col("doc_id").alias("doc_id"))
+        ).alias("w"),
     )
-    w_worst = Window.partitionBy("source", "lang").orderBy(
-        F.col("score").asc(), "doc_id"
-    )
-    ranked = scored.withColumn("rk_best", F.row_number().over(w_best)).withColumn(
-        "rk_worst", F.row_number().over(w_worst)
-    )
-    best = ranked.filter(F.col("rk_best") == 1).select(
-        "source", "lang",
-        F.col("doc_id").alias("chosen_doc_id"),
-        F.col("score").alias("chosen_score"),
-    )
-    worst = ranked.filter(F.col("rk_worst") == 1).select(
-        "source", "lang",
-        F.col("doc_id").alias("rejected_doc_id"),
-        F.col("score").alias("rejected_score"),
+    best_worst = cells.select(
+        "source",
+        "lang",
+        F.col("b.doc_id").alias("chosen_doc_id"),
+        F.col("b.score").alias("chosen_score"),
+        F.col("w.doc_id").alias("rejected_doc_id"),
+        F.col("w.s").alias("rejected_score"),
     )
     return (
-        best.join(worst, ["source", "lang"])
+        best_worst
         .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
         .select(
             "source", "lang", "chosen_doc_id", "rejected_doc_id",
