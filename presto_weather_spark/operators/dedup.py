@@ -1875,31 +1875,43 @@ GROUP BY doc_id, island_id
     "window-frequency table, one join back, then a doc_id-partitioned "
     "islands window (positions already co-partitioned after the "
     "join's doc-side shuffle). Integer-only arithmetic end to end — "
-    "no rounding convention needed. Windows ride as xxhash64 gram "
-    "hashes (round 10): the exchange ships 8 bytes/row instead of "
-    "~W-token strings — the x18/x40 collision trade, identical rows "
-    "short of a 64-bit collision.",
+    "no rounding convention needed. At 100 TB attribute by "
+    "xxhash64(gram) instead of the string to cut exchange bytes ~W x "
+    "(tried in round 10 via the lead-window hash: oracle-identical "
+    "but slower in the full-bench pairing — see OPTIMIZATION_r10.md).",
 )
 def x102_dup_span_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    # Round-10 optimization: 8-token window HASHES via the lead-window
-    # token-hash idiom (_hashed_gram_stream) — the gram-keyed exchange and
-    # dup join now ship 8 bytes/row instead of ~8-token strings, and the
-    # interpreted transform() string builder leaves the scan. Complete
-    # windows only (tail lead non-null <=> pos <= n-W+1), exactly the rows
-    # the old size(ts) >= W filter + sequence(1, n-W+1) emitted. Same
-    # output short of a 64-bit collision (the x18/x40 convention).
-    tokened = d.select("doc_id", _tokens().alias("ts"))
-    wins = _hashed_gram_stream(tokened, X102_W, keep_short_head=False)
+    toks = _tokens()
+    n = F.size(toks)
+    # Round-10 note: a lead-window token-hash rewrite of this gram build
+    # (the batch-2 _hashed_gram_stream shape) was tried, proved
+    # oracle-identical at both SFs, measured noise-flat in isolated A/B —
+    # and REGRESSED in the full-bench session pairing (1.23 s -> 2.02 s).
+    # The window sort it introduces behaves worse than the array builder
+    # under long-session memory pressure; reverted per keep-only-wins.
+    wins = (
+        d.filter(n >= X102_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (X102_W - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, X102_W)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
     wins = wins.localCheckpoint(eager=False)  # dup table + the hits join
     dup = (
-        wins.groupBy("gh")
+        wins.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gh")
+        .select("gram")
     )
-    hits = wins.join(dup, "gh").select("doc_id", "pos")
+    hits = wins.join(dup, "gram").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     new_island = F.when(
         F.col("pos") - F.lag("pos").over(w_doc) <= X102_W, 0
@@ -2122,20 +2134,31 @@ def x104_dup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens()
     base = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") > 0)
     base = base.localCheckpoint(eager=False)  # windows, positions, final join
-    # Round-10 optimization: same lead-window token-hash windows as x102
-    # (8-byte gh keys through the dup exchange/join, no interpreted
-    # transform() string builder; identical rows short of 64-bit collision).
-    wins = _hashed_gram_stream(
-        base.select("doc_id", "ts"), X102_W, keep_short_head=False
+    # Round-10 note: the lead-window token-hash rewrite was tried here and
+    # in x102, proved oracle-identical, and REGRESSED in the full-bench
+    # pairing (1.70 s -> 3.24 s despite a flat isolated A/B); reverted per
+    # keep-only-wins (see OPTIMIZATION_r10.md).
+    wins = (
+        base.filter(F.size("ts") >= X102_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (X102_W - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, X102_W)),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
     )
     wins = wins.localCheckpoint(eager=False)  # dup table + hits join
     dup = (
-        wins.groupBy("gh")
+        wins.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gh")
+        .select("gram")
     )
-    hits = wins.join(dup, "gh").select("doc_id", "pos")
+    hits = wins.join(dup, "gram").select("doc_id", "pos")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         hits.withColumn(
@@ -2417,19 +2440,20 @@ def x115_dedup_threshold_sensitivity(
     from presto_weather_spark.operators.text_analysis import _spread, _tokens
 
     d = _spread(load_table(spark, sf_dir, "documents"))
-    # Round-10: per-token hash + multi-arg xxhash64 combine (see x40) —
-    # no gram-string allocation, longs instead of strings through the
-    # window sort; same key class short of a 64-bit collision.
-    th_doc = d.select(
-        "doc_id", F.posexplode(_tokens()).alias("pos", "tok")
-    ).select("doc_id", "pos", F.xxhash64("tok").alias("h"))
+    # Round-10 note: the per-token-hash lead combine (the x40 shape) was
+    # tried here too, proved oracle-identical — and regressed in the
+    # full-bench pairing (1.73 s -> 2.85 s) while isolated A/Bs were
+    # noise-split; reverted per keep-only-wins (see OPTIMIZATION_r10.md).
+    th_doc = d.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("h", i).over(w) for i in range(1, CONTAIN_NGRAM)]
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, CONTAIN_NGRAM)
+    ]
     grams = (
         th_doc.select(
             "doc_id",
-            F.xxhash64(F.col("h"), *leads).alias("gh"),
-            leads[-1].alias("tail"),
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("tail"),
         )
         .filter(F.col("tail").isNotNull())
         .select("doc_id", "gh")
