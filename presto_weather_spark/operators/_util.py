@@ -53,10 +53,16 @@ def sql_bigint_sum(expr: str) -> str:
 
 
 def scratch_root() -> str:
-    """Per-process unique temp root (replaces bare tempfile.gettempdir())."""
+    """Per-process unique temp root (replaces bare tempfile.gettempdir()).
+
+    Rooted at session.scratch_base() since round 11 — tmpfs when available,
+    ``SPARK_GRAFT_SCRATCH_DIR`` on a real cluster — so staged parquet /
+    warehouse data for the write-then-read-back keys stops paying disk
+    writeback (guide §6)."""
     import os
-    import tempfile
     import uuid
+
+    from presto_weather_spark.session import scratch_base
 
     global _SCRATCH_ROOT
     try:
@@ -64,7 +70,7 @@ def scratch_root() -> str:
     except NameError:
         pass
     _SCRATCH_ROOT = os.path.join(
-        tempfile.gettempdir(), f"pws-session-{uuid.uuid4().hex[:12]}"
+        scratch_base(), f"pws-session-{uuid.uuid4().hex[:12]}"
     )
     os.makedirs(_SCRATCH_ROOT, exist_ok=True)
 

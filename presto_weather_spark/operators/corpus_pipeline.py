@@ -481,16 +481,28 @@ def x77_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id) is unique per cell so the carried id never tips a
     # comparison), min(struct(score, doc_id)) the rk_worst==1 row. The
     # two full-corpus window sorts AND the cell self-join disappear.
+    # Round-11 (advisor find): a NULL score (NULL text) would sort FIRST
+    # under min(struct) — a NULL struct field is smallest — while the
+    # oracle's row_number sorts NULLS LAST in DuckDB for BOTH directions;
+    # coalesce each ordering key to +inf (the x144 neg_or_inf guard) so a
+    # NULL-score doc can never displace a real extreme on either side.
+    # The carried b.score/w.s fields stay the ORIGINAL (possibly NULL)
+    # score, matching the oracle's projected b.score/w.score.
+    inf = F.lit(float("inf"))
     cells = scored.groupBy("source", "lang").agg(
         F.min(
             F.struct(
-                (-F.col("score")).alias("ns"),
+                F.coalesce(-F.col("score"), inf).alias("ns"),
                 F.col("doc_id").alias("doc_id"),
                 F.col("score").alias("score"),  # original, no -(-x) roundtrip
             )
         ).alias("b"),
         F.min(
-            F.struct(F.col("score").alias("s"), F.col("doc_id").alias("doc_id"))
+            F.struct(
+                F.coalesce(F.col("score"), inf).alias("sk"),
+                F.col("doc_id").alias("doc_id"),
+                F.col("score").alias("s"),  # original (possibly NULL) score
+            )
         ).alias("w"),
     )
     best_worst = cells.select(

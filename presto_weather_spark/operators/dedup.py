@@ -51,8 +51,19 @@ def _hashed_gram_stream(
     window of docs shorter than k tokens (the array-slice builders'
     sequence(1, greatest(n-k+1, 1)) emitted one partial gram there);
     xxhash64 skips NULL lead columns, so the truncated hash is consistent
-    across docs. keep_short_head=False emits complete windows only
-    (docs shorter than k tokens contribute nothing)."""
+    across docs. n=0 (empty/whitespace-only text): this stream emits
+    NOTHING — which MATCHES the DuckDB oracles, probe-verified in round
+    11: the oracles' array_to_string(list_slice(toks, i, i+2), ' ') over
+    an empty token list is NULL (not ''), and the enclosing
+    list_distinct drops NULLs, so the oracle side emits zero grams for a
+    zero-token doc too. (The round-9 STRING builders' concat_ws over the
+    empty slice produced '' and silently DIVERGED from the oracles on
+    such docs; the round-10 posexplode rewrite fixed that by accident.
+    The round-11 advisor flagged the opposite direction — disproved by
+    the probe; parity on planted empty/whitespace/NULL-text corpora is
+    pinned in tests/test_degenerate_text.py.) NULL text also emits
+    nothing on both sides. keep_short_head=False emits complete windows
+    only (docs shorter than k tokens contribute nothing)."""
     th = tokened.select(
         "doc_id", F.posexplode("ts").alias("pos0", "tok")
     ).select("doc_id", "pos0", F.xxhash64("tok").alias("h"))
@@ -159,6 +170,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # a transform() lambda was interpreted AND copied every token k times;
     # this form is ~1.9x faster and allocates no intermediate strings).
     # The window's sort shares the one exchange the final aggregate needs.
+    # Zero-token docs (empty/whitespace-only/NULL text) explode to nothing
+    # and get no signature — deliberate: the exact-gram oracles also emit
+    # zero grams for such docs (round-11 probe: the oracles'
+    # array_to_string over an empty slice is NULL and list_distinct drops
+    # it), so un-signed empty docs can never cost gate recall; parity is
+    # pinned in tests/test_degenerate_text.py.
     th = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok")).select(
         "doc_id", "pos", F.xxhash64("tok").alias("h")
     )

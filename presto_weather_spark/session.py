@@ -32,14 +32,51 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def scratch_base() -> str:
+    """Root for ALL engine scratch: shuffle/blockmgr files (spark.local.dir),
+    temporary streaming checkpoints (java.io.tmpdir), and the staged
+    write-then-read-back query outputs (operators._util.scratch_root).
+
+    Round-11 optimization (guide §6): scratch is pure intra-job state —
+    shuffle files live for one stage, stream checkpoints for one query,
+    staged parquet for one session — so it belongs on the fastest local
+    storage available, not on the OS temp dir's backing disk where every
+    write also queues page-cache writeback that taxes LATER queries (the
+    round-10 s34 in-bench-inflation finding). Selection order:
+
+    - ``SPARK_GRAFT_SCRATCH_DIR`` if set — on a production cluster point
+      this at the fast local-disk mount (NVMe scratch), exactly like
+      ``spark.local.dir`` is provisioned on real deployments;
+    - ``/dev/shm`` when it exists and is writable (Linux tmpfs — RAM-backed,
+      no writeback; the 128 GiB harness sandbox runs sf0.1 scratch in the
+      tens of MB, so capacity is a non-issue there);
+    - the OS temp dir otherwise (the pre-round-11 behavior).
+    """
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def build_session(app_name: str = "presto_weather_spark", cpus: int | None = None) -> SparkSession:
     """Create (or reuse) the engine's SparkSession with scale-aware defaults."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Shuffle/blockmgr scratch AND the JVM temp dir (temporary streaming
+    # checkpoint roots) go to the fast scratch base — see scratch_base().
+    local_dir = os.path.join(scratch_base(), "pws-spark-local")
+    os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -52,7 +89,8 @@ def build_session(app_name: str = "presto_weather_spark", cpus: int | None = Non
         # interpreted (~10x). Bigger cache + flushing keeps the JIT alive.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            f"-Djava.io.tmpdir={local_dir}",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -57,7 +57,7 @@ def _stage_stream_dir(path: str) -> str:
     else:
         parts = None
     token = hashlib.md5(repr((path, parts)).encode()).hexdigest()[:16]
-    stage = f"/tmp/pws_stream_{token}"
+    stage = os.path.join(scratch_root(), f"pws_stream_{token}")
     os.makedirs(stage, exist_ok=True)
     if parts is None:
         link = os.path.join(stage, os.path.basename(path))
@@ -244,7 +244,10 @@ def run_display_pipeline(
     q = (
         board.writeStream.foreachBatch(draw)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/pws_ckpt_{uuid.uuid4().hex[:8]}")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch_root(), f"pws_ckpt_{uuid.uuid4().hex[:8]}"),
+        )
         .start()
     )
     q.awaitTermination()
@@ -609,7 +612,7 @@ def s24_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.round("value", 6).alias("value"),
     )
-    base = f"/tmp/pws_eo_{uuid.uuid4().hex[:12]}"
+    base = os.path.join(scratch_root(), f"pws_eo_{uuid.uuid4().hex[:12]}")
     sink_dir, ckpt = f"{base}/data", f"{base}/ckpt"
     try:
         for _ in range(2):  # second start = restart/replay; must add nothing
@@ -729,7 +732,10 @@ def s14l_stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         observed.writeStream.format("noop")
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/pws_obs_{uuid.uuid4().hex[:8]}")
+        .option(
+            "checkpointLocation",
+            os.path.join(scratch_root(), f"pws_obs_{uuid.uuid4().hex[:8]}"),
+        )
         .start()
     )
     q.awaitTermination()

@@ -32,9 +32,16 @@ def main() -> None:
     queries = all_queries()
     for key in keys:
         df = queries[key].fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # same as .explain("formatted")
-            df._jdf.queryExecution(), "formatted"
-        )
+        # Public API only (round-11 advisor fix): capture .explain output
+        # via stdout redirection instead of the private
+        # _jvm.PythonSQLUtils.explainString, which breaks across versions.
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{key}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
